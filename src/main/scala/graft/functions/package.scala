@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.functions._
+
+import graft.domain.InvoiceRecord
+
+/** Scalar function layer — SURVEY.md §2.3 (F1–F10). Everything except the
+  * money parser composes from codegen'd Spark built-ins; the money parser is
+  * a custom Catalyst expression ([[graft.functions.ParseClpMoney]]).
+  */
+package object functions {
+
+  /** F3 — locale-aware money parse → DecimalType(18,2), null when invalid
+    * (reference: smartbots-etl/src/application/transformers.py:70-101).
+    */
+  def parse_clp_money(c: Column): Column =
+    GraftSqlBridge.column(ParseClpMoney(GraftSqlBridge.expression(c.cast("string"))))
+
+  /** F1 — `_clean_string`: null → "", else trimmed string rendering
+    * (transformers.py:51-55).
+    */
+  def clean_string(c: Column): Column =
+    coalesce(trim(c.cast("string")), lit(""))
+
+  /** F2 — currency normalize: clean + upper-case; the "CLP" default applies
+    * at the mapping layer when the column is absent (transformers.py:31).
+    */
+  def norm_currency(c: Column): Column = upper(clean_string(c))
+
+  /** F4 + F5 — multi-format date parse. Tries the configured primary format
+    * then the reference's fallback chain (transformers.py:57-68 plus the
+    * extractor's extra formats at official_format_extractor.py:499-525),
+    * then the Excel 1900-epoch serial fallback (calamine_extractor.py:122-128).
+    * Null when nothing matches — errors are data.
+    */
+  def parse_multi_date(c: Column, primaryFormat: String = "dd-MM-yyyy"): Column = {
+    val s = trim(c.cast("string"))
+    val formats =
+      Seq(primaryFormat, "yyyy-MM-dd", "dd/MM/yyyy", "dd-MM-yyyy",
+        "dd-MM-yy", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss").distinct
+    val parsed = formats.map(f => try_to_date(s, f))
+    coalesce(parsed :+ excel_serial_date(s): _*)
+  }
+
+  /** F5 — Excel serial day-number → date (1900 epoch with the classic
+    * -2 day leap-bug correction, i.e. epoch 1899-12-30).
+    */
+  def excel_serial_date(c: Column): Column =
+    date_add(lit(java.sql.Date.valueOf("1899-12-30")),
+      when(c.cast("string").rlike("^[0-9]{1,7}$"), c.cast("int")))
+
+  /** F6 — strip the literal "Aprobado por: " prefix, then trim
+    * (official_format_extractor.py:31-36).
+    */
+  def strip_aprobado_prefix(c: Column): Column =
+    trim(regexp_replace(clean_string(c), "^Aprobado por: ", ""))
+
+  /** F7 — row total with explicit-total override: use `Total Servicio ($)`
+    * when > 0, else the sum of the 7 charge components with nulls as 0
+    * (official_format_extractor.py:478-494).
+    */
+  def row_total_override(totalServicio: Column, components: Seq[Column]): Column = {
+    val summed = components
+      .map(c => coalesce(c.cast(InvoiceRecord.money), lit(0).cast(InvoiceRecord.money)))
+      .reduce(_ + _)
+    when(coalesce(totalServicio, lit(0)) > 0, totalServicio.cast(InvoiceRecord.money))
+      .otherwise(summed)
+      .cast(InvoiceRecord.money)
+  }
+
+  /** F9 — best-effort integral rendering of invoice numbers on egress
+    * (excel_handler.py:98-102): numeric → long, else passthrough string.
+    */
+  def invoice_number_as_int(c: Column): Column = {
+    val asDouble = c.cast("string").try_cast("double")
+    when(asDouble.isNotNull, asDouble.cast("long").cast("string"))
+      .otherwise(c.cast("string"))
+  }
+
+  /** F10 — money cross-check: |total - (net + tax)| <= 1 peso tolerance
+    * (entities.py:66-71; boundary: variance 1 passes, 2 fails).
+    */
+  def money_cross_check_ok(total: Column, net: Column, tax: Column): Column =
+    abs(total - (net + tax)) <= lit(1)
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.domain.{RecordAction, RecordStatus}
+
+/** Merge operators — SURVEY.md §2.4 (J1, J2, J3, J5).
+  *
+  * The reference's core "query" is an insert-only merge: a hash-map probe of
+  * incoming rows against the consolidated table's composite PK
+  * (reference: smartbots-etl/src/application/use_cases/consolidate_invoices.py:475-515).
+  * Spark-first translation: the probe is a `left_anti` join — Catalyst/AQE
+  * picks broadcast-hash when the small side fits (the consolidated table is
+  * the big side at scale, incoming batches are small → broadcast the batch),
+  * or shuffled-hash otherwise. No driver-side maps, no collects.
+  */
+object Merge {
+
+  final case class Result(result: DataFrame, inserted: DataFrame)
+
+  /** In-batch PK dedup, first occurrence wins — the reference updates its
+    * probe map as it iterates so only the first row per PK inserts
+    * (consolidate_invoices.py:494-495). `ordinalCol` defines "first";
+    * when absent an arbitrary winner is kept (`dropDuplicates`).
+    */
+  def dedupFirstWins(incoming: DataFrame, pk: Seq[String],
+      ordinalCol: Option[String]): DataFrame = ordinalCol match {
+    case Some(ord) if incoming.columns.contains(ord) =>
+      val w = Window.partitionBy(pk.map(col): _*).orderBy(col(ord))
+      incoming.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    case _ => incoming.dropDuplicates(pk)
+  }
+
+  /** J1 — insert-only merge: existing PKs win, new PKs append
+    * (consolidate_invoices.py:485-495; README.md:26 "Inserts only new
+    * records"). Returns both the full merged view and the inserted slice
+    * (only the slice goes to the append sink).
+    */
+  def insertOnly(existing: DataFrame, incoming: DataFrame, pk: Seq[String],
+      ordinalCol: Option[String] = Some("row_index")): Result = {
+    val cols = existing.columns.filterNot(c => c == "status" || ordinalCol.contains(c))
+    val deduped = dedupFirstWins(incoming, pk, ordinalCol)
+    val newRows = deduped
+      .join(existing.select(pk.map(col): _*), pk, "left_anti")
+      .select(cols.map(col) :+ lit(RecordStatus.New).as("status"): _*)
+    val kept = existing
+      .select(cols.map(col) :+ lit(RecordStatus.New).as("status"): _*)
+    Result(result = kept.unionByName(newRows), inserted = newRows)
+  }
+
+  /** J3 — full upsert, the documented alternate mode (ARCHITECTURE.md:591-626;
+    * change machinery at entities.py:101-111): PK match with changed business
+    * fields → incoming wins (UPDATED); match unchanged → existing kept
+    * (UNCHANGED); no match → insert (NEW). Change detection ignores
+    * description and metadata. One full-outer join on the PK.
+    */
+  def fullUpsert(existing: DataFrame, incoming: DataFrame, pk: Seq[String],
+      changeFields: Seq[String],
+      ordinalCol: Option[String] = Some("row_index")): Result = {
+    val cols = existing.columns.filterNot(c => c == "status" || ordinalCol.contains(c)).toSeq
+    val in = dedupFirstWins(incoming, pk, ordinalCol).select(cols.map(col): _*)
+    val ex = existing.select(cols.map(col): _*)
+    val joined = ex.as("e").join(in.as("i"),
+      pk.map(k => col(s"e.$k") <=> col(s"i.$k")).reduce(_ && _), "full_outer")
+
+    val matched = pk.map(k => col(s"i.$k").isNotNull).reduce(_ && _) &&
+      pk.map(k => col(s"e.$k").isNotNull).reduce(_ && _)
+    val changed = changeFields
+      .map(f => !(col(s"e.$f") <=> col(s"i.$f"))).reduce(_ || _)
+    val status =
+      when(!pk.map(k => col(s"e.$k").isNotNull).reduce(_ && _), RecordStatus.New)
+        .when(matched && changed, RecordStatus.Updated)
+        .otherwise(RecordStatus.Unchanged)
+    val incomingWins = status.isin(RecordStatus.New, RecordStatus.Updated)
+
+    val merged = joined.select(
+      cols.map(c => when(incomingWins, col(s"i.$c")).otherwise(col(s"e.$c")).as(c)) :+
+        status.as("status"): _*)
+    Result(result = merged,
+      inserted = merged.filter(col("status") === RecordStatus.New))
+  }
+
+  /** J2 — action-attribution join for the audit trail: label each incoming
+    * row by what the merge did to its PK (consolidate_invoices.py:517-548).
+    * Missing status (PK vanished, cannot happen post-reconcile) → INSERT,
+    * matching the reference's `.get(..., "INSERT")` default.
+    */
+  def attributeActions(incoming: DataFrame, result: DataFrame,
+      pk: Seq[String], rowIndexCol: String = "row_index"): DataFrame = {
+    val statusToAction =
+      when(col("status") === RecordStatus.Updated, RecordAction.Update)
+        .when(col("status") === RecordStatus.Unchanged, RecordAction.Unchanged)
+        .otherwise(RecordAction.Insert)
+    val lhsCols = (pk ++ Seq(rowIndexCol).filter(incoming.columns.contains)).map(col)
+    incoming.select(lhsCols: _*)
+      .join(result.select((pk.map(col) :+ statusToAction.as("action")): _*), pk, "left")
+      .withColumn("action", coalesce(col("action"), lit(RecordAction.Insert)))
+  }
+
+  /** J5 — lenient re-parse of the consolidated side: rows that fail
+    * validation are silently dropped from the merge probe set (they survive
+    * physically in the append-only sink) — consolidate_invoices.py:577-587.
+    */
+  def lenientExisting(parsedExisting: DataFrame): DataFrame =
+    Validate.withErrorColumn(parsedExisting)
+      .filter(col("error").isNull).drop("error")
+}

@@ -1,0 +1,720 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.domain.InvoiceRecord
+import graft.functions._
+import graft.operators.{Canonicalize, Merge, Validate}
+
+/** Oracle-checked queries covering SURVEY.md §2's operator inventory over
+  * the driver's scale tables. Each query pairs an idiomatic Spark plan with
+  * an arithmetically-equivalent DuckDB oracle; outputs use explicitly cast
+  * types and a total deterministic ORDER BY on both sides.
+  */
+object CoreQueries {
+
+  private val money = InvoiceRecord.money
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- scans/agg
+
+  /** A1/A-class headline agg (TPC-H Q1 shape) on exact decimals. */
+  val q1Agg = QueryDef("q1_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      import InvoiceView.m2
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(money)).cast(money).as("sum_qty"),
+          sum(m2(col("l_extendedprice"))).cast(money).as("sum_base_price"),
+          sum((m2(col("l_extendedprice")) *
+            (lit(1).cast(money) - m2(col("l_discount"))))
+            .cast(DecimalType(18, 4))).cast(money).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |       CAST(SUM(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |       CAST(ROUND(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * (1 - CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus
+      |""".stripMargin))
+
+  /** Join + agg + top-k (TPC-H Q3 shape): broadcast-able dimension filter,
+    * decimal revenue, deterministic top 10.
+    */
+  val q3TopRevenue = QueryDef("q3_top_revenue",
+    (s, dir) => {
+      val cutoff = lit(java.sql.Date.valueOf("1997-06-01"))
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate").cast("date") < cutoff)
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate").cast("date") > cutoff)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum((InvoiceView.m2(col("l_extendedprice")) *
+          (lit(1).cast(money) - InvoiceView.m2(col("l_discount"))))
+          .cast(DecimalType(18, 4))).cast(money).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      |SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+      |       CAST(ROUND(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * (1 - CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10
+      |""".stripMargin))
+
+  /** Multi-dimension snowflake join (TPC-H Q5 shape): two broadcast dims. */
+  val q5LocalRevenue = QueryDef("q5_nation_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((InvoiceView.m2(col("l_extendedprice")) *
+          (lit(1).cast(money) - InvoiceView.m2(col("l_discount"))))
+          .cast(DecimalType(18, 4))).cast(money).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      |SELECT n_name,
+      |       CAST(ROUND(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * (1 - CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name
+      |""".stripMargin))
+
+  // ------------------------------------------------------- projections/filters
+
+  /** P1 — column-mapping rename-project (Spanish headers → canonical). */
+  val p1MapColumns = QueryDef("p1_map_columns",
+    (s, dir) => {
+      val spanish = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("string").as("N° Factura"),
+        col("l_linenumber").cast("string").as("Órdenes de Embarque"),
+        col("l_returnflag").as("Empresa Transporte"),
+        InvoiceView.m2(col("l_extendedprice")).as("Total Servicio ($)"),
+        col("l_orderkey").as("unmapped_extra_column"))
+      Canonicalize.mapColumns(spanish, Seq(
+        "N° Factura" -> "invoice_number",
+        "Empresa Transporte" -> "carrier_name",
+        "Órdenes de Embarque" -> "reference_number",
+        "Total Servicio ($)" -> "total_amount"))
+        .orderBy(col("invoice_number"), col("reference_number"),
+          col("carrier_name"), col("total_amount"))
+    },
+    Some("""
+      |SELECT CAST(l_orderkey AS VARCHAR) AS invoice_number,
+      |       l_returnflag AS carrier_name,
+      |       CAST(l_linenumber AS VARCHAR) AS reference_number,
+      |       CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) AS total_amount
+      |FROM lineitem
+      |ORDER BY invoice_number, reference_number, carrier_name, total_amount
+      |""".stripMargin))
+
+  /** P2+P3 — drop fully-empty rows, then require a non-blank key column. */
+  val p3RequireNonBlank = QueryDef("p3_require_nonblank",
+    (s, dir) => {
+      val withBlanks = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 7 === 0, lit("  "))
+          .when(col("l_orderkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("l_linenumber").cast("string")).as("reference_number"))
+      val noEmpty = Canonicalize.dropFullyEmpty(withBlanks, Seq("reference_number"))
+      Canonicalize.requireNonBlank(noEmpty, "reference_number")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      |SELECT l_orderkey, l_linenumber,
+      |       CAST(l_linenumber AS VARCHAR) AS reference_number
+      |FROM lineitem
+      |WHERE l_orderkey % 7 <> 0 AND l_orderkey % 5 <> 0
+      |ORDER BY l_orderkey, l_linenumber
+      |""".stripMargin))
+
+  /** P4 — summary-row filter (NETO/IVA/TOTAL anywhere in the row). */
+  val p4SummaryFilter = QueryDef("p4_summary_filter",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" TOTAL")))
+          .when(col("doc_id") % 17 === 0, concat(lit("neto "), col("text")))
+          .otherwise(col("text")).as("c1"),
+        col("source").as("c2"))
+      Canonicalize.dropSummaryRows(docs, Seq("c1", "c2"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some("""
+      |SELECT doc_id FROM (
+      |  SELECT doc_id,
+      |         UPPER(CASE WHEN doc_id % 13 = 0 THEN text || ' TOTAL'
+      |                    WHEN doc_id % 17 = 0 THEN 'neto ' || text
+      |                    ELSE text END || ' ' || source) AS allc
+      |  FROM documents)
+      |WHERE NOT regexp_matches(allc, 'NETO|IVA|TOTAL')
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** P5 — order-dependent take-while per partition: events strictly before
+    * each user's first 'purchase'.
+    */
+  val p5TakeWhile = QueryDef("p5_take_while",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      Canonicalize.takeWhile(ev, col("event_type") === "purchase",
+          col("event_id"), Seq(col("user_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      |WITH w AS (
+      |  SELECT user_id, event_id, event_type,
+      |         MIN(CASE WHEN event_type = 'purchase' THEN event_id END)
+      |           OVER (PARTITION BY user_id) AS first_stop
+      |  FROM events)
+      |SELECT user_id, event_id, event_type FROM w
+      |WHERE first_stop IS NULL OR event_id < first_stop
+      |ORDER BY user_id, event_id
+      |""".stripMargin))
+
+  // --------------------------------------------------------------- validation
+
+  private def canonicalInvoices(s: SparkSession, dir: String): DataFrame =
+    InvoiceView.canonical(t(s, dir, "lineitem"))
+
+  /** Oracle-side predicate marking rows the pipeline must reject. */
+  private val errCondSql =
+    "(l_orderkey % 7 = 0 OR l_orderkey % 13 = 0 OR l_orderkey % 11 = 0)"
+
+  /** P6 (valid side) + F1/F2/F3/F4 — full canonicalization + validation keep. */
+  val p6ValidRows = QueryDef("p6_valid_rows",
+    (s, dir) => {
+      val split = Validate.split(canonicalInvoices(s, dir))
+      split.valid
+        .select(col("row_index"), col("invoice_number"), col("reference_number"),
+          col("carrier_name"), col("invoice_date"), col("net_amount"),
+          col("tax_amount"), col("total_amount"), col("currency"))
+        .orderBy(col("row_index"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql}
+      |SELECT l_orderkey * 10 + l_linenumber AS row_index,
+      |       CAST(l_orderkey AS VARCHAR) AS invoice_number,
+      |       CAST(l_linenumber AS VARCHAR) AS reference_number,
+      |       l_returnflag AS carrier_name,
+      |       l_shipdate AS invoice_date,
+      |       l_extendedprice AS net_amount,
+      |       CAST(0 AS DECIMAL(18,2)) AS tax_amount,
+      |       l_extendedprice AS total_amount,
+      |       'CLP' AS currency
+      |FROM uniq
+      |WHERE NOT $errCondSql
+      |ORDER BY row_index
+      |""".stripMargin))
+
+  /** P6 (error side) + F10 — the error-as-data side channel with the
+    * reference's messages, including the exact cross-check tolerance.
+    */
+  val p6ErrorChannel = QueryDef("p6_error_channel",
+    (s, dir) => {
+      val split = Validate.split(canonicalInvoices(s, dir))
+      split.errors
+        .select(col("row_index"), col("invoice_number"), col("error"))
+        .orderBy(col("row_index"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql}
+      |SELECT l_orderkey * 10 + l_linenumber AS row_index,
+      |       CASE WHEN l_orderkey % 7 = 0 THEN ''
+      |            ELSE CAST(l_orderkey AS VARCHAR) END AS invoice_number,
+      |       CASE WHEN l_orderkey % 7 = 0 THEN 'invoice_number no puede estar vacío'
+      |            WHEN l_orderkey % 13 = 0 THEN 'Formato de fecha no reconocido'
+      |            WHEN l_orderkey % 11 = 0 THEN
+      |              'total_amount (' || CAST(l_extendedprice AS VARCHAR) ||
+      |              ') no coincide con net (' || CAST(l_extendedprice AS VARCHAR) ||
+      |              ') + tax (2.00) = ' ||
+      |              CAST(l_extendedprice + CAST(2 AS DECIMAL(18,2)) AS VARCHAR)
+      |       END AS error
+      |FROM uniq
+      |WHERE $errCondSql
+      |ORDER BY row_index
+      |""".stripMargin))
+
+  // ------------------------------------------------------------ scalar layer
+
+  /** F3 — every branch of the locale-aware money parser, verified
+    * arithmetically (golden vectors: tests/unit/test_transformers.py:16-46).
+    */
+  val f3ParseMoney = QueryDef("f3_parse_money",
+    (s, dir) => {
+      val li = InvoiceView.uniq(t(s, dir, "lineitem"))
+      val k1 = (col("l_orderkey") % 900 + 100).cast("string") // 3 digits
+      val k2 = lpad((col("l_partkey") % 1000).cast("string"), 3, "0")
+      val k3 = lpad((col("l_suppkey") % 100).cast("string"), 2, "0")
+      li.select(
+          InvoiceView.rowIndex,
+          concat(k1, lit("."), k2).as("s_chile"),
+          concat(k1, lit(","), k2, lit("."), k3).as("s_us"),
+          concat(k1, lit(","), k3).as("s_comma"),
+          concat(lit("1."), k2, lit("."), k2).as("s_multi"),
+          concat(lit("$ "), k1, lit("."), k2).as("s_dollar"),
+          k1.as("s_plain"),
+          lit("N/A").as("s_invalid"))
+        .select(col("row_index"),
+          parse_clp_money(col("s_chile")).as("m_chile"),
+          parse_clp_money(col("s_us")).as("m_us"),
+          parse_clp_money(col("s_comma")).as("m_comma"),
+          parse_clp_money(col("s_multi")).as("m_multi"),
+          parse_clp_money(col("s_dollar")).as("m_dollar"),
+          parse_clp_money(col("s_plain")).as("m_plain"),
+          parse_clp_money(col("s_invalid")).as("m_invalid"))
+        .orderBy(col("row_index"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql}
+      |SELECT l_orderkey * 10 + l_linenumber AS row_index,
+      |       CAST((l_orderkey % 900 + 100) * 1000 + l_partkey % 1000 AS DECIMAL(18,2)) AS m_chile,
+      |       CAST(CAST((l_orderkey % 900 + 100) * 1000 + l_partkey % 1000 AS VARCHAR) || '.' ||
+      |            lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DECIMAL(18,2)) AS m_us,
+      |       CAST(CAST(l_orderkey % 900 + 100 AS VARCHAR) || '.' ||
+      |            lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DECIMAL(18,2)) AS m_comma,
+      |       CAST(1000000 + (l_partkey % 1000) * 1000 + l_partkey % 1000 AS DECIMAL(18,2)) AS m_multi,
+      |       CAST((l_orderkey % 900 + 100) * 1000 + l_partkey % 1000 AS DECIMAL(18,2)) AS m_dollar,
+      |       CAST(l_orderkey % 900 + 100 AS DECIMAL(18,2)) AS m_plain,
+      |       CAST(NULL AS DECIMAL(18,2)) AS m_invalid
+      |FROM uniq
+      |ORDER BY row_index
+      |""".stripMargin))
+
+  /** F4 + F5 — multi-format date parse incl. the Excel-serial fallback. */
+  val f4ParseDate = QueryDef("f4_parse_date",
+    (s, dir) => {
+      val li = InvoiceView.uniq(t(s, dir, "lineitem"))
+      val ok = col("l_orderkey")
+      val d = col("l_shipdate")
+      val serial = datediff(d, lit(java.sql.Date.valueOf("1899-12-30")))
+      li.select(
+          InvoiceView.rowIndex,
+          when(ok % 4 === 0, date_format(d, "dd-MM-yyyy"))
+            .when(ok % 4 === 1, date_format(d, "yyyy-MM-dd"))
+            .when(ok % 4 === 2, date_format(d, "dd/MM/yyyy"))
+            .otherwise(serial.cast("string")).as("raw"))
+        .select(col("row_index"), parse_multi_date(col("raw")).as("invoice_date"))
+        .orderBy(col("row_index"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql}
+      |SELECT l_orderkey * 10 + l_linenumber AS row_index,
+      |       l_shipdate AS invoice_date
+      |FROM uniq
+      |ORDER BY row_index
+      |""".stripMargin))
+
+  /** F6 — "Aprobado por: " prefix strip. */
+  val f6StripPrefix = QueryDef("f6_strip_prefix",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"),
+        strip_aprobado_prefix(concat(lit("Aprobado por:  "), col("c_name"), lit(" ")))
+          .as("aprobado_por"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      |SELECT c_custkey, TRIM(c_name) AS aprobado_por
+      |FROM customer
+      |ORDER BY c_custkey
+      |""".stripMargin))
+
+  /** F7 + F8 — row total with explicit-total override and null-as-zero
+    * component summation.
+    */
+  val f7TotalOverride = QueryDef("f7_total_override",
+    (s, dir) => {
+      val li = InvoiceView.uniq(t(s, dir, "lineitem"))
+      val ok = col("l_orderkey")
+      val totalServicio = when(ok % 4 === 0, col("l_extendedprice").cast(money))
+        .otherwise(lit(0).cast(money))
+      val flete = when(ok % 5 === 0, lit(null).cast(money))
+        .otherwise(col("l_quantity").cast(money))
+      val porteo = col("l_tax").cast(money)
+      val underslung = col("l_discount").cast(money)
+      li.select(InvoiceView.rowIndex,
+          row_total_override(totalServicio, Seq(flete, porteo, underslung))
+            .as("total_amount"))
+        .orderBy(col("row_index"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql}
+      |SELECT l_orderkey * 10 + l_linenumber AS row_index,
+      |       CAST(CASE WHEN l_orderkey % 4 = 0 THEN l_extendedprice
+      |            ELSE COALESCE(CASE WHEN l_orderkey % 5 = 0 THEN NULL
+      |                               ELSE CAST(l_quantity AS DECIMAL(18,2)) END, 0)
+      |                 + l_tax + l_discount END AS DECIMAL(18,2)) AS total_amount
+      |FROM uniq
+      |ORDER BY row_index
+      |""".stripMargin))
+
+  /** F9 — best-effort integral invoice-number rendering on egress. */
+  val f9InvoiceInt = QueryDef("f9_invoice_int",
+    (s, dir) => {
+      val li = InvoiceView.uniq(t(s, dir, "lineitem"))
+      val raw = when(col("l_orderkey") % 9 === 0,
+        concat(lit("FAC-"), col("l_orderkey").cast("string")))
+        .otherwise(concat(col("l_orderkey").cast("string"), lit(".0")))
+      li.select(InvoiceView.rowIndex,
+          invoice_number_as_int(raw).as("invoice_number"))
+        .orderBy(col("row_index"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql}
+      |SELECT l_orderkey * 10 + l_linenumber AS row_index,
+      |       CASE WHEN l_orderkey % 9 = 0 THEN 'FAC-' || CAST(l_orderkey AS VARCHAR)
+      |            ELSE CAST(l_orderkey AS VARCHAR) END AS invoice_number
+      |FROM uniq
+      |ORDER BY row_index
+      |""".stripMargin))
+
+  // ------------------------------------------------------------------- merge
+
+  private def existingInv(s: SparkSession, dir: String): DataFrame =
+    InvoiceView.clean(t(s, dir, "lineitem")).filter(col("ok") % 3 === 0).drop("ok")
+
+  private def incomingInv(s: SparkSession, dir: String): DataFrame =
+    InvoiceView.clean(t(s, dir, "lineitem")).filter(col("ok") % 2 === 0).drop("ok")
+
+  /** Incoming side for the upsert: carrier mutated on ok%5==0 rows so the
+    * full-outer merge sees NEW / UPDATED / UNCHANGED all three.
+    */
+  private def incomingUpsert(s: SparkSession, dir: String): DataFrame =
+    InvoiceView.clean(t(s, dir, "lineitem")).filter(col("ok") % 2 === 0)
+      .withColumn("carrier_name",
+        when(col("ok") % 5 === 0, concat(col("carrier_name"), lit("X")))
+          .otherwise(col("carrier_name"))).drop("ok")
+
+  private val existingSql = "existing AS (SELECT * FROM inv WHERE ok % 3 = 0)"
+  private val incomingSql = "incoming AS (SELECT * FROM inv WHERE ok % 2 = 0)"
+  private val incomingUpsertSql =
+    """incoming AS (
+      |  SELECT row_index, invoice_number, reference_number,
+      |         CASE WHEN ok % 5 = 0 THEN carrier_name || 'X' ELSE carrier_name END AS carrier_name,
+      |         invoice_date, net_amount, tax_amount, total_amount, ok
+      |  FROM inv WHERE ok % 2 = 0)""".stripMargin
+
+  /** J1 — insert-only merge (anti-join + union): the reference's core query.
+    * Existing PKs win; the merged view carries status 'new' on every row
+    * because re-parsed consolidated rows default to NEW in the reference
+    * (entities.py:52) — faithful, so status is constant here.
+    */
+  val j1InsertOnly = QueryDef("j1_insert_only_merge",
+    (s, dir) => {
+      val m = Merge.insertOnly(existingInv(s, dir), incomingInv(s, dir),
+        InvoiceRecord.pk)
+      m.result.select(col("invoice_number"), col("reference_number"),
+          col("carrier_name"), col("total_amount"), col("status"))
+        .orderBy(col("invoice_number"), col("reference_number"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql,
+      |$incomingSql
+      |SELECT invoice_number, reference_number, carrier_name, total_amount, 'new' AS status
+      |FROM existing
+      |UNION ALL
+      |SELECT i.invoice_number, i.reference_number, i.carrier_name, i.total_amount, 'new' AS status
+      |FROM incoming i
+      |WHERE NOT EXISTS (SELECT 1 FROM existing e
+      |                  WHERE e.invoice_number = i.invoice_number
+      |                    AND e.reference_number = i.reference_number)
+      |ORDER BY invoice_number, reference_number
+      |""".stripMargin))
+
+  /** J1 (inserted slice) — only the anti-join survivors reach the append
+    * sink (consolidate_invoices.py:485-495).
+    */
+  val j1InsertedSlice = QueryDef("j1_inserted_slice",
+    (s, dir) => {
+      val m = Merge.insertOnly(existingInv(s, dir), incomingInv(s, dir),
+        InvoiceRecord.pk)
+      m.inserted.select(col("invoice_number"), col("reference_number"),
+          col("total_amount"))
+        .orderBy(col("invoice_number"), col("reference_number"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql,
+      |$incomingSql
+      |SELECT i.invoice_number, i.reference_number, i.total_amount
+      |FROM incoming i
+      |WHERE NOT EXISTS (SELECT 1 FROM existing e
+      |                  WHERE e.invoice_number = i.invoice_number
+      |                    AND e.reference_number = i.reference_number)
+      |ORDER BY invoice_number, reference_number
+      |""".stripMargin))
+
+  private val upsertStatusSql =
+    """CASE WHEN e.invoice_number IS NULL THEN 'new'
+      |     WHEN i.invoice_number IS NOT NULL AND (
+      |          i.carrier_name IS DISTINCT FROM e.carrier_name OR
+      |          i.invoice_date IS DISTINCT FROM e.invoice_date OR
+      |          i.net_amount IS DISTINCT FROM e.net_amount OR
+      |          i.tax_amount IS DISTINCT FROM e.tax_amount OR
+      |          i.total_amount IS DISTINCT FROM e.total_amount) THEN 'updated'
+      |     ELSE 'unchanged' END""".stripMargin
+
+  /** J3 — full upsert (documented alternate mode): one full-outer join,
+    * incoming wins on NEW/UPDATED, change detection over business fields.
+    */
+  val j3FullUpsert = QueryDef("j3_full_upsert",
+    (s, dir) => {
+      val m = Merge.fullUpsert(existingInv(s, dir), incomingUpsert(s, dir),
+        InvoiceRecord.pk,
+        Seq("carrier_name", "invoice_date", "net_amount", "tax_amount", "total_amount"))
+      m.result.select(col("invoice_number"), col("reference_number"),
+          col("carrier_name"), col("total_amount"), col("status"))
+        .orderBy(col("invoice_number"), col("reference_number"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql,
+      |$incomingUpsertSql
+      |SELECT COALESCE(i.invoice_number, e.invoice_number) AS invoice_number,
+      |       COALESCE(i.reference_number, e.reference_number) AS reference_number,
+      |       CASE WHEN $upsertStatusSql IN ('new','updated') THEN i.carrier_name ELSE e.carrier_name END AS carrier_name,
+      |       CASE WHEN $upsertStatusSql IN ('new','updated') THEN i.total_amount ELSE e.total_amount END AS total_amount,
+      |       $upsertStatusSql AS status
+      |FROM existing e
+      |FULL OUTER JOIN incoming i
+      |  ON e.invoice_number = i.invoice_number AND e.reference_number = i.reference_number
+      |ORDER BY invoice_number, reference_number
+      |""".stripMargin))
+
+  /** J2 — audit action attribution of each incoming row against the upsert
+    * result (INSERT / UPDATE / UNCHANGED).
+    */
+  val j2Attribution = QueryDef("j2_action_attribution",
+    (s, dir) => {
+      val incoming = incomingUpsert(s, dir)
+      val m = Merge.fullUpsert(existingInv(s, dir), incoming, InvoiceRecord.pk,
+        Seq("carrier_name", "invoice_date", "net_amount", "tax_amount", "total_amount"))
+      Merge.attributeActions(incoming, m.result, InvoiceRecord.pk)
+        .select(col("row_index"), col("invoice_number"), col("reference_number"),
+          col("action"))
+        .orderBy(col("row_index"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql,
+      |$incomingUpsertSql
+      |SELECT i.row_index, i.invoice_number, i.reference_number,
+      |       CASE WHEN e.invoice_number IS NULL THEN 'INSERT'
+      |            WHEN i.carrier_name IS DISTINCT FROM e.carrier_name THEN 'UPDATE'
+      |            ELSE 'UNCHANGED' END AS action
+      |FROM incoming i
+      |LEFT JOIN existing e
+      |  ON e.invoice_number = i.invoice_number AND e.reference_number = i.reference_number
+      |ORDER BY i.row_index
+      |""".stripMargin))
+
+  /** J4 — file-level idempotence anti-join: skip listings already COMPLETED
+    * (modeled on orders: status 'F' = already processed).
+    */
+  val j4Idempotence = QueryDef("j4_file_idempotence",
+    (s, dir) => {
+      val listing = t(s, dir, "orders").select(
+        col("o_orderkey").as("file_id"),
+        col("o_orderdate").cast("date").as("modified_time"))
+      val fileLog = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("file_id"),
+          col("o_orderdate").cast("date").as("modified_time"))
+      listing.join(fileLog, Seq("file_id", "modified_time"), "left_anti")
+        .orderBy(col("file_id"))
+    },
+    Some("""
+      |SELECT o_orderkey AS file_id, CAST(o_orderdate AS DATE) AS modified_time
+      |FROM orders
+      |WHERE o_orderstatus <> 'F'
+      |ORDER BY file_id
+      |""".stripMargin))
+
+  // ----------------------------------------------------------- aggregations
+
+  /** A1 — exact decimal sums per group. */
+  val a1DecimalSum = QueryDef("a1_decimal_sum",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(InvoiceView.m2(col("l_extendedprice"))).cast(money).as("total_amount"))
+      .orderBy(col("l_returnflag")),
+    Some("""
+      |SELECT l_returnflag,
+      |       CAST(SUM(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag
+      |""".stripMargin))
+
+  /** A2 — reconciliation invariants as one row: zero-data-loss PK check and
+    * exact amount variance between source and the semi-joined merge result.
+    */
+  val a2Reconcile = QueryDef("a2_reconcile",
+    (s, dir) => {
+      val source = incomingInv(s, dir)
+      val m = Merge.insertOnly(existingInv(s, dir), source, InvoiceRecord.pk)
+      val srcKeys = source.select(InvoiceRecord.pk.map(col): _*).distinct()
+      val missing = srcKeys
+        .join(m.result, InvoiceRecord.pk, "left_anti")
+        .agg(count(lit(1)).as("missing_pks"))
+      val srcTotal = source.agg(
+        sum(col("total_amount")).cast(money).as("source_total"))
+      val outTotal = m.result.join(srcKeys, InvoiceRecord.pk, "left_semi")
+        .agg(sum(col("total_amount")).cast(money).as("result_total"))
+      missing.crossJoin(srcTotal).crossJoin(outTotal)
+        .withColumn("variance",
+          abs(col("source_total") - col("result_total")).cast(money))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql,
+      |$incomingSql,
+      |merged AS (
+      |  SELECT invoice_number, reference_number, total_amount FROM existing
+      |  UNION ALL
+      |  SELECT i.invoice_number, i.reference_number, i.total_amount FROM incoming i
+      |  WHERE NOT EXISTS (SELECT 1 FROM existing e
+      |                    WHERE e.invoice_number = i.invoice_number
+      |                      AND e.reference_number = i.reference_number))
+      |SELECT
+      |  (SELECT COUNT(*) FROM (SELECT DISTINCT invoice_number, reference_number FROM incoming) s
+      |   WHERE NOT EXISTS (SELECT 1 FROM merged m
+      |                     WHERE m.invoice_number = s.invoice_number
+      |                       AND m.reference_number = s.reference_number)) AS missing_pks,
+      |  (SELECT CAST(SUM(total_amount) AS DECIMAL(18,2)) FROM incoming) AS source_total,
+      |  (SELECT CAST(SUM(total_amount) AS DECIMAL(18,2)) FROM merged m
+      |   WHERE EXISTS (SELECT 1 FROM incoming i
+      |                 WHERE i.invoice_number = m.invoice_number
+      |                   AND i.reference_number = m.reference_number)) AS result_total,
+      |  CAST(ABS((SELECT SUM(total_amount) FROM incoming) -
+      |           (SELECT SUM(total_amount) FROM merged m
+      |            WHERE EXISTS (SELECT 1 FROM incoming i
+      |                          WHERE i.invoice_number = m.invoice_number
+      |                            AND i.reference_number = m.reference_number)))
+      |       AS DECIMAL(18,2)) AS variance
+      |""".stripMargin))
+
+  /** A3 — merge action counters (inserted/updated/unchanged). */
+  val a3ActionCounters = QueryDef("a3_action_counters",
+    (s, dir) => {
+      val m = Merge.fullUpsert(existingInv(s, dir), incomingUpsert(s, dir),
+        InvoiceRecord.pk,
+        Seq("carrier_name", "invoice_date", "net_amount", "tax_amount", "total_amount"))
+      graft.operators.Reconcile.actionCounters(m.result).orderBy(col("status"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql,
+      |$incomingUpsertSql
+      |SELECT $upsertStatusSql AS status, COUNT(*) AS n
+      |FROM existing e
+      |FULL OUTER JOIN incoming i
+      |  ON e.invoice_number = i.invoice_number AND e.reference_number = i.reference_number
+      |GROUP BY 1
+      |ORDER BY status
+      |""".stripMargin))
+
+  // ----------------------------------------------------- sorts / limits / sets
+
+  /** O1+O3 — deterministic sort + error-list truncation (first 20 errors). */
+  val o3TopErrors = QueryDef("o3_top_errors",
+    (s, dir) => {
+      val split = Validate.split(canonicalInvoices(s, dir))
+      split.errors.select(col("row_index"), col("error"))
+        .orderBy(col("row_index")).limit(20)
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql}
+      |SELECT l_orderkey * 10 + l_linenumber AS row_index,
+      |       CASE WHEN l_orderkey % 7 = 0 THEN 'invoice_number no puede estar vacío'
+      |            WHEN l_orderkey % 13 = 0 THEN 'Formato de fecha no reconocido'
+      |            WHEN l_orderkey % 11 = 0 THEN
+      |              'total_amount (' || CAST(l_extendedprice AS VARCHAR) ||
+      |              ') no coincide con net (' || CAST(l_extendedprice AS VARCHAR) ||
+      |              ') + tax (2.00) = ' ||
+      |              CAST(l_extendedprice + CAST(2 AS DECIMAL(18,2)) AS VARCHAR)
+      |       END AS error
+      |FROM uniq
+      |WHERE $errCondSql
+      |ORDER BY row_index
+      |LIMIT 20
+      |""".stripMargin))
+
+  /** U1 — unionByName of the existing and inserted slices. */
+  val u1Union = QueryDef("u1_union",
+    (s, dir) => {
+      val a = t(s, dir, "region").select(col("r_name").as("name"))
+      val b = t(s, dir, "nation").select(col("n_name").as("name"))
+      a.unionByName(b).orderBy(col("name"))
+    },
+    Some("""
+      |SELECT r_name AS name FROM region
+      |UNION ALL
+      |SELECT n_name AS name FROM nation
+      |ORDER BY name
+      |""".stripMargin))
+
+  /** U2 — set difference on keys (EXCEPT DISTINCT semantics). */
+  val u2Except = QueryDef("u2_except",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      c.except(o).orderBy(col("k"))
+    },
+    Some("""
+      |SELECT c_custkey AS k FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS k FROM orders
+      |ORDER BY k
+      |""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    q1Agg, q3TopRevenue, q5LocalRevenue,
+    p1MapColumns, p3RequireNonBlank, p4SummaryFilter, p5TakeWhile,
+    p6ValidRows, p6ErrorChannel,
+    f3ParseMoney, f4ParseDate, f6StripPrefix, f7TotalOverride, f9InvoiceInt,
+    j1InsertOnly, j1InsertedSlice, j3FullUpsert, j2Attribution, j4Idempotence,
+    a1DecimalSum, a2Reconcile, a3ActionCounters,
+    o3TopErrors, u1Union, u2Except)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.domain.{RecordAction, RecordStatus}
+
+/** Merge semantics per the reference
+  * (smartbots-etl/src/application/use_cases/consolidate_invoices.py:475-548):
+  * insert-only (existing PKs win, in-batch dupes first-wins), full upsert
+  * (incoming wins on change), audit action attribution.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pk = Seq("invoice_number", "reference_number")
+
+  private def inv(rows: (String, String, String, Int)*) =
+    rows.toDF("invoice_number", "reference_number", "carrier_name", "row_index")
+
+  test("J1 insert-only: existing PK wins; new PK appends; in-batch dupe first-wins") {
+    val existing = inv(("1", "A", "old-carrier", 0))
+    val incoming = inv(
+      ("1", "A", "NEW-SHOULD-BE-IGNORED", 1), // PK exists → skipped entirely
+      ("2", "B", "first", 2),                 // new
+      ("2", "B", "second-dupe", 3))           // in-batch dupe → first wins
+    val m = Merge.insertOnly(existing, incoming, pk)
+
+    val result = m.result.orderBy("invoice_number").collect()
+    assert(result.length == 2)
+    assert(result(0).getAs[String]("carrier_name") == "old-carrier")
+    assert(result(1).getAs[String]("carrier_name") == "first")
+    assert(result.forall(_.getAs[String]("status") == RecordStatus.New))
+
+    val inserted = m.inserted.collect()
+    assert(inserted.length == 1 && inserted(0).getAs[String]("invoice_number") == "2")
+  }
+
+  test("J1: empty existing side inserts everything once") {
+    val existing = inv().limit(0)
+    val incoming = inv(("1", "A", "x", 1), ("1", "A", "y", 2), ("2", "B", "z", 3))
+    val m = Merge.insertOnly(existing, incoming, pk)
+    assert(m.result.count() == 2 && m.inserted.count() == 2)
+  }
+
+  test("J3 full upsert: NEW / UPDATED / UNCHANGED and incoming-wins on update") {
+    val existing = inv(("1", "A", "same", 0), ("2", "B", "before", 0))
+    val incoming = inv(("1", "A", "same", 1), ("2", "B", "after", 2), ("3", "C", "new", 3))
+    val m = Merge.fullUpsert(existing, incoming, pk, Seq("carrier_name"))
+    val byPk = m.result.collect()
+      .map(r => r.getAs[String]("invoice_number") ->
+        (r.getAs[String]("carrier_name"), r.getAs[String]("status"))).toMap
+    assert(byPk("1") == (("same", RecordStatus.Unchanged)))
+    assert(byPk("2") == (("after", RecordStatus.Updated)))
+    assert(byPk("3") == (("new", RecordStatus.New)))
+  }
+
+  test("J2 attribution labels each incoming row INSERT/UPDATE/UNCHANGED") {
+    val existing = inv(("1", "A", "same", 0), ("2", "B", "before", 0))
+    val incoming = inv(("1", "A", "same", 1), ("2", "B", "after", 2), ("3", "C", "new", 3))
+    val m = Merge.fullUpsert(existing, incoming, pk, Seq("carrier_name"))
+    val actions = Merge.attributeActions(incoming, m.result, pk).collect()
+      .map(r => r.getAs[String]("invoice_number") -> r.getAs[String]("action")).toMap
+    assert(actions == Map(
+      "1" -> RecordAction.Unchanged, "2" -> RecordAction.Update, "3" -> RecordAction.Insert))
+  }
+
+  test("A2 reconcile passes on a faithful merge and fails on data loss") {
+    val existing = inv(("1", "A", "e", 0)).withColumn("total_amount", lit(100).cast("decimal(18,2)"))
+    val incoming = inv(("1", "A", "i", 1), ("2", "B", "i", 2))
+      .withColumn("total_amount", lit(100).cast("decimal(18,2)"))
+    val m = Merge.insertOnly(existing, incoming, pk)
+    val rep = Reconcile.check(incoming, m.result, pk, "total_amount")
+    assert(rep.ok && rep.missingPks == 0)
+
+    // drop a source PK from the result → reconciliation must throw
+    val lossy = m.result.filter(col("invoice_number") =!= "2")
+    intercept[Reconcile.ReconciliationException] {
+      Reconcile.check(incoming, lossy, pk, "total_amount")
+    }
+  }
+
+  test("A5 roll-up") {
+    assert(Reconcile.rollUp(0, 0) == "NO_FILES")
+    assert(Reconcile.rollUp(3, 0) == "SUCCESS")
+    assert(Reconcile.rollUp(3, 1) == "PARTIAL")
+    assert(Reconcile.rollUp(3, 3) == "ERROR")
+  }
+}

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query output
+parquet under OUTDIR, run the paired oracle SQL in DuckDB against the sf
+tables and hash-compare values with columns sorted by name.
+
+Usage: python3 tools/check_oracle.py /tmp/verify_sf001 /root/testdata/sf0.01
+"""
+import json, sys, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def frame_hash(df):
+    df = df[sorted(df.columns)]
+    h = hashlib.sha256()
+    for row in df.itertuples(index=False):
+        h.update(repr(tuple(str(v) for v in row)).encode())
+    return h.hexdigest()
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    ok = bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            bad += 1
+            continue
+        if sorted(got.columns) != sorted(want.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+            bad += 1
+        elif len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            bad += 1
+        elif frame_hash(got) != frame_hash(want):
+            print(f"FAIL {name}: value hash mismatch ({len(got)} rows)")
+            # show first few diffs
+            g = got[sorted(got.columns)].astype(str)
+            w = want[sorted(want.columns)].astype(str)
+            neq = (g.values != w.values).any(axis=1)
+            print(g[neq].head(3))
+            print(w[neq].head(3))
+            bad += 1
+        else:
+            ok += 1
+    print(f"{ok} ok, {bad} fail / {ok + bad} total")
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
