@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.domain.InvoiceRecord
 import graft.operators.Merge
-import graft.queries.{CoreQueries, InvoiceView, Tables}
+import graft.queries.{CoreQueries, InvoiceView, PipelineQueries, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -20,13 +20,17 @@ object SparkEntry {
     Merge.insertOnly(existing, incoming, InvoiceRecord.pk).result
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private def allQueries = CoreQueries.all ++ PipelineQueries.all
+
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data pipeline layer (dedup / similarity / text analysis).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all.map(q => q.name -> q.fn).toMap
+    allQueries.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,214 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact (hash
+  * groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: signatures (shingles → minhash / simhash) are PER-ROW
+  * higher-order-function expressions — they run inside the scan stage with
+  * no explode and no shuffle. Only the candidate-pair generation shuffles,
+  * and it shuffles on the banding key (small: docs × bands rows), never on
+  * the raw text. All hashes derive from md5 (engine-portable); modulus
+  * arithmetic stays below 2^40 so ANSI mode can never overflow.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: one winner (min id) per identical text. Returns
+    * (id, content_hash, dupe_count) per distinct content — the keep-list.
+    * Scale: a single hash aggregate on a 32-char key; combine-side partial
+    * aggregation makes this shuffle-light.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dupe_count"))
+
+  // --------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles (distinct, sorted) of whitespace tokens. Fewer
+    * than n tokens → empty array (guarded: Spark's `sequence` would count
+    * DOWN for an empty range).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val cnt = size(toks) - (n - 1)
+    val grams = transform(
+      sequence(lit(1), cnt),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(cnt > 0, array_sort(array_distinct(grams)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 28-bit md5-derived hash of one shingle — small enough that every
+    * downstream `a*h + b (mod p)` stays far below long overflow.
+    */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------- minhash
+
+  val MinhashPrime = 1000003L
+
+  /** MinHash signature: for permutation i, `min((h*(2i+3) + 7919*i) mod p)`
+    * over the shingle hashes. One array column of k longs per row; empty
+    * shingle set → p (the "infinite" sentinel) at every position.
+    */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val hashes = transform(shingles(text, n), s => shingleHash(s))
+    val perms = sequence(lit(0), lit(k - 1))
+    transform(perms, i =>
+      coalesce(
+        array_min(transform(hashes,
+          h => (h * (i * 2 + 3) + lit(7919L) * i) % MinhashPrime)),
+        lit(MinhashPrime)))
+  }
+
+  /** MinHash signatures as a DataFrame op: explode shingles → hash once →
+    * one codegen'd hash-aggregate with k `min` columns (map-side combine
+    * shrinks the shuffle to one row per doc per partition). This is the
+    * SCALE form — the per-row [[minhashSignature]] expression recomputes
+    * md5 per permutation once projections collapse, and higher-order
+    * functions run interpreted. Docs with no shingles are absent from the
+    * result (nothing to hash ⇒ nothing to band).
+    *
+    * Returns (idCol, sig: array<long>[k]).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
+      .withColumn("h", shingleHash(col("s")))
+    val minAggs = (0 until k).map(i =>
+      min((col("h") * (2 * i + 3) + 7919L * i) % MinhashPrime).as(s"m$i"))
+    exploded.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (doc, band_idx, band_signature) rows — the ONLY exploded
+    * representation, sized docs × bands. Join docs on equal band signatures
+    * to get candidate pairs.
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("-", transform(
+            slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))))
+      .as(Seq("band_idx", "band_sig")))
+
+  /** Candidate near-dup pairs from LSH: docs sharing any band, id1 < id2,
+    * with the estimated Jaccard = matching signature positions / k.
+    * `estMatches` is an exact integer so engines agree.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val b1 = lshBands(sigs, idCol, sigCol, bands, rowsPerBand)
+      .withColumnRenamed(idCol, "id1")
+    val b2 = lshBands(sigs, idCol, sigCol, bands, rowsPerBand)
+      .withColumnRenamed(idCol, "id2")
+    val pairs = b1.join(b2, Seq("band_idx", "band_sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val s1 = sigs.select(col(idCol).as("id1"), col(sigCol).as("sig1"))
+    val s2 = sigs.select(col(idCol).as("id2"), col(sigCol).as("sig2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .select(col("id1"), col("id2"),
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b),
+          x => x)).as("est_matches"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 60-bit md5-derived token hashes — materialize this as its own column
+    * so [[simhashOf]] doesn't recompute md5 per bit position.
+    */
+  def tokenHashes60(text: Column): Column =
+    transform(TextAnalysis.tokens(text),
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+
+  /** 60-bit SimHash from [[tokenHashes60]]: bit j is set when
+    * `sum over tokens of (2*bit_j(h) - 1) > 0`.
+    * Per-row expression (no explode); the 60-way inner loop stays in codegen.
+    */
+  def simhashOf(hashes: Column): Column = {
+    val bitsums = transform(sequence(lit(0), lit(59)), j =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          (call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    aggregate(bitsums, lit(0L), (acc, b) => acc + b)
+  }
+
+  /** 60-bit SimHash over whitespace tokens. */
+  def simhash(text: Column): Column = simhashOf(tokenHashes60(text))
+
+  /** SimHash as a DataFrame op — the SCALE form (see [[minhashSignatures]]
+    * for why): explode tokens → md5 once per token → one codegen'd
+    * hash-aggregate with 60 bit-sum columns → fold into the 60-bit value.
+    * `carry` columns ride along in the grouping key. Docs with zero tokens
+    * are absent from the result.
+    *
+    * Returns (idCol, carry..., simhash: long).
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = col(idCol) +: carry.map(col)
+    val exploded = df
+      .select(keys :+ explode(TextAnalysis.tokens(col(textCol))).as("tok"): _*)
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
+    val bitAggs = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1L) * 2 - 1).as(s"b$j"))
+    val folded = (0 until 60)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded.groupBy(keys: _*).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(keys :+ folded.as("simhash"): _*)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard similarity in parts-per-million (integer — engine
+    * exact): `10^6 * |A ∩ B| / |A ∪ B|` over distinct word n-grams.
+    */
+  def jaccardPpm(shingles1: Column, shingles2: Column): Column = {
+    val inter = size(array_intersect(shingles1, shingles2))
+    val union = size(array_union(shingles1, shingles2))
+    when(union > 0, floor(inter.cast("long") * 1000000L / union)).otherwise(0L)
+  }
+
+  /** Nonzero n-gram Jaccard pairs within blocking groups, id1 < id2, via a
+    * shingle-inverted-index join: explode shingles, join on
+    * (block, shingle), count co-occurrences per pair, then
+    * `|A ∪ B| = |A| + |B| − |A ∩ B|`. Pairs sharing no shingle never
+    * materialize — at scale this is linear in co-occurrences, not quadratic
+    * in block size, and shuffles on the (block, shingle) key where skew is
+    * diluted by the shingle dimension.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      blockCols: Seq[String]): DataFrame = {
+    val withSh = df.select(
+      (col(idCol) +: blockCols.map(col)) :+
+        shingles(col(textCol), n).as("sh"): _*)
+    def side(k: Int) = withSh.select(
+      (col(idCol).as(s"id$k") +: size(col("sh")).as(s"sz$k") +:
+        blockCols.map(col)) :+ explode(col("sh")).as("s"): _*)
+    side(1).join(side(2), blockCols :+ "s")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id1"), col("id2"),
+        floor(col("inter").cast("long") * 1000000L /
+          (col("sz1") + col("sz2") - col("inter"))).as("jaccard_ppm"))
+  }
+}

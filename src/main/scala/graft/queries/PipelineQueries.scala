@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Oracle-checked queries for the training-data pipeline operators
+  * (dedup / similarity / text analysis) over the `documents` and
+  * `embeddings` scale tables. Every Spark plan is mirrored by arithmetic-
+  * identical DuckDB SQL: hashes via md5, ratios via integer scaling,
+  * cosines via exact quantized-integer dot products.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  // DuckDB building blocks mirroring TextAnalysis/Dedup ------------------
+
+  /** tokens: whitespace split of trimmed text, empties removed. */
+  private val tokSql =
+    """toks AS (
+      |  SELECT doc_id, lang, source, text,
+      |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                     x -> x <> '') AS tk
+      |  FROM documents)""".stripMargin
+
+  /** word-3-gram distinct sorted shingles (mirror of Dedup.shingles n=3). */
+  private val shSql =
+    """sh AS (
+      |  SELECT doc_id, lang, source,
+      |         CASE WHEN len(tk) - 2 > 0
+      |              THEN list_sort(list_distinct(list_transform(
+      |                     range(1, len(tk) - 1),
+      |                     i -> array_to_string(tk[i:i+2], ' '))))
+      |              ELSE CAST([] AS VARCHAR[]) END AS sh
+      |  FROM toks)""".stripMargin
+
+  // ------------------------------------------------------------------ text
+
+  /** T1–T4 — token counts, quality score, language ID, rolling-hash
+    * fingerprint, content hash: the full text-analysis layer in one pass.
+    */
+  val tTextStats = QueryDef("t_text_stats",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_guess"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.contentHash(col("text")).as("content_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |st AS (
+      |  SELECT doc_id, text, tk,
+      |         len(tk) AS n_tok,
+      |         length(text) AS n_chr,
+      |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_let,
+      |         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig,
+      |         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_pun,
+      |         len(list_intersect(tk, ['the','of','and','to','in','is','for','on','with','as'])) AS en_hits,
+      |         len(list_intersect(tk, ['de','la','que','el','en','y','los','del','las','por'])) AS es_hits
+      |  FROM toks)
+      |SELECT doc_id,
+      |       CAST(n_tok AS INT) AS n_tokens,
+      |       CAST((n_let + 3) // 4 + n_dig + n_pun AS BIGINT) AS n_subwords,
+      |       CAST(n_pun AS INT) AS n_punct,
+      |       CAST(LEAST(100, n_tok)
+      |            + LEAST(100, CAST(FLOOR((en_hits + es_hits) * 500 / n_tok) AS INT))
+      |            + 100 - LEAST(100, CAST(FLOOR(n_pun * 300 / n_chr) AS INT))
+      |            AS BIGINT) AS quality,
+      |       CASE WHEN en_hits > es_hits THEN 'en'
+      |            WHEN es_hits > en_hits THEN 'es' ELSE 'und' END AS lang_guess,
+      |       CASE WHEN n_chr > 0 THEN
+      |         list_reduce(list_transform(range(1, n_chr + 1),
+      |                                    i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+      |                     (a, b) -> (a * 31 + b) % 2147483647)
+      |       END AS fingerprint,
+      |       md5(text) AS content_hash
+      |FROM st
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  // ----------------------------------------------------------------- dedup
+
+  /** D1 — exact dedup keep-list over a corpus with synthesized duplicates
+    * (docs with doc_id % 10 == 0 are repeated under a shifted id): one
+    * winner (min id) + dupe count per distinct content.
+    */
+  val d1ExactDedup = QueryDef("d1_exact_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dupes = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.exactDedup(docs.unionByName(dupes), "text", "doc_id")
+        .orderBy(col("content_hash"))
+    },
+    Some("""
+      |WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |       COUNT(*) AS dupe_count
+      |FROM corpus
+      |GROUP BY md5(text)
+      |ORDER BY content_hash
+      |""".stripMargin))
+
+  /** D2 — blocked n-gram Jaccard near-dup pairs: exact ppm similarity over
+    * distinct word 3-grams, blocked by (lang, source). Only pairs with a
+    * nonzero intersection exist (inverted-index join semantics).
+    */
+  val d2JaccardPairs = QueryDef("d2_jaccard_pairs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.jaccardPairs(docs, "doc_id", "text", 3, Seq("lang", "source"))
+        .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       CAST(FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+      |                  / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT)
+      |         AS jaccard_ppm
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) > 0
+      |ORDER BY jaccard_ppm DESC, id1, id2
+      |""".stripMargin))
+
+  /** D3 — MinHash(16)+LSH(4×4) candidate pairs with exact signature-match
+    * counts. The banding join is the only shuffle; signatures are per-row
+    * expressions.
+    */
+  val d3MinhashLsh = QueryDef("d3_minhash_lsh",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      Dedup.lshCandidatePairs(sigs, "doc_id", "sig", 4, 4)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           i -> coalesce(list_min(list_transform(hs,
+      |                  h -> (h * (i * 2 + 3) + 7919 * i) % 1000003)), 1000003)) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_idx,
+      |         array_to_string(sig[b.b*4+1:b.b*4+4], '-') AS band_sig
+      |  FROM sig, (SELECT unnest(range(4)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+      |  FROM bands b1 JOIN bands b2
+      |    ON b1.band_idx = b2.band_idx AND b1.band_sig = b2.band_sig
+      |   AND b1.doc_id < b2.doc_id)
+      |SELECT c.id1, c.id2,
+      |       CAST(list_sum(list_transform(range(0, 16),
+      |              i -> CASE WHEN s1.sig[CAST(i AS INT)+1] = s2.sig[CAST(i AS INT)+1]
+      |                        THEN 1 ELSE 0 END)) AS INT) AS est_matches
+      |FROM cand c
+      |JOIN sig s1 ON s1.doc_id = c.id1
+      |JOIN sig s2 ON s2.doc_id = c.id2
+      |ORDER BY id1, id2
+      |""".stripMargin))
+
+  /** D4 — 60-bit SimHash per document plus blocked near-dup pairs
+    * (hamming ≤ 16 within the same lang).
+    */
+  val d4Simhash = QueryDef("d4_simhash",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.simhashes(docs, "doc_id", "text").orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                     x -> x <> '') AS tk
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, unnest(list_transform(tk,
+      |           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))) AS h
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, j.j AS j, SUM(((h >> j.j) & 1) * 2 - 1) AS s
+      |  FROM th, (SELECT unnest(range(60)) AS j) j
+      |  GROUP BY doc_id, j.j),
+      |sh AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+      |                  ELSE 0 END) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM sh
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** D4b — SimHash near-dup pairs: hamming distance ≤ 16, blocked by lang. */
+  val d4SimhashPairs = QueryDef("d4_simhash_pairs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = Dedup.simhashes(docs, "doc_id", "text", carry = Seq("lang"))
+      val l = sh.select(col("doc_id").as("id1"), col("lang"), col("simhash").as("sh1"))
+      val r = sh.select(col("doc_id").as("id2"), col("lang"), col("simhash").as("sh2"))
+      l.join(r, "lang").filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          Dedup.hammingDistance(col("sh1"), col("sh2")).as("hamming"))
+        .filter(col("hamming") <= 16)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                     x -> x <> '') AS tk
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, lang, unnest(list_transform(tk,
+      |           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))) AS h
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, lang, j.j AS j, SUM(((h >> j.j) & 1) * 2 - 1) AS s
+      |  FROM th, (SELECT unnest(range(60)) AS j) j
+      |  GROUP BY doc_id, lang, j.j),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+      |                  ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id, lang)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+      |ORDER BY id1, id2
+      |""".stripMargin))
+
+  // ------------------------------------------------------------ similarity
+
+  private val qSql =
+    """qv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
+
+  /** S1 — brute-force cosine top-5 for the query subset vec_id % 20 == 0:
+    * the exact baseline every ANN variant is measured against.
+    */
+  val s1AnnBruteForce = QueryDef("s1_ann_brute_force",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         ${dotSql("q.qv", "c.qv")} AS dot_q,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q, qv c
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot_q, cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank
+      |""".stripMargin))
+
+  /** S2 — sign-bucket LSH ANN: top-3 within the query's 8-bit sign bucket.
+    * The scale path: corpus partitionable by bucket, no all-pairs scan.
+    */
+  val s2AnnBucketed = QueryDef("s2_ann_bucketed",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bucketedTopK(emb, "vec_id", "embedding", 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |bk AS (
+      |  SELECT vec_id, qv,
+      |         CAST(list_sum(list_transform(range(0, 8),
+      |           j -> CASE WHEN qv[CAST(j AS INT)+1] > 0
+      |                     THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS INT) AS bucket
+      |  FROM qv),
+      |scored AS (
+      |  SELECT q.bucket, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, bucket, cosine
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank
+      |""".stripMargin))
+
+  /** D5 — embedding-cosine near-duplicate pairs at threshold 0.55, decided
+    * in exact integer arithmetic (no float boundary), blocked by sign
+    * bucket.
+    */
+  val d5CosineNearDup = QueryDef("d5_cosine_near_dup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 550000L)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |bk AS (
+      |  SELECT vec_id, qv,
+      |         CAST(list_sum(list_transform(range(0, 8),
+      |           j -> CASE WHEN qv[CAST(j AS INT)+1] > 0
+      |                     THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS INT) AS bucket
+      |  FROM qv)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |       ${dotSql("a.qv", "b.qv")} AS dot_q
+      |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE ${dotSql("a.qv", "b.qv")} > 0
+      |  AND CAST(${dotSql("a.qv", "b.qv")} AS HUGEINT) * ${dotSql("a.qv", "b.qv")}
+      |      * 1000000 * 1000000
+      |      >= CAST(${dotSql("a.qv", "a.qv")} AS HUGEINT) * ${dotSql("b.qv", "b.qv")}
+      |         * 550000 * 550000
+      |ORDER BY id1, id2
+      |""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(
+    tTextStats,
+    d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
+    d5CosineNearDup,
+    s1AnnBruteForce, s2AnnBucketed)
+}

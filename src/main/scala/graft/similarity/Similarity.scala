@@ -1,0 +1,121 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor and near-duplicate search over embedding
+  * columns (`Array[Float]`).
+  *
+  * Scale design: embeddings are quantized once to integer milli-units, so
+  * dot products and norms are EXACT longs (no float-accumulation drift,
+  * engine-portable, SIMD-friendly codegen). Brute force broadcasts the
+  * (small) query set against the corpus — no corpus shuffle at all; the
+  * LSH-bucketed variant shuffles only on an 8-bit sign bucket, trading
+  * recall for a corpus-partitionable plan that survives 1000 executors.
+  * Cosine ordering happens on a double derived from exact longs in three
+  * IEEE ops — bit-identical everywhere.
+  */
+object Similarity {
+
+  /** Quantize a float vector to exact milli-unit longs (round half away
+    * from zero — engine-agreeing, see InvoiceView.m2's rationale).
+    */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000, 0).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm of a quantized vector (exact long). */
+  def normSqQ(a: Column): Column = dotQ(a, a)
+
+  /** Cosine similarity from exact integer dot/norms: three IEEE double ops,
+    * deterministic across engines. Null when either norm is zero.
+    */
+  def cosineFromQ(dot: Column, normSqA: Column, normSqB: Column): Column =
+    when(normSqA > 0 && normSqB > 0,
+      dot.cast("double") / sqrt((normSqA * normSqB).cast("double")))
+
+  /** 8-bit sign-bucket of a quantized vector: bit j set when dim j > 0.
+    * A degenerate random-hyperplane LSH (axis-aligned planes) — the bucket
+    * key for the partitioned ANN variant.
+    */
+  def signBucket(q: Column, bits: Int = 8): Column =
+    aggregate(
+      zip_with(slice(q, 1, bits), sequence(lit(0), lit(bits - 1)),
+        (x, j) => when(x > 0, call_function("shiftleft", lit(1), j)).otherwise(lit(0))),
+      lit(0), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k: every query row against every corpus row.
+    * `queries`/`corpus`: (idCol, vecCol raw float arrays). The query side is
+    * broadcast (assumed small); ranking is a window per query with a
+    * deterministic (similarity desc, neighbor id) order. Self-pairs are
+    * excluded.
+    *
+    * Returns (query_id, rank, neighbor_id, dot_q, cosine).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotQ(col("qv"), col("cv")).as("dot_q"),
+        cosineFromQ(dotQ(col("qv"), col("cv")),
+          normSqQ(col("qv")), normSqQ(col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot_q", "cosine")
+  }
+
+  /** LSH-bucketed ANN: search only within the query's sign bucket. At scale
+    * the corpus is hash-partitioned by bucket (pre-bucketed corpus tables
+    * make this a co-located join); recall < 1 by construction.
+    */
+  def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, bits: Int = 8): DataFrame = {
+    val q = df.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("bucket", signBucket(col("qv"), bits))
+    val c = q.select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
+      col("bucket"))
+    val scored = q.join(c, "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("bucket"), col("query_id"), col("neighbor_id"),
+        cosineFromQ(dotQ(col("qv"), col("cv")),
+          normSqQ(col("qv")), normSqQ(col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "bucket", "cosine")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: id1 < id2 with cosine above
+    * `thresholdPpm/1e6`, decided in EXACT integer arithmetic:
+    * `dot > 0 && dot^2 * 10^12 >= t^2 * |a|^2 * |b|^2` — no float boundary.
+    * Pairs are blocked by sign bucket (near-identical vectors share it).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      thresholdPpm: Long, bits: Int = 8): DataFrame = {
+    val q = df.select(col(idCol).as("id1"), quantize(col(vecCol)).as("v1"))
+      .withColumn("bucket", signBucket(col("v1"), bits))
+    val c = q.select(col("id1").as("id2"), col("v1").as("v2"), col("bucket"))
+    val dot = dotQ(col("v1"), col("v2"))
+    // dot ≤ 64·525² < 2^25, so dot² < 2^50; scale by ppm² via decimal to
+    // stay exact (2^50 · 10^12 overflows long).
+    val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
+    val rhs = (normSqQ(col("v1")) * normSqQ(col("v2"))).cast("decimal(38,0)") *
+      lit(thresholdPpm) * lit(thresholdPpm)
+    q.join(c, "bucket")
+      .filter(col("id1") < col("id2"))
+      .filter(dot > 0 && lhs >= rhs)
+      .select(col("id1"), col("id2"), dot.as("dot_q"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All are per-row Column expressions built from codegen'd
+  * built-ins (no UDFs, no shuffles) — at 100 TB these run inside the scan
+  * stage and cost one pass.
+  *
+  * Determinism notes (the DuckDB oracle recomputes everything):
+  *   - ratios are integer-scaled (`floor(a*K/b)`) — integer-quotient IEEE
+  *     division is exact, so engines agree bit-for-bit;
+  *   - hashes derive from md5 hex (identical everywhere), never from
+  *     engine-specific hash functions.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** T-token-count — whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs count 1 per 4 chars (ceil), digits
+    * and punctuation 1 each — a cheap, deterministic stand-in for a BPE
+    * tokenizer's token count (regex-only, codegen'd).
+    */
+  def subwordCount(text: Column): Column = {
+    val letters = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val digits = length(regexp_replace(text, "[^0-9]", ""))
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    ((letters + lit(3)) / lit(4)).cast("long") + digits + punct
+  }
+
+  /** Punctuation character count (non-alnum, non-space). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+
+  /** Distinct-stopword hit count against a fixed vocabulary. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(array_intersect(tokens(text), array(stopwords.map(lit): _*)))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "of", "and", "to", "in", "is", "for", "on", "with", "as")
+  val SpanishStopwords: Seq[String] =
+    Seq("de", "la", "que", "el", "en", "y", "los", "del", "las", "por")
+
+  /** T-quality — integer quality score in [0, 300]: rewards moderate token
+    * length, penalizes punctuation density, rewards stopword presence.
+    * All components are integer-scaled ratios (engine-exact):
+    *   len_score  = min(100, tokens)                      — enough content
+    *   stop_score = min(100, 500 * distinct_stop_hits / tokens)
+    *   punct_score = 100 - min(100, 300 * punct_chars / chars)
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val nChr = length(text)
+    val stopHits = stopwordHits(text, EnglishStopwords ++ SpanishStopwords)
+    val lenScore = least(lit(100), nTok)
+    val stopScore = least(lit(100), floor(stopHits * 500 / nTok).cast("int"))
+    val punctScore = lit(100) -
+      least(lit(100), floor(punctCount(text) * 300 / nChr).cast("int"))
+    (lenScore + stopScore + punctScore).cast("long")
+  }
+
+  /** T-lang-id — stopword-vote language heuristic: 'en' / 'es' / 'und'. */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, EnglishStopwords)
+    val es = stopwordHits(text, SpanishStopwords)
+    when(en > es, "en").when(es > en, "es").otherwise("und")
+  }
+
+  val FingerprintMod = 2147483647L // 2^31 - 1
+
+  /** T-fingerprint — polynomial rolling hash over characters,
+    * `h = (h*31 + ord(c)) mod (2^31-1)`. Position-indexed (not split-based)
+    * so the char stream is identical in every engine. Null/empty → null.
+    */
+  def fingerprint(text: Column): Column = {
+    val chars = transform(sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))))
+    when(length(text) > 0,
+      aggregate(chars, lit(0L),
+        (acc, c) => (acc * 31 + c) % FingerprintMod))
+  }
+
+  /** Exact content identity: md5 of the UTF-8 bytes. */
+  def contentHash(text: Column): Column = md5(text.cast("binary"))
+}

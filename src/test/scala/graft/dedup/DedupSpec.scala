@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc1 = "the quick brown fox jumps over the lazy dog"
+  private val doc1Near = "the quick brown fox jumps over the lazy cat"
+  private val doc2 = "completely different words appear in this sentence here now"
+
+  test("exact dedup keeps min id per content with dupe counts") {
+    val df = Seq((1L, doc1), (2L, doc1), (3L, doc2)).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dupe_count"))).toSeq
+      == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles: distinct sorted word n-grams; short text → empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("minhash: identical texts agree; near texts share most positions; distinct texts don't") {
+    val df = Seq((1L, doc1), (2L, doc1), (3L, doc1Near), (4L, doc2))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+    val sigs = df.orderBy("doc_id").as[(Long, Seq[Long])].collect().map(_._2)
+    assert(sigs(0) == sigs(1), "identical docs → identical signatures")
+    val nearMatches = sigs(0).zip(sigs(2)).count { case (a, b) => a == b }
+    val farMatches = sigs(0).zip(sigs(3)).count { case (a, b) => a == b }
+    assert(nearMatches > farMatches, s"near=$nearMatches far=$farMatches")
+  }
+
+  test("lsh candidate pairs surface the identical pair") {
+    val df = Seq((1L, doc1), (2L, doc1), (4L, doc2)).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 16).as("sig"))
+    val pairs = Dedup.lshCandidatePairs(df, "doc_id", "sig", 4, 4).collect()
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(exact.isDefined && exact.get.getAs[Int]("est_matches") == 16)
+  }
+
+  test("simhash: identical → hamming 0; near < far") {
+    val df = Seq((1L, doc1), (2L, doc1), (3L, doc1Near), (4L, doc2))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    val sh = df.orderBy("doc_id").as[(Long, Long)].collect().map(_._2)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(1)) == 0)
+    assert(ham(sh(0), sh(2)) < ham(sh(0), sh(3)),
+      s"near=${ham(sh(0), sh(2))} far=${ham(sh(0), sh(3))}")
+  }
+
+  test("jaccard ppm: exact integer similarity") {
+    val df = Seq((1L, "g", "a b c d"), (2L, "g", "a b c e"), (3L, "g", "x y z w"))
+      .toDF("doc_id", "blk", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 2, Seq("blk"))
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("jaccard_ppm"))).toSeq
+    // "a b c d" 2-grams {ab,bc,cd}; "a b c e" → {ab,bc,ce}: 2/4 = 500000 ppm
+    assert(pairs.contains((1L, 2L, 500000L)))
+    // zero-intersection pairs never materialize (inverted-index semantics)
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.5f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.4f)),   // near vec 0
+    (2L, Array(-1.0f, 0.2f, 0.8f, -0.5f)), // far from vec 0
+    (3L, Array(1.0f, 0.0f, 0.0f, 0.5f)))   // identical to vec 0
+
+  test("quantize + dot are exact integer operations") {
+    val df = vecs.toDF("vec_id", "embedding")
+      .select(Similarity.quantize(col("embedding")).as("q"))
+    val q0 = df.as[Seq[Long]].head()
+    assert(q0 == Seq(1000L, 0L, 0L, 500L))
+  }
+
+  test("brute-force top-k ranks the identical vector first, excludes self") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+        df.filter(col("vec_id") === 0), df, "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(top.forall(_.getAs[Long]("neighbor_id") != 0L))
+    assert(top(0).getAs[Long]("neighbor_id") == 3L) // identical → cosine 1
+    assert(top(0).getAs[Double]("cosine") === 1.0)
+    assert(top(1).getAs[Long]("neighbor_id") == 1L) // near second
+  }
+
+  test("cosine near-dup pairs pass the exact integer threshold test") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 990000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // identical pair → cosine 1 ≥ 0.99
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("sign bucket groups sign-identical vectors") {
+    val df = vecs.toDF("vec_id", "embedding").select(col("vec_id"),
+      Similarity.signBucket(Similarity.quantize(col("embedding")), 4).as("b"))
+    val b = df.orderBy("vec_id").as[(Long, Int)].collect().map(_._2)
+    assert(b(0) == b(3) && b(0) != b(2))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and subword counts") {
+    val df = Seq("  the cat  sat ", "ab1 c,d").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.subwordCount(col("text")).as("sw"),
+      TextAnalysis.punctCount(col("text")).as("p"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 3)
+    // "ab1 c,d": letters abcd=4 → 1; digit 1 → 1; punct ',' → 1 ⇒ 3 subwords
+    assert(rows(1).getInt(0) == 2 && rows(1).getLong(1) == 3L && rows(1).getInt(2) == 1)
+  }
+
+  test("language id votes by distinct stopword hits") {
+    val df = Seq(
+      "the cat is on the mat with food", // en
+      "la casa de el perro y los gatos", // es
+      "zzz qqq www").toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint matches the reference polynomial formula") {
+    val text = "abc z9"
+    val want = text.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 2147483647L)
+    val got = Seq(text).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
+    assert(got == want)
+  }
+
+  test("content hash is standard md5") {
+    val got = Seq("hello").toDF("text")
+      .select(TextAnalysis.contentHash(col("text"))).as[String].head()
+    assert(got == "5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("quality score is bounded and favors stopword-bearing prose") {
+    val df = Seq(
+      "the cat is on the mat and it is warm in the sun for now",
+      ";;;; !!!! ???? ####").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+    val Array(prose, junk) = df.as[Long].collect()
+    assert(prose > junk)
+    assert(prose <= 300 && junk >= 0)
+  }
+}
