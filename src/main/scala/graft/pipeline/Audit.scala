@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S8 — three-table audit trail as append-only parquet tables (reference:
+  * smartbots-etl/src/infrastructure/sqlite_tracker.py:15-67). The
+  * reference's SQLite WAL + executemany batching maps to Spark's atomic
+  * parquet appends; `record_log` is the per-row lineage OUTPUT of the merge
+  * (a DataFrame write, batched by construction), while run/file rows are
+  * tiny driver-side appends.
+  */
+object Audit {
+
+  final case class ExecutionRun(
+      run_uuid: String, started_at: Timestamp, finished_at: Option[Timestamp],
+      status: String, total_files: Long, total_records: Long, inserted: Long,
+      updated: Long, unchanged: Long, errors: Long,
+      source_total_amount: java.math.BigDecimal,
+      output_total_amount: java.math.BigDecimal, message: Option[String])
+
+  final case class FileLog(
+      run_uuid: String, file_log_id: String, file_name: String,
+      file_modified_time: Timestamp, schema_valid: Boolean,
+      missing_columns: Seq[String], extra_columns: Seq[String],
+      rows_total: Long, rows_valid: Long, rows_error: Long, status: String,
+      started_at: Timestamp, finished_at: Option[Timestamp])
+
+  final class Tracker(spark: SparkSession, auditDir: String) {
+    import spark.implicits._
+
+    private def path(t: String) = s"$auditDir/$t"
+
+    def logRun(run: ExecutionRun): Unit =
+      Seq(run).toDS().write.mode(SaveMode.Append).parquet(path("execution_runs"))
+
+    def logFile(f: FileLog): Unit =
+      Seq(f).toDS().write.mode(SaveMode.Append).parquet(path("file_log"))
+
+    /** J2 output → record_log rows: (run_uuid, file_log_id, row_index, pk,
+      * action, error_message). `attributed` must carry row_index,
+      * invoice_number, reference_number, action and optionally
+      * error_message.
+      */
+    def logRecords(runUuid: String, fileLogId: String,
+        attributed: DataFrame): Unit = {
+      val withErr =
+        if (attributed.columns.contains("error_message")) attributed
+        else attributed.withColumn("error_message", lit(null).cast("string"))
+      withErr.select(
+          lit(runUuid).as("run_uuid"), lit(fileLogId).as("file_log_id"),
+          col("row_index").cast("long"), col("invoice_number"),
+          col("reference_number"), col("action"), col("error_message"))
+        .write.mode(SaveMode.Append).parquet(path("record_log"))
+    }
+
+    def runs: DataFrame = read("execution_runs")
+    def files: DataFrame = read("file_log")
+    def records: DataFrame = read("record_log")
+
+    private def read(t: String): DataFrame =
+      try spark.read.parquet(path(t))
+      catch { case _: Throwable => emptyFor(t) }
+
+    private def emptyFor(t: String): DataFrame = t match {
+      case "execution_runs" => spark.emptyDataset[ExecutionRun].toDF()
+      case "file_log" => spark.emptyDataset[FileLog].toDF()
+      case _ => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("run_uuid",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("file_log_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("row_index",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("invoice_number",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("reference_number",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("action",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("error_message",
+            org.apache.spark.sql.types.StringType))))
+    }
+
+    /** J4 — file-level idempotence probe: has (name, mtime) already
+      * COMPLETED? (sqlite_tracker.py:232-240: an errored file IS
+      * reprocessed.)
+      */
+    def isFileProcessed(fileName: String, modifiedTime: Timestamp): Boolean =
+      files.filter(col("file_name") === fileName &&
+        col("file_modified_time") === modifiedTime &&
+        col("status") === "COMPLETED").limit(1).count() > 0
+  }
+}

@@ -1,0 +1,252 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.domain.{InvoiceRecord, RecordAction}
+import graft.operators.{Merge, Reconcile, Validate}
+import graft.sources.{OfficialFormatExtract, StagedWorkbook}
+
+/** The end-to-end consolidation "query" (reference: smartbots-etl/src/
+  * application/use_cases/consolidate_invoices.py:45-233) over a local
+  * landing directory of staged workbooks:
+  *
+  * per file: idempotence probe (J4) → extract (S3-S5, P2-P5) → validate
+  * split (P6) → lenient re-parse of the consolidated side (J5) →
+  * insert-only merge (J1, or full upsert J3) → reconcile BEFORE commit
+  * (A2) → append inserted slice (S7 semantics) → audit rows (S8/J2) →
+  * archive (S10); per-file fault isolation → PARTIAL, roll-up (A5),
+  * always-render report (S9).
+  *
+  * The consolidated store is a parquet table (the Excel-with-template
+  * rendering is an egress formatter, see [[Egress]]); at scale it is the
+  * big side of the anti-join and never collects.
+  */
+object ConsolidationPipeline {
+
+  final case class Config(
+      landingDir: String,
+      consolidatedPath: String,
+      auditDir: String,
+      lifecycleDir: String,
+      mergeMode: String = "insert-only", // or "upsert"
+      dateFormat: String = "dd-MM-yyyy")
+
+  final case class SchemaValidationException(missing: Seq[String], extra: Seq[String])
+    extends RuntimeException(
+      s"Columnas faltantes: ${missing.mkString(", ")}; extra: ${extra.mkString(", ")}")
+
+  /** One run. Returns the report; writes audit + consolidated as side
+    * effects. Missing consolidated store → ERROR (mirrors the reference's
+    * FileNotFoundError path) unless `createIfMissing`.
+    */
+  def run(spark: SparkSession, cfg: Config,
+      createIfMissing: Boolean = true): Report.ExecutionReport = {
+    val runId = UUID.randomUUID().toString
+    val startedAt = new Timestamp(System.currentTimeMillis())
+    val tracker = new Audit.Tracker(spark, cfg.auditDir)
+    val lifecycle = new Lifecycle(cfg.lifecycleDir)
+
+    val landing = Paths.get(cfg.landingDir)
+    val files: Seq[Path] =
+      if (Files.isDirectory(landing))
+        Files.list(landing).iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".csv"))
+          .toSeq
+          // S1/O1: newest first by modification time
+          .sortBy(p => -Files.getLastModifiedTime(p).toMillis)
+      else Seq.empty
+
+    var outcomes = Vector.empty[Report.FileOutcome]
+    var allErrors = Vector.empty[String]
+
+    if (files.nonEmpty) {
+      lifecycle.initBackupFolder()
+      lifecycle.backupConsolidated(cfg.consolidatedPath, runId)
+    }
+
+    var skipped = 0
+    files.foreach { file =>
+      val mtime = new Timestamp(Files.getLastModifiedTime(file).toMillis)
+      val fileName = file.getFileName.toString
+      if (tracker.isFileProcessed(fileName, mtime)) {
+        skipped += 1 // J4: silently skip (consolidate_invoices.py:194-196)
+      } else {
+        val fileLogId = UUID.randomUUID().toString
+        val fStart = new Timestamp(System.currentTimeMillis())
+        try {
+          val inProcess = lifecycle.moveToInProcess(file)
+          val outcome = processFile(spark, cfg, tracker, runId, fileLogId,
+            fileName, mtime, fStart, inProcess)
+          lifecycle.moveToBackup(inProcess)
+          outcomes :+= outcome
+          allErrors ++= outcome.errorDetail
+        } catch {
+          case e: SchemaValidationException =>
+            tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,
+              schema_valid = false, e.missing, e.extra, 0, 0, 0,
+              "SCHEMA_ERROR", fStart, Some(now())))
+            outcomes :+= Report.FileOutcome(fileName, "SCHEMA_ERROR",
+              0, 0, 0, 0, 0, 0, BigDecimal(0), Seq(e.getMessage))
+            allErrors :+= s"$fileName: ${e.getMessage}"
+          case NonFatal(e) =>
+            tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,
+              schema_valid = true, Nil, Nil, 0, 0, 0,
+              "ERROR", fStart, Some(now())))
+            outcomes :+= Report.FileOutcome(fileName, "ERROR",
+              0, 0, 0, 0, 0, 0, BigDecimal(0), Seq(e.getMessage))
+            allErrors :+= s"$fileName: ${e.getMessage}"
+        }
+      }
+    }
+
+    val status =
+      if (files.isEmpty) "NO_FILES"
+      else if (outcomes.isEmpty && skipped > 0) "SUCCESS" // everything idempotent-skipped
+      else Report.rollUp(outcomes.size, outcomes.count(o => o.status != "COMPLETED"))
+
+    val sourceTotal = outcomes.map(_.sourceTotal).sum
+    val outputTotal = sourceTotal // reconcile enforces variance ≤ 1 per file
+    val report = Report.ExecutionReport(runId, status, outcomes,
+      sourceTotal, outputTotal, allErrors)
+
+    // finish_run + notify ALWAYS (finally-equivalent; :157-158)
+    tracker.logRun(Audit.ExecutionRun(runId, startedAt, Some(now()), status,
+      report.totalFiles, report.totalRecords, report.inserted, report.updated,
+      report.unchanged, report.errors, sourceTotal.bigDecimal,
+      outputTotal.bigDecimal, None))
+    report
+  }
+
+  private def now() = new Timestamp(System.currentTimeMillis())
+
+  private def processFile(spark: SparkSession, cfg: Config,
+      tracker: Audit.Tracker, runId: String, fileLogId: String,
+      fileName: String, mtime: Timestamp, fStart: Timestamp,
+      path: Path): Report.FileOutcome = {
+
+    val sheet = StagedWorkbook.fromCsv(spark, path.toString)
+    val fc = StagedWorkbook.fixedCells(sheet)
+    val headerRow =
+      if (StagedWorkbook.isMixedFormat(fc))
+        StagedWorkbook.discoverHeaderRow(sheet, "Órdenes de Embarque",
+          OfficialFormatExtract.MixedKnownHeaders)
+      else
+        StagedWorkbook.discoverHeaderRow(sheet, "N° Factura",
+          OfficialFormatExtract.SimpleColumns.toSet)
+    val detail = StagedWorkbook.table(sheet, headerRow)
+
+    // schema pre-flight (S3/SchemaValidationError)
+    val required =
+      if (StagedWorkbook.isMixedFormat(fc)) Seq("Órdenes de Embarque")
+      else Seq("N° Factura", "N° Referencia", "Transportista", "Monto Total")
+    val (ok, missing, extra) =
+      StagedWorkbook.validateSchema(detail.columns.toSeq, required)
+    if (!ok) throw SchemaValidationException(missing, extra)
+
+    val extracted =
+      (if (StagedWorkbook.isMixedFormat(fc))
+        OfficialFormatExtract.mixedFormat(detail, fc, cfg.dateFormat)
+      else OfficialFormatExtract.simpleTabular(detail, cfg.dateFormat))
+        .withColumn("source_file", lit(fileName))
+        .withColumn("processed_at", current_timestamp())
+        .withColumn("status", lit("new"))
+        .localCheckpoint() // small per-file batch; avoids re-extraction per action
+
+    val split = Validate.split(extracted)
+    val valid = split.valid.localCheckpoint()
+    val errorRows = split.errors.collect()
+    val rowsTotal = extracted.count()
+    val rowsValid = valid.count()
+
+    // consolidated side: lenient re-parse (J5) — invalid legacy rows keep
+    // living in the store but leave the probe set
+    val store = readConsolidated(spark, cfg.consolidatedPath)
+    val existing = Merge.lenientExisting(store)
+
+    // both merge sides must share the store's column set; extractor output
+    // lacks passthrough fields (fecha_recepcion_digital, …) → null-fill,
+    // keeping row_index for first-wins dedup + audit attribution
+    val present = valid.columns.toSet
+    val aligned = valid.select(store.schema.fields.map(f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toSeq :+ col("row_index"): _*)
+
+    val m = cfg.mergeMode match {
+      case "upsert" => Merge.fullUpsert(existing, aligned, InvoiceRecord.pk,
+        InvoiceRecord.changeFields)
+      case _ => Merge.insertOnly(existing, aligned, InvoiceRecord.pk)
+    }
+
+    // A2 — reconcile BEFORE the sink commit; throws on loss/variance
+    Reconcile.check(valid, m.result, InvoiceRecord.pk, "total_amount")
+
+    // S7 semantics — append ONLY the inserted slice (or overwrite on upsert)
+    val inserted = m.inserted.localCheckpoint()
+    val insertedCount = inserted.count()
+    cfg.mergeMode match {
+      case "upsert" =>
+        val full = m.result.localCheckpoint()
+        full.write.mode(SaveMode.Overwrite).parquet(cfg.consolidatedPath)
+      case _ =>
+        alignToStore(spark, inserted, cfg.consolidatedPath)
+          .write.mode(SaveMode.Append).parquet(cfg.consolidatedPath)
+    }
+
+    // J2 + S8 — record-level lineage: merge actions for valid rows,
+    // VALIDATION_ERROR rows from the split side-channel
+    val attributed = Merge.attributeActions(valid, m.result, InvoiceRecord.pk)
+    val errDf = split.errors.select(col("row_index"), col("invoice_number"),
+      lit(null).cast("string").as("reference_number"),
+      lit(RecordAction.ValidationError).as("action"),
+      col("error").as("error_message"))
+    tracker.logRecords(runId, fileLogId,
+      attributed.unionByName(errDf, allowMissingColumns = true))
+
+    val counters = m.result.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcTotal = Reconcile.decimalTotal(valid, "total_amount")
+
+    tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,
+      schema_valid = true, Nil, Nil, rowsTotal, rowsValid,
+      errorRows.length.toLong, "COMPLETED", fStart, Some(now())))
+
+    Report.FileOutcome(fileName, "COMPLETED", rowsTotal, rowsValid,
+      errorRows.length.toLong,
+      inserted = insertedCount,
+      updated = counters.getOrElse("updated", 0L),
+      unchanged = counters.getOrElse("unchanged", 0L),
+      sourceTotal = BigDecimal(srcTotal),
+      errorDetail = errorRows.map(r =>
+        s"$fileName fila ${r.getAs[Any]("row_index")}: ${r.getAs[String]("error")}").toSeq)
+  }
+
+  private def readConsolidated(spark: SparkSession, path: String): DataFrame =
+    if (Files.exists(Paths.get(path)))
+      spark.read.parquet(path)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        InvoiceRecord.schema)
+
+  /** Align the inserted slice to the store's column set (missing cols →
+    * null) so unions across runs stay schema-stable.
+    */
+  private def alignToStore(spark: SparkSession, inserted: DataFrame,
+      path: String): DataFrame = {
+    val storeSchema =
+      if (Files.exists(Paths.get(path))) spark.read.parquet(path).schema
+      else InvoiceRecord.schema
+    val present = inserted.columns.toSet
+    inserted.select(storeSchema.fields.map(f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+}

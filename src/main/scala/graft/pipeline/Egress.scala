@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.invoice_number_as_int
+
+/** P8 — write-projection to the consolidated Spanish layout (reference:
+  * smartbots-etl/src/application/use_cases/consolidate_invoices.py:589-623)
+  * plus the per-column presentation metadata the Excel egress formatter
+  * applies (COLUMN_FORMATS, excel_handler.py:17-36). Rendering an actual
+  * XLSX (template rows, images, cell styles) is a driver-side formatter on
+  * top of this projection — outside the engine's data path by design.
+  */
+object Egress {
+
+  /** Column → (number format, horizontal alignment) — the reference's
+    * COLUMN_FORMATS map, kept as metadata for the egress formatter.
+    */
+  val ColumnFormats: Map[String, (String, String)] = Map(
+    "N° Factura" -> ("0", "center"),
+    "Total Servicio ($)" -> ("\"$\"#,##0", "right"),
+    "Fecha Emisión" -> ("dd/mm/yyyy", "center"),
+    "Fecha Recepción Digital" -> ("dd/mm/yyyy", "center"),
+    "Fecha Aprobación Operaciones" -> ("dd/mm/yyyy", "center"))
+
+  /** Canonical fields → the 12 consolidated Spanish headers. `total_amount`
+    * renders as double (the reference writes float), invoice number as
+    * best-effort integer (F9), description → "Observaciones".
+    */
+  def consolidatedLayout(df: DataFrame): DataFrame = {
+    def opt(name: String) =
+      if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+    df.select(
+      invoice_number_as_int(col("invoice_number")).as("N° Factura"),
+      col("carrier_name").as("Empresa Transporte"),
+      opt("ship_name").as("Nave"),
+      col("reference_number").as("Órdenes de Embarque"),
+      opt("dispatch_guides").as("Guías de Despacho"),
+      col("total_amount").cast("double").as("Total Servicio ($)"),
+      date_format(col("invoice_date"), "dd/MM/yyyy").as("Fecha Emisión"),
+      opt("fecha_recepcion_digital").as("Fecha Recepción Digital"),
+      opt("aprobado_por").as("Aprobado por:"),
+      opt("estado_operaciones").as("Estado Operaciones"),
+      opt("fecha_aprobacion_operaciones").as("Fecha Aprobación Operaciones"),
+      opt("description").as("Observaciones"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import scala.jdk.CollectionConverters._
+
+/** S10/S12 — file lifecycle on a real filesystem (reference:
+  * smartbots-etl/src/infrastructure/file_lifecycle_manager.py:35-189):
+  * landing → `En Proceso/` → `Respaldo/yyyy-MM-dd/HH.mm.ss/`, plus the
+  * pre-run consolidated backup and downloads-dir hygiene. Driver-side
+  * `java.nio` (the engine's data path never touches these moves).
+  */
+final class Lifecycle(baseDir: String, now: () => LocalDateTime = () => LocalDateTime.now()) {
+
+  val inProcessDir: Path = Paths.get(baseDir, "En Proceso")
+  val backupRoot: Path = Paths.get(baseDir, "Respaldo")
+  private var backupDir: Option[Path] = None
+
+  /** S12 — clean (or create) a scratch dir before each run
+    * (consolidate_invoices.py:162-180).
+    */
+  def cleanDownloads(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.list(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .foreach(Files.delete)
+    else Files.createDirectories(p)
+  }
+
+  /** S10 — timestamped backup folder `Respaldo/yyyy-MM-dd/HH.mm.ss/` for
+    * this run (file_lifecycle_manager.py:49-72).
+    */
+  def initBackupFolder(): Path = {
+    val t = now()
+    val dir = backupRoot
+      .resolve(t.format(DateTimeFormatter.ofPattern("yyyy-MM-dd")))
+      .resolve(t.format(DateTimeFormatter.ofPattern("HH.mm.ss")))
+    Files.createDirectories(dir)
+    backupDir = Some(dir)
+    dir
+  }
+
+  /** Pre-run copy of the consolidated file into the backup folder as
+    * `consolidado_backup_prerun_{run8}` (+ extension).
+    */
+  def backupConsolidated(consolidatedPath: String, runId: String): Option[Path] =
+    backupDir.filter(_ => Files.exists(Paths.get(consolidatedPath))).map { dir =>
+      val src = Paths.get(consolidatedPath)
+      val name = src.getFileName.toString
+      val dot = name.lastIndexOf('.')
+      val ext = if (dot >= 0) name.substring(dot) else ""
+      val dst = dir.resolve(s"consolidado_backup_prerun_${runId.take(8)}$ext")
+      copyRecursive(src, dst)
+      dst
+    }
+
+  /** Move a source file to `En Proceso/` (with a pre-copy into the backup
+    * folder — the reference copies before moving so a crash never loses
+    * the original).
+    */
+  def moveToInProcess(file: Path): Path = {
+    Files.createDirectories(inProcessDir)
+    backupDir.foreach(d => copyRecursive(file, d.resolve(file.getFileName)))
+    val dst = inProcessDir.resolve(file.getFileName)
+    Files.move(file, dst, StandardCopyOption.REPLACE_EXISTING)
+    dst
+  }
+
+  /** Final archival: `En Proceso/` → the run's backup folder. */
+  def moveToBackup(file: Path): Path = {
+    val dir = backupDir.getOrElse(initBackupFolder())
+    val dst = dir.resolve(file.getFileName)
+    Files.move(file, dst, StandardCopyOption.REPLACE_EXISTING)
+    dst
+  }
+
+  private def copyRecursive(src: Path, dst: Path): Unit =
+    if (Files.isDirectory(src)) {
+      Files.walk(src).iterator().asScala.toSeq.foreach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } else {
+      Option(dst.getParent).foreach(Files.createDirectories(_))
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+}

@@ -355,9 +355,84 @@ object PipelineQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  // ------------------------------------------------------------ multimodal
+
+  /** M1 — multimodal metadata decode: binary media column (synthesized
+    * md5-byte blobs) → typed metadata via the batched mapPartitions stub
+    * codec. The oracle recomputes the byte arithmetic from the md5 hex.
+    */
+  val m1MediaMeta = QueryDef("m1_media_meta",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Multimodal.synthesizeFromDocs(docs)
+      graft.multimodal.Multimodal.decodeMeta(media).toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      |WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         md5(text) AS h
+      |  FROM documents)
+      |SELECT media_id, kind,
+      |       CAST(1 + (CAST('0x' || substr(h, 1, 2) AS INT) & 127) AS INT) AS width,
+      |       CAST(1 + (CAST('0x' || substr(h, 3, 2) AS INT) & 127) AS INT) AS height,
+      |       CAST(8000 + 100 * CAST('0x' || substr(h, 5, 2) AS INT) AS INT) AS sample_rate,
+      |       CAST(1000 + 100 * CAST('0x' || substr(h, 7, 2) AS INT) AS BIGINT) AS duration_ms,
+      |       CASE kind WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav'
+      |            ELSE 'mp4' END AS format
+      |FROM m
+      |ORDER BY media_id
+      |""".stripMargin))
+
+  /** M2 — multimodal → similarity composition: stub feature vectors (16
+    * dims from the md5 bytes, exactly representable k/128 floats) ranked
+    * by the same quantized-cosine ANN as the embeddings table.
+    */
+  val m2MediaAnn = QueryDef("m2_media_ann",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Multimodal.synthesizeFromDocs(docs)
+      val feats = graft.multimodal.Multimodal.extractFeatures(media, 16).toDF()
+      Similarity.bruteForceTopK(
+          feats.filter(col("media_id") % 25 === 0), feats,
+          "media_id", "features", 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      |WITH m AS (
+      |  SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+      |fv AS (
+      |  SELECT media_id,
+      |         list_transform(range(0, 16),
+      |           i -> CAST(round(((CAST('0x' || substr(h, CAST(i AS INT)*2+1, 2) AS INT) - 128)
+      |                            / 128.0) * 1000) AS BIGINT)) AS qv
+      |  FROM m),
+      |scored AS (
+      |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+      |         CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot_q,
+      |         CASE WHEN CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT) > 0
+      |               AND CAST(list_dot_product(CAST(c.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) > 0
+      |              THEN CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS DOUBLE) /
+      |                   sqrt(CAST(CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT)
+      |                             * CAST(list_dot_product(CAST(c.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS DOUBLE))
+      |         END AS cosine
+      |  FROM fv q, fv c
+      |  WHERE q.media_id % 25 = 0 AND q.media_id <> c.media_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot_q, cosine
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup,
-    s1AnnBruteForce, s2AnnBucketed)
+    s1AnnBruteForce, s2AnnBucketed,
+    m1MediaMeta, m2MediaAnn)
 }

@@ -1,0 +1,61 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.ConsolidationPipeline
+import graft.streaming.ConsolidationStream
+
+/** End-to-end smoke of the batch pipeline + streaming host against a real
+  * temp landing dir (library-surface drive, no test harness).
+  */
+object PipelineSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Files.createTempDirectory("graft-smoke")
+    // batch path: one simple-tabular staged workbook
+    val headers = Seq("N° Factura", "N° Referencia", "Transportista",
+      "Fecha Factura", "Descripción", "Monto Neto", "IVA", "Monto Total", "Moneda")
+    val rows = Seq(
+      Seq("FAC-1", "R1", "Carrier", "15-01-2026", "d", "100", "19", "119", "CLP"),
+      Seq("FAC-2", "R2", "Carrier", "16-01-2026", "d", "200", "38", "238", "CLP"))
+    val csv = (Seq.fill(10)(Seq.fill(9)("")) ++ Seq(headers) ++ rows)
+      .map(_.map(c => "\"" + c + "\"").mkString(",")).mkString("\n")
+    Files.createDirectories(Paths.get(s"$base/landing"))
+    Files.writeString(Paths.get(s"$base/landing/f1.csv"), csv)
+
+    val report = ConsolidationPipeline.run(spark, ConsolidationPipeline.Config(
+      s"$base/landing", s"$base/consolidado.parquet", s"$base/audit", s"$base/lc"))
+    println(s"[smoke] batch: status=${report.status} inserted=${report.inserted}")
+    println(Report0.render(report))
+
+    // streaming path: canonical staged file, two AvailableNow passes
+    val sBase = Files.createTempDirectory("graft-smoke-stream")
+    val header2 = "invoice_number,reference_number,carrier_name,ship_name," +
+      "dispatch_guides,invoice_date,description,net_amount,tax_amount," +
+      "total_amount,currency,fecha_recepcion_digital,aprobado_por," +
+      "estado_operaciones,fecha_aprobacion_operaciones"
+    Files.createDirectories(Paths.get(s"$sBase/landing"))
+    Files.writeString(Paths.get(s"$sBase/landing/b1.csv"),
+      header2 + "\nF9,R9,C,,,2026-01-15,,50,0,50,CLP,,,,")
+    val cfg = ConsolidationStream.Config(s"$sBase/landing",
+      s"$sBase/consolidado.parquet", s"$sBase/ckpt", s"$sBase/errors")
+    ConsolidationStream.runAvailableNow(spark, cfg)
+    val n1 = spark.read.parquet(cfg.consolidatedPath).count()
+    ConsolidationStream.runAvailableNow(spark, cfg) // restart: must not re-add
+    val n2 = spark.read.parquet(cfg.consolidatedPath).count()
+    println(s"[smoke] stream: firstPass=$n1 afterRestart=$n2")
+    spark.stop()
+  }
+
+  private object Report0 {
+    def render(r: graft.pipeline.Report.ExecutionReport): String =
+      graft.pipeline.Report.summary(r)
+  }
+}

@@ -1,0 +1,209 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end pipeline scenarios mirroring the reference's integration
+  * suite (smartbots-etl/tests/integration/test_consolidation_flow.py):
+  * fresh insert, append-only proof, partial run with a schema-bad file,
+  * audit-trail assertions, validation-error routing, reconciliation, and
+  * NO_FILES — against a local landing dir of staged-CSV workbooks.
+  */
+class ConsolidationPipelineSpec extends SparkSpec {
+
+  private def tmp(): Path = Files.createTempDirectory("graft-pipe")
+
+  private def cfg(base: Path) = ConsolidationPipeline.Config(
+    landingDir = s"$base/landing",
+    consolidatedPath = s"$base/consolidado.parquet",
+    auditDir = s"$base/audit",
+    lifecycleDir = s"$base/lifecycle")
+
+  /** Simple-tabular staged workbook: 10 filler rows, headers at row 11,
+    * data from row 12 (FIXTURES.md §1).
+    */
+  private def writeSimpleWorkbook(dir: String, name: String,
+      rows: Seq[Seq[String]]): Path = {
+    val headers = Seq("N° Factura", "N° Referencia", "Transportista",
+      "Fecha Factura", "Descripción", "Monto Neto", "IVA", "Monto Total", "Moneda")
+    val filler = Seq.fill(10)(Seq.fill(headers.size)(""))
+    val all = filler ++ Seq(headers) ++ rows
+    val p = Paths.get(dir, name)
+    Files.createDirectories(p.getParent)
+    val csv = all.map(_.map(c => "\"" + c.replace("\"", "\"\"") + "\"")
+      .mkString(",")).mkString("\n")
+    Files.writeString(p, csv)
+    p
+  }
+
+  private val r1 = Seq("FAC-001", "REF-001", "Transportes Chile Ltda",
+    "15-01-2026", "Flete Santiago-Valparaíso", "100000", "19000", "119000", "CLP")
+  private val r2 = Seq("FAC-002", "REF-002", "Transportes Chile Ltda",
+    "16-01-2026", "Flete Valparaíso-Santiago", "200000", "38000", "238000", "CLP")
+  private val r3 = Seq("FAC-003", "REF-003", "Carrier Sur",
+    "17-01-2026", "Porteo", "150000", "28500", "178500", "CLP")
+
+  test("fresh insert: 3 rows → 3 INSERTs, SUCCESS, reconciled totals") {
+    val base = tmp()
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1, r2, r3))
+    val report = ConsolidationPipeline.run(spark, cfg(base))
+    assert(report.status == "SUCCESS")
+    assert(report.inserted == 3 && report.errors == 0)
+    assert(report.sourceTotal == BigDecimal(535500)) // 119000+238000+178500
+    val store = spark.read.parquet(s"$base/consolidado.parquet")
+    assert(store.count() == 3)
+    assert(store.filter(col("invoice_number") === "FAC-001").count() == 1)
+  }
+
+  test("append-only proof: updated source row does NOT change stored value") {
+    val base = tmp()
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
+    assert(ConsolidationPipeline.run(spark, cfg(base)).status == "SUCCESS")
+    // same PK, changed carrier/description, SAME amounts (a changed amount
+    // trips reconciliation by design — covered in the next scenario)
+    val r1b = Seq("FAC-001", "REF-001", "CAMBIADO SA",
+      "15-01-2026", "descripción nueva", "100000", "19000", "119000", "CLP")
+    writeSimpleWorkbook(s"$base/landing", "f2.csv", Seq(r1b, r2))
+    val rep2 = ConsolidationPipeline.run(spark, cfg(base))
+    assert(rep2.status == "SUCCESS", rep2.toString)
+    assert(rep2.inserted == 1) // only FAC-002
+    val store = spark.read.parquet(s"$base/consolidado.parquet")
+    val kept = store.filter(col("invoice_number") === "FAC-001").collect()
+    assert(kept.length == 1)
+    assert(kept(0).getAs[String]("carrier_name") == "Transportes Chile Ltda")
+    assert(kept(0).getAs[java.math.BigDecimal]("total_amount").longValue == 119000L)
+  }
+
+  test("reconcile guard: existing PK redelivered with a CHANGED amount fails the file") {
+    val base = tmp()
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
+    assert(ConsolidationPipeline.run(spark, cfg(base)).status == "SUCCESS")
+    val r1Changed = Seq("FAC-001", "REF-001", "Transportes Chile Ltda",
+      "15-01-2026", "x", "999", "0", "999", "CLP")
+    writeSimpleWorkbook(s"$base/landing", "f2.csv", Seq(r1Changed, r2))
+    val rep2 = ConsolidationPipeline.run(spark, cfg(base))
+    // reconciliation raises BEFORE the write: whole file errors, store intact
+    assert(rep2.status == "ERROR")
+    assert(rep2.validationErrors.exists(_.contains("Reconciliación")))
+    assert(spark.read.parquet(s"$base/consolidado.parquet").count() == 1)
+  }
+
+  test("partial run: one good file + one schema-bad file → PARTIAL") {
+    val base = tmp()
+    writeSimpleWorkbook(s"$base/landing", "good.csv", Seq(r1))
+    // bad file: wrong headers entirely
+    val p = Paths.get(s"$base/landing", "bad.csv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      (Seq.fill(10)("\"\",\"\"") ++ Seq("\"Columna_Invalida\",\"Otra\"",
+        "\"x\",\"y\"")).mkString("\n"))
+    val report = ConsolidationPipeline.run(spark, cfg(base))
+    assert(report.status == "PARTIAL")
+    assert(report.inserted == 1)
+    assert(report.files.count(_.status == "SCHEMA_ERROR") == 1)
+  }
+
+  test("validation-error routing: mixed good/bad rows → INSERTs + VALIDATION_ERROR, SUCCESS") {
+    val base = tmp()
+    val bad = Seq("FAC-009", "REF-009", "Carrier", "INVALID-DATE",
+      "x", "100", "0", "100", "CLP")
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1, bad, r2))
+    val report = ConsolidationPipeline.run(spark, cfg(base))
+    assert(report.status == "SUCCESS")
+    assert(report.inserted == 2 && report.errors == 1)
+    assert(report.validationErrors.exists(_.contains("Formato de fecha")))
+
+    val tracker = new Audit.Tracker(spark, cfg(base).auditDir)
+    val actions = tracker.records.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(actions.get("INSERT").contains(2L))
+    assert(actions.get("VALIDATION_ERROR").contains(1L))
+  }
+
+  test("audit trail: run + file + record rows with correct counters") {
+    val base = tmp()
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1, r2))
+    ConsolidationPipeline.run(spark, cfg(base))
+    val tracker = new Audit.Tracker(spark, cfg(base).auditDir)
+    val run = tracker.runs.collect().head
+    assert(run.getAs[String]("status") == "SUCCESS")
+    assert(run.getAs[Long]("inserted") == 2)
+    val file = tracker.files.collect().head
+    assert(file.getAs[String]("status") == "COMPLETED")
+    assert(file.getAs[Long]("rows_total") == 2 && file.getAs[Long]("rows_valid") == 2)
+    assert(tracker.records.count() == 2)
+  }
+
+  test("idempotence: re-running the same file (same mtime) is a no-op") {
+    val base = tmp()
+    val f = writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
+    val c = cfg(base)
+    assert(ConsolidationPipeline.run(spark, c).inserted == 1)
+    // the file was archived; put an IDENTICAL copy (same name+mtime) back
+    val archived = Files.walk(Paths.get(c.lifecycleDir)).iterator()
+    val backup = archived.asInstanceOf[java.util.Iterator[Path]]
+    var found: Option[Path] = None
+    while (backup.hasNext) {
+      val p = backup.next()
+      if (p.getFileName.toString == "f1.csv" && Files.isRegularFile(p)) found = Some(p)
+    }
+    val dst = Paths.get(c.landingDir, "f1.csv")
+    Files.copy(found.get, dst)
+    Files.setLastModifiedTime(dst, Files.getLastModifiedTime(found.get))
+    val rep2 = ConsolidationPipeline.run(spark, c)
+    assert(rep2.inserted == 0)
+    assert(spark.read.parquet(c.consolidatedPath).count() == 1)
+  }
+
+  test("NO_FILES: empty landing dir → NO_FILES status, zero inserts") {
+    val base = tmp()
+    Files.createDirectories(Paths.get(s"$base/landing"))
+    val report = ConsolidationPipeline.run(spark, cfg(base))
+    assert(report.status == "NO_FILES")
+    assert(report.totalFiles == 0 && report.inserted == 0)
+  }
+
+  test("mixed-format workbook: fixed cells broadcast, F7 total override, summary rows dropped") {
+    val base = tmp()
+    // build a mixed sheet: C6 carrier, G3 date, C8 invoice, H6 ship, F4 aprobado
+    def row(cells: (Int, String)*): Seq[String] = {
+      val m = cells.toMap
+      (1 to 10).map(i => m.getOrElse(i, ""))
+    }
+    val headers = Seq("Fecha Servicio", "Órdenes de Embarque", "Guías de Despacho",
+      "Flete($)", "Porteo($)", "Total Servicio ($)", "Observaciones", "", "", "")
+    val sheet = Seq(
+      row(),                                    // 1
+      row(),                                    // 2
+      row(7 -> "15-01-2026"),                   // 3: G3
+      row(6 -> "Aprobado por: Juan Pérez"),     // 4: F4
+      row(),                                    // 5
+      row(3 -> "Transportes Chile Ltda", 8 -> "MSC GÜLSÜN"), // 6: C6, H6
+      row(),                                    // 7
+      row(3 -> "FAC-100"),                      // 8: C8
+      row(), row(),                             // 9, 10
+      headers,                                  // 11: header row
+      Seq("01-01-2026", "OE-1", "G-1", "1000", "500", "0", "obs", "", "", ""),
+      Seq("02-01-2026", "OE-2", "G-2", "0", "0", "9999", "", "", "", ""),
+      Seq("", "", "", "", "", "", "", "", "", ""),             // empty row
+      Seq("TOTAL NETO", "OE-X", "", "", "", "", "", "", "", "")) // summary row
+    val p = Paths.get(s"$base/landing", "mixed.csv")
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, sheet.map(_.map(c => "\"" + c + "\"").mkString(",")).mkString("\n"))
+
+    val report = ConsolidationPipeline.run(spark, cfg(base))
+    assert(report.status == "SUCCESS", report.toString)
+    assert(report.inserted == 2)
+    val store = spark.read.parquet(s"$base/consolidado.parquet")
+      .orderBy("reference_number").collect()
+    assert(store.forall(_.getAs[String]("invoice_number") == "FAC-100"))
+    assert(store.forall(_.getAs[String]("carrier_name") == "Transportes Chile Ltda"))
+    assert(store.forall(_.getAs[String]("aprobado_por") == "Juan Pérez"))
+    // F7: row 1 component sum 1500; row 2 explicit total 9999
+    assert(store(0).getAs[java.math.BigDecimal]("total_amount").longValue == 1500L)
+    assert(store(1).getAs[java.math.BigDecimal]("total_amount").longValue == 9999L)
+  }
+}
