@@ -709,6 +709,83 @@ object CoreQueries {
       |ORDER BY k
       |""".stripMargin))
 
+  /** P8 + F9 — egress write-projection to the 12 consolidated Spanish
+    * headers (total as double, invoice number best-effort integral,
+    * dd/MM/yyyy dates).
+    */
+  val p8Egress = QueryDef("p8_egress_layout",
+    (s, dir) => graft.pipeline.Egress.consolidatedLayout(existingInv(s, dir))
+      .orderBy(col("`N° Factura`"), col("`Órdenes de Embarque`")),
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |existing AS (SELECT * FROM inv WHERE ok % 3 = 0)
+      |SELECT invoice_number AS "N° Factura",
+      |       carrier_name AS "Empresa Transporte",
+      |       CAST(NULL AS VARCHAR) AS "Nave",
+      |       reference_number AS "Órdenes de Embarque",
+      |       CAST(NULL AS VARCHAR) AS "Guías de Despacho",
+      |       CAST(total_amount AS DOUBLE) AS "Total Servicio ($$)",
+      |       strftime(invoice_date, '%d/%m/%Y') AS "Fecha Emisión",
+      |       CAST(NULL AS VARCHAR) AS "Fecha Recepción Digital",
+      |       CAST(NULL AS VARCHAR) AS "Aprobado por:",
+      |       CAST(NULL AS VARCHAR) AS "Estado Operaciones",
+      |       CAST(NULL AS VARCHAR) AS "Fecha Aprobación Operaciones",
+      |       CAST(NULL AS VARCHAR) AS "Observaciones"
+      |FROM existing
+      |ORDER BY "N° Factura", "Órdenes de Embarque"
+      |""".stripMargin))
+
+  /** E1 — event-time tumbling-window aggregation over the events stream
+    * table (nanosecond timestamps → hour buckets; decimal value sums).
+    */
+  val e1EventWindow = QueryDef("e1_event_window",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      // ts read as long (nanos since epoch, see nanosAsLong); DIV is true
+      // integer division (ts exceeds 2^53 — double division would drift)
+      ev.groupBy(expr("ts DIV 3600000000000").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(InvoiceView.m2(col("value"))).cast(InvoiceRecord.money).as("total_value"))
+        .orderBy(col("hour_bucket"), col("event_type"))
+    },
+    Some(s"""
+      |SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(${InvoiceView.m2Sql("value")}) AS DECIMAL(18,2)) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_bucket, event_type
+      |""".stripMargin))
+
+  /** W1 — ranking window: top-3 events per user by value (deterministic
+    * event_id tiebreak). The reference has no window functions; the engine
+    * supports them as first-class.
+    */
+  val w1TopEventsPerUser = QueryDef("w1_top_events_per_user",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("value_clp").desc, col("event_id"))
+      ev.select(col("user_id"), col("event_id"),
+          InvoiceView.m2(col("value")).as("value_clp"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("user_id"), col("rk"))
+    },
+    Some(s"""
+      |WITH ranked AS (
+      |  SELECT user_id, event_id, ${InvoiceView.m2Sql("value")} AS value_clp,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ${InvoiceView.m2Sql("value")} DESC, event_id) AS rk
+      |  FROM events)
+      |SELECT user_id, event_id, value_clp, CAST(rk AS INT) AS rk
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY user_id, rk
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q5LocalRevenue,
     p1MapColumns, p3RequireNonBlank, p4SummaryFilter, p5TakeWhile,
@@ -716,5 +793,6 @@ object CoreQueries {
     f3ParseMoney, f4ParseDate, f6StripPrefix, f7TotalOverride, f9InvoiceInt,
     j1InsertOnly, j1InsertedSlice, j3FullUpsert, j2Attribution, j4Idempotence,
     a1DecimalSum, a2Reconcile, a3ActionCounters,
-    o3TopErrors, u1Union, u2Except)
+    o3TopErrors, u1Union, u2Except,
+    p8Egress, e1EventWindow, w1TopEventsPerUser)
 }

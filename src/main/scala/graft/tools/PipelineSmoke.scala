@@ -51,6 +51,14 @@ object PipelineSmoke {
     ConsolidationStream.runAvailableNow(spark, cfg) // restart: must not re-add
     val n2 = spark.read.parquet(cfg.consolidatedPath).count()
     println(s"[smoke] stream: firstPass=$n1 afterRestart=$n2")
+
+    // SQL surface: native expression registered for spark.sql users
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark,
+      "parse_clp_money", ch => graft.functions.ParseClpMoney(ch.head))
+    val sqlRow = spark.sql(
+      "SELECT parse_clp_money('$1.234.567') AS a, parse_clp_money('N/A') AS b")
+      .collect().head
+    println(s"[smoke] sql: parse_clp_money=${sqlRow.getDecimal(0)} invalid=${sqlRow.isNullAt(1)}")
     spark.stop()
   }
 
