@@ -20,9 +20,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // One warm-up action so JVM/codegen startup isn't billed to the first query.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Warm-up: run EVERY query once at the smallest scale so whole-stage
+    // codegen compilation and scan setup aren't billed to whichever query
+    // happens to run first at the measured scale.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 

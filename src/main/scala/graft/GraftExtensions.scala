@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.ParseClpMoney
+import graft.functions.{LongArrayDot, ParseClpMoney}
 
 /** Session extensions exposing the engine's native expressions to SQL
   * users: `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "parse_clp_money takes exactly one argument")
         ParseClpMoney(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("long_array_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "long_array_dot takes exactly two arguments")
+        LongArrayDot(children.head, children(1))
       }))
   }
 }

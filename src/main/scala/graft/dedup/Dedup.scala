@@ -30,9 +30,11 @@ object Dedup {
 
   // --------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (distinct, sorted) of whitespace tokens. Fewer
-    * than n tokens → empty array (guarded: Spark's `sequence` would count
-    * DOWN for an empty range).
+  /** Word n-gram shingles (distinct, order unspecified) of whitespace
+    * tokens. Fewer than n tokens → empty array (guarded: Spark's
+    * `sequence` would count DOWN for an empty range). All consumers
+    * (hashing, min-aggregation, set counting) are order-independent, so
+    * no sort is paid.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
@@ -40,7 +42,7 @@ object Dedup {
     val grams = transform(
       sequence(lit(1), cnt),
       i => concat_ws(" ", slice(toks, i, lit(n))))
-    when(cnt > 0, array_sort(array_distinct(grams)))
+    when(cnt > 0, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -197,16 +199,23 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       blockCols: Seq[String]): DataFrame = {
-    val withSh = df.select(
+    // one shingle computation per row: explode immediately, and derive the
+    // per-doc set size FROM the exploded rows (a second `size(sh)`
+    // reference would recompute the whole shingle expression after
+    // projection collapse)
+    val ex = df.select(
       (col(idCol) +: blockCols.map(col)) :+
-        shingles(col(textCol), n).as("sh"): _*)
-    def side(k: Int) = withSh.select(
-      (col(idCol).as(s"id$k") +: size(col("sh")).as(s"sz$k") +:
-        blockCols.map(col)) :+ explode(col("sh")).as("s"): _*)
-    side(1).join(side(2), blockCols :+ "s")
+        explode(shingles(col(textCol), n)).as("s"): _*)
+    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = ex.select((col(idCol).as("id1") +: blockCols.map(col)) :+ col("s"): _*)
+      .join(ex.select((col(idCol).as("id2") +: blockCols.map(col)) :+ col("s"): _*),
+        blockCols :+ "s")
       .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col(idCol).as("id1"), col("sz").as("sz1"))), "id1")
+      .join(broadcast(sizes.select(col(idCol).as("id2"), col("sz").as("sz2"))), "id2")
       .select(col("id1"), col("id2"),
         floor(col("inter").cast("long") * 1000000L /
           (col("sz1") + col("sz2") - col("inter"))).as("jaccard_ppm"))

@@ -17,6 +17,13 @@ package object functions {
   def parse_clp_money(c: Column): Column =
     GraftSqlBridge.column(ParseClpMoney(GraftSqlBridge.expression(c.cast("string"))))
 
+  /** Codegen'd integer dot product of two `array<long>` columns (see
+    * [[graft.functions.LongArrayDot]]) — the similarity layer's hot loop.
+    */
+  def long_array_dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(LongArrayDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** F1 — `_clean_string`: null → "", else trimmed string rendering
     * (transformers.py:51-55).
     */

@@ -24,9 +24,13 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000, 0).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a codegen'd
+    * native expression ([[graft.functions.LongArrayDot]]); the
+    * `aggregate(zip_with(...))` formulation is interpreted and measured
+    * several times slower on the ANN queries.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.long_array_dot(a, b)
 
   /** Squared L2 norm of a quantized vector (exact long). */
   def normSqQ(a: Column): Column = dotQ(a, a)
