@@ -52,6 +52,29 @@ object Dedup {
   def shingleHash(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long")
 
+  /** Exploded DISTINCT shingle rows `(idCol, carry..., s)` — the shared
+    * feeder for the inverted-index join and the minhash aggregate. Grams
+    * build via posexplode + window `lead` (whole-stage codegen) rather
+    * than the per-row HOF transform, which runs interpreted and measured
+    * 2–3× slower; the extra window shuffle partitions on the doc id, so
+    * skew is bounded by document length.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = col(idCol) +: carry.map(col)
+    val toks = df.select(keys :+
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"t$k"))
+    val gram = concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"t$k")): _*)
+    toks.select(keys ++ leads :+ col("tok"): _*)
+      .filter((1 until n).map(k => col(s"t$k").isNotNull)
+        .foldLeft(lit(true))(_ && _))
+      .select(keys :+ gram.as("s"): _*)
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- minhash
 
   val MinhashPrime = 1000003L
@@ -82,8 +105,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
+    val exploded = shingleRows(df, idCol, textCol, n)
       .withColumn("h", shingleHash(col("s")))
     val minAggs = (0 until k).map(i =>
       min((col("h") * (2 * i + 3) + 7919L * i) % MinhashPrime).as(s"m$i"))
@@ -199,13 +221,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       blockCols: Seq[String]): DataFrame = {
-    // one shingle computation per row: explode immediately, and derive the
-    // per-doc set size FROM the exploded rows (a second `size(sh)`
-    // reference would recompute the whole shingle expression after
-    // projection collapse)
-    val ex = df.select(
-      (col(idCol) +: blockCols.map(col)) :+
-        explode(shingles(col(textCol), n)).as("s"): _*)
+    // one shingle computation, already exploded; per-doc set sizes derive
+    // FROM the exploded rows (a separate `size(shingles)` reference would
+    // recompute the whole gram expression after projection collapse)
+    val ex = shingleRows(df, idCol, textCol, n, blockCols)
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = ex.select((col(idCol).as("id1") +: blockCols.map(col)) :+ col("s"): _*)
       .join(ex.select((col(idCol).as("id2") +: blockCols.map(col)) :+ col("s"): _*),

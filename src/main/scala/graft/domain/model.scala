@@ -62,6 +62,20 @@ object InvoiceRecord {
   /** Composite primary key columns (entities.py:73-76). */
   val pk: Seq[String] = Seq("invoice_number", "reference_number")
 
+  /** Typed view of a canonical DataFrame — the engine's validated core is
+    * `Dataset[InvoiceRecord]` (SURVEY §1.3); missing optional columns are
+    * null-filled so any canonicalized frame lifts into the typed API.
+    */
+  def typed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[InvoiceRecord] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    val aligned = df.select(schema.fields.toSeq.map(f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+    aligned.as(org.apache.spark.sql.Encoders.product[InvoiceRecord])
+  }
+
   /** Business fields compared by change detection — `has_changes_vs`
     * ignores description and metadata (entities.py:101-111).
     */

@@ -185,24 +185,24 @@ object ConsolidationPipeline {
       case _ => Merge.insertOnly(existing, aligned, InvoiceRecord.pk)
     }
 
-    // A2 — reconcile BEFORE the sink commit; throws on loss/variance
-    Reconcile.check(valid, m.result, InvoiceRecord.pk, "total_amount")
+    // pin the merge result BEFORE any store mutation: the upsert path
+    // overwrites the very files m.result's lineage reads, so every
+    // downstream use (reconcile, audit, counters) works off this
+    // materialized copy
+    val mResult = m.result.localCheckpoint()
 
-    // S7 semantics — append ONLY the inserted slice (or overwrite on upsert)
-    val inserted = m.inserted.localCheckpoint()
+    // A2 — reconcile BEFORE the sink commit; throws on loss/variance
+    Reconcile.check(valid, mResult, InvoiceRecord.pk, "total_amount")
+
+    val inserted = (cfg.mergeMode match {
+      case "upsert" => mResult.filter(col("status") === "new")
+      case _ => m.inserted
+    }).localCheckpoint()
     val insertedCount = inserted.count()
-    cfg.mergeMode match {
-      case "upsert" =>
-        val full = m.result.localCheckpoint()
-        full.write.mode(SaveMode.Overwrite).parquet(cfg.consolidatedPath)
-      case _ =>
-        alignToStore(spark, inserted, cfg.consolidatedPath)
-          .write.mode(SaveMode.Append).parquet(cfg.consolidatedPath)
-    }
 
     // J2 + S8 — record-level lineage: merge actions for valid rows,
     // VALIDATION_ERROR rows from the split side-channel
-    val attributed = Merge.attributeActions(valid, m.result, InvoiceRecord.pk)
+    val attributed = Merge.attributeActions(valid, mResult, InvoiceRecord.pk)
     val errDf = split.errors.select(col("row_index"), col("invoice_number"),
       lit(null).cast("string").as("reference_number"),
       lit(RecordAction.ValidationError).as("action"),
@@ -210,9 +210,20 @@ object ConsolidationPipeline {
     tracker.logRecords(runId, fileLogId,
       attributed.unionByName(errDf, allowMissingColumns = true))
 
-    val counters = m.result.groupBy("status").count().collect()
+    val counters = mResult.groupBy("status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val srcTotal = Reconcile.decimalTotal(valid, "total_amount")
+
+    // S7 semantics — the store mutation happens LAST: append only the
+    // inserted slice (insert-only) or overwrite with the merged view
+    // (upsert; safe because mResult/inserted are already materialized)
+    cfg.mergeMode match {
+      case "upsert" =>
+        mResult.write.mode(SaveMode.Overwrite).parquet(cfg.consolidatedPath)
+      case _ =>
+        alignToStore(spark, inserted, cfg.consolidatedPath)
+          .write.mode(SaveMode.Append).parquet(cfg.consolidatedPath)
+    }
 
     tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,
       schema_valid = true, Nil, Nil, rowsTotal, rowsValid,

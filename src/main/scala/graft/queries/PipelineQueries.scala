@@ -145,7 +145,10 @@ object PipelineQueries {
   val d3MinhashLsh = QueryDef("d3_minhash_lsh",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // signatures feed four branches of the banding join — materialize
+      // once (tiny: docs × k longs) instead of re-aggregating per branch
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+        .localCheckpoint()
       Dedup.lshCandidatePairs(sigs, "doc_id", "sig", 4, 4)
         .orderBy(col("id1"), col("id2"))
     },
@@ -217,6 +220,7 @@ object PipelineQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val sh = Dedup.simhashes(docs, "doc_id", "text", carry = Seq("lang"))
+        .localCheckpoint() // both self-join sides share one computation
       val l = sh.select(col("doc_id").as("id1"), col("lang"), col("simhash").as("sh1"))
       val r = sh.select(col("doc_id").as("id2"), col("lang"), col("simhash").as("sh2"))
       l.join(r, "lang").filter(col("id1") < col("id2"))

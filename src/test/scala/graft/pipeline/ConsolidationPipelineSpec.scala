@@ -158,6 +158,35 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(c.consolidatedPath).count() == 1)
   }
 
+  test("upsert mode (J3): changed fields update in place, new PKs insert") {
+    val base = tmp()
+    val c = cfg(base).copy(mergeMode = "upsert")
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
+    assert(ConsolidationPipeline.run(spark, c).status == "SUCCESS")
+    val r1Changed = Seq("FAC-001", "REF-001", "Transportes Chile Ltda",
+      "15-01-2026", "x", "120000", "22800", "142800", "CLP")
+    writeSimpleWorkbook(s"$base/landing", "f2.csv", Seq(r1Changed, r2))
+    val rep2 = ConsolidationPipeline.run(spark, c)
+    assert(rep2.status == "SUCCESS", rep2.toString)
+    assert(rep2.inserted == 1 && rep2.updated == 1)
+    val store = spark.read.parquet(c.consolidatedPath)
+    assert(store.count() == 2)
+    val f1 = store.filter(col("invoice_number") === "FAC-001").collect().head
+    assert(f1.getAs[java.math.BigDecimal]("total_amount").longValue == 142800L)
+  }
+
+  test("typed core: canonical rows lift into Dataset[InvoiceRecord]") {
+    val base = tmp()
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1, r2))
+    ConsolidationPipeline.run(spark, cfg(base))
+    val ds = graft.domain.InvoiceRecord.typed(
+      spark.read.parquet(s"$base/consolidado.parquet"))
+    val recs = ds.collect().sortBy(_.invoice_number)
+    assert(recs.length == 2)
+    assert(recs.head.invoice_number == "FAC-001")
+    assert(recs.head.total_amount.longValue == 119000L)
+  }
+
   test("NO_FILES: empty landing dir → NO_FILES status, zero inserts") {
     val base = tmp()
     Files.createDirectories(Paths.get(s"$base/landing"))
