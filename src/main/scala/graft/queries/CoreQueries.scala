@@ -786,6 +786,75 @@ object CoreQueries {
       |ORDER BY user_id, rk
       |""".stripMargin))
 
+  /** K1 — salted two-phase aggregation over a hot grouping key: results
+    * must be IDENTICAL to the plain groupBy (the oracle computes the
+    * unsalted form — salting is semantically invisible).
+    */
+  val k1SaltedAgg = QueryDef("k1_salted_agg",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Skew.saltedSum(ev, Seq("event_type"),
+          Seq("n" -> lit(1L), "total_value" -> InvoiceView.m2(col("value"))),
+          factor = 16)
+        .select(col("event_type"), col("n"),
+          col("total_value").cast(InvoiceRecord.money).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      |SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(${InvoiceView.m2Sql("value")}) AS DECIMAL(18,2)) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type
+      |""".stripMargin))
+
+  /** K2 — salted equi-join (replicated small side): output rows must be
+    * exactly the plain join's rows.
+    */
+  val k2SaltedJoin = QueryDef("k2_salted_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("cohort", col("user_id") % 7)
+      graft.operators.Skew.saltedJoin(ev, dim, Seq("user_id"), factor = 8)
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(InvoiceView.m2(col("value"))).cast(InvoiceRecord.money).as("total_value"))
+        .orderBy(col("cohort"))
+    },
+    Some(s"""
+      |WITH dim AS (SELECT DISTINCT user_id, user_id % 7 AS cohort FROM events)
+      |SELECT d.cohort, COUNT(*) AS n,
+      |       CAST(SUM(${InvoiceView.m2Sql("e.value")}) AS DECIMAL(18,2)) AS total_value
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |GROUP BY d.cohort
+      |ORDER BY d.cohort
+      |""".stripMargin))
+
+  /** Q8 — ROLLUP grouping-set aggregation (engine capability; the
+    * reference has no grouping sets). Null-marker rows from both engines
+    * must align, so grouping columns coalesce to sentinels.
+    */
+  val q8Rollup = QueryDef("q8_rollup",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(InvoiceView.m2(col("l_extendedprice"))).cast(InvoiceRecord.money)
+          .as("total"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        col("n"), col("total"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some(s"""
+      |SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+      |       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(${InvoiceView.m2Sql("l_extendedprice")}) AS DECIMAL(18,2)) AS total
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag, l_linestatus
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q5LocalRevenue,
     p1MapColumns, p3RequireNonBlank, p4SummaryFilter, p5TakeWhile,
@@ -794,5 +863,6 @@ object CoreQueries {
     j1InsertOnly, j1InsertedSlice, j3FullUpsert, j2Attribution, j4Idempotence,
     a1DecimalSum, a2Reconcile, a3ActionCounters,
     o3TopErrors, u1Union, u2Except,
-    p8Egress, e1EventWindow, w1TopEventsPerUser)
+    p8Egress, e1EventWindow, w1TopEventsPerUser,
+    k1SaltedAgg, k2SaltedJoin, q8Rollup)
 }
