@@ -103,8 +103,16 @@ object Merge {
   /** J5 — lenient re-parse of the consolidated side: rows that fail
     * validation are silently dropped from the merge probe set (they survive
     * physically in the append-only sink) — consolidate_invoices.py:577-587.
+    *
+    * The probe set is also DEDUPED by PK: the reference builds
+    * `{r.primary_key: r}` over the existing list (:480), so legacy
+    * duplicate PKs collapse to one row in the merged VIEW (the physical
+    * append-only store keeps them). Without this, a duplicate legacy PK
+    * re-sent by a source would double-count in reconciliation.
     */
-  def lenientExisting(parsedExisting: DataFrame): DataFrame =
+  def lenientExisting(parsedExisting: DataFrame,
+      pk: Seq[String] = graft.domain.InvoiceRecord.pk): DataFrame =
     Validate.withErrorColumn(parsedExisting)
       .filter(col("error").isNull).drop("error")
+      .dropDuplicates(pk)
 }

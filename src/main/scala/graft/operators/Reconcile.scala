@@ -41,29 +41,38 @@ object Reconcile {
     else row.getDecimal(0)
   }
 
-  /** A2 — reconciliation check. Computes the missing-PK count, source total,
-    * and the total over the result rows whose PK appears in the source
-    * (semi join), in two Spark actions. Throws [[ReconciliationException]]
-    * when the invariant fails, mirroring `ReconciliationError`
+  /** A2 — reconciliation check in TWO Spark jobs (source stats; one outer
+    * join covering both the missing-PK count and the matched-result
+    * total — A2 sits on the critical path before every sink commit, so
+    * jobs matter at scale). Throws [[ReconciliationException]] when the
+    * invariant fails, mirroring `ReconciliationError`
     * (src/domain/exceptions.py:33-42).
     */
   def check(source: DataFrame, result: DataFrame, pk: Seq[String],
       amount: String): Report = {
-    val srcKeys = source.select(pk.map(col): _*)
     val srcStats = source.agg(
       count_distinct(struct(pk.map(col): _*)).as("pks"),
       sum(col(amount).cast(InvoiceRecord.money)).as("total")).head()
-    val missing = srcKeys.distinct()
-      .join(result.select(pk.map(col): _*), pk, "left_anti").count()
-    val resultTotal = decimalTotal(
-      result.join(srcKeys.distinct(), pk, "left_semi"), amount)
+    // one left-outer join from the distinct source keys: an unmatched key
+    // yields exactly one null-marker row (→ missing count); a matched key
+    // yields one row per matching result row (→ the semi-join sum)
+    val joined = source.select(pk.map(col): _*).distinct()
+      .join(result.select(pk.map(col) :+
+            col(amount).cast(InvoiceRecord.money).as("__amt"): _*)
+          .withColumn("__present", lit(1)),
+        pk, "left_outer")
+      .agg(
+        count(when(col("__present").isNull, lit(1))).as("missing"),
+        sum(col("__amt")).as("result_total")).head()
     val report = Report(
-      missingPks = missing,
+      missingPks = joined.getLong(0),
       sourcePks = srcStats.getLong(0),
       sourceTotal =
         if (srcStats.isNullAt(1)) java.math.BigDecimal.ZERO
         else srcStats.getDecimal(1),
-      resultTotal = resultTotal)
+      resultTotal =
+        if (joined.isNullAt(1)) java.math.BigDecimal.ZERO
+        else joined.getDecimal(1))
     if (!report.ok) throw ReconciliationException(report)
     report
   }

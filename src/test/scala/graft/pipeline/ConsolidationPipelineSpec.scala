@@ -187,6 +187,28 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(recs.head.total_amount.longValue == 119000L)
   }
 
+  test("legacy duplicate PKs in the store dedupe in the probe view (J5), not on disk") {
+    val base = tmp()
+    val c = cfg(base)
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
+    assert(ConsolidationPipeline.run(spark, c).status == "SUCCESS")
+    // simulate a legacy duplicate PK row appended directly to the store
+    val store = spark.read.parquet(c.consolidatedPath)
+    store.write.mode("append").parquet(c.consolidatedPath)
+    assert(spark.read.parquet(c.consolidatedPath).count() == 2)
+    // re-send the same PK (same amounts) + one new row: without the probe
+    // dedupe the duplicate would double-count in reconciliation and fail
+    writeSimpleWorkbook(s"$base/landing", "f2.csv", Seq(r1, r2))
+    val rep = ConsolidationPipeline.run(spark, c)
+    assert(rep.status == "SUCCESS", rep.toString)
+    assert(rep.inserted == 1) // only FAC-002
+    // the physical store keeps the legacy dupes (append-only)
+    val byPk = spark.read.parquet(c.consolidatedPath)
+      .groupBy("invoice_number").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPk("FAC-001") == 2 && byPk("FAC-002") == 1)
+  }
+
   test("NO_FILES: empty landing dir → NO_FILES status, zero inserts") {
     val base = tmp()
     Files.createDirectories(Paths.get(s"$base/landing"))
