@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the events stream: watermarked
+  * tumbling-window aggregation and stateful sessionization
+  * (`flatMapGroupsWithState`) — the Structured-Streaming depth the engine
+  * offers beyond the reference's batch-only surface.
+  *
+  * Events carry nanosecond epochs (`ts` as long, see nanosAsLong); they
+  * convert to event-time timestamps at the source boundary.
+  */
+object EventWindows {
+
+  /** Attach an event-time timestamp column from the nanos-long `ts`. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time",
+      timestamp_micros(expr("ts DIV 1000")))
+
+  /** Watermarked tumbling-window counts per event type. Late events beyond
+    * the watermark are dropped; state for closed windows is released —
+    * the property that makes hour-window aggregation run forever at scale.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  final case class SessionEvent(user_id: Long, event_time_us: Long)
+  final case class SessionState(start_us: Long, last_us: Long, events: Long)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+      events: Long)
+
+  /** Stateful sessionization: per-user sessions close after `gapMinutes`
+    * of inactivity (processing-time timeout — emitted when the state times
+    * out or a new event arrives past the gap). The custom-state shape the
+    * reference's architecture never needed but a streaming engine must
+    * offer (`flatMapGroupsWithState`).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start_us, s.last_us, s.events))
+          } else {
+            val sorted = it.toSeq.sortBy(_.event_time_us)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.event_time_us - s.last_us <= gapUs =>
+                  cur = Some(s.copy(last_us = e.event_time_us, events = s.events + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start_us, s.last_us, s.events)
+                  cur = Some(SessionState(e.event_time_us, e.event_time_us, 1))
+                case None =>
+                  cur = Some(SessionState(e.event_time_us, e.event_time_us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(s"$gapMinutes minutes")
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

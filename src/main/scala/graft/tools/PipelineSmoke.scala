@@ -52,6 +52,20 @@ object PipelineSmoke {
     val n2 = spark.read.parquet(cfg.consolidatedPath).count()
     println(s"[smoke] stream: firstPass=$n1 afterRestart=$n2")
 
+    // event-time streaming surface: watermarked window counts over a file
+    // stream of the driver's events table
+    val ewBase = Files.createTempDirectory("graft-smoke-ew")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(s"$ewBase/in/p1")
+    val q = graft.streaming.EventWindows.windowedCounts(
+        spark.readStream.schema(events.schema).parquet(s"$ewBase/in/*"))
+      .writeStream.format("memory").queryName("smoke_win")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$ewBase/ckpt").start()
+    q.awaitTermination()
+    println(s"[smoke] windows: closed=${spark.table("smoke_win").count()}")
+
     // SQL surface: native expression registered for spark.sql users
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark,
       "parse_clp_money", ch => graft.functions.ParseClpMoney(ch.head))

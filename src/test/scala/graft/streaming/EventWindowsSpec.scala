@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Event-time streaming: watermarked window counts over a file stream
+  * match the batch computation; stateful sessionization closes sessions at
+  * the inactivity gap.
+  */
+class EventWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watermarked windowed counts over a stream match the batch result") {
+    val base = Files.createTempDirectory("graft-ew")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.parquet(s"$base/landing/part1")
+
+    val streamed = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/landing/*")
+    val q = EventWindows.windowedCounts(streamed)
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("win_counts")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val want = EventWindows.windowedCounts(events)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // append mode emits only watermark-CLOSED windows; the stream's tail
+    // windows (within the 2h watermark of max event time) stay open at
+    // end-of-stream, so the streamed result is a strict prefix of batch
+    assert(got.nonEmpty)
+    assert(got.toSet.subsetOf(want.toSet),
+      s"streamed rows must match batch: ${got.toSet -- want.toSet}")
+    val maxClosed = got.map(_._1.getTime).max
+    val wantClosed = want.filter(_._1.getTime <= maxClosed)
+    assert(got.toSet == wantClosed.toSet,
+      "every batch window up to the last closed one must have streamed")
+  }
+
+  test("sessionization closes sessions at the inactivity gap (batch-mode state op)") {
+    val min = 60L * 1000 * 1000
+    val evs = Seq(
+      EventWindows.SessionEvent(1L, 0 * min),
+      EventWindows.SessionEvent(1L, 5 * min),    // same session (gap 10)
+      EventWindows.SessionEvent(1L, 30 * min),   // new session
+      EventWindows.SessionEvent(2L, 0 * min)).toDS()
+    val sessions = EventWindows.sessionize(evs, gapMinutes = 10)
+      .collect().sortBy(s => (s.user_id, s.start_us))
+    // only CLOSED sessions emit in batch mode (open state never times out
+    // inside a single batch): user 1's first session closed at 5min
+    assert(sessions.length == 1)
+    assert(sessions.head == EventWindows.Session(1L, 0, 5 * min, 2))
+  }
+}
