@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{LongArrayDot, ParseClpMoney}
+import graft.functions.{LongArrayDot, ParseClpMoney, RollingHash}
 
 /** Session extensions exposing the engine's native expressions to SQL
   * users: `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "parse_clp_money takes exactly one argument")
         ParseClpMoney(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "rolling_hash takes exactly one argument")
+        RollingHash(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("long_array_dot"),

@@ -24,6 +24,12 @@ package object functions {
     GraftSqlBridge.column(LongArrayDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Codegen'd polynomial rolling hash over code points (see
+    * [[graft.functions.RollingHash]]); empty/null → null.
+    */
+  def rolling_hash(c: Column): Column =
+    GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(c.cast("string"))))
+
   /** F1 — `_clean_string`: null → "", else trimmed string rendering
     * (transformers.py:51-55).
     */

@@ -75,17 +75,13 @@ object TextAnalysis {
 
   val FingerprintMod = 2147483647L // 2^31 - 1
 
-  /** T-fingerprint — polynomial rolling hash over characters,
-    * `h = (h*31 + ord(c)) mod (2^31-1)`. Position-indexed (not split-based)
-    * so the char stream is identical in every engine. Null/empty → null.
+  /** T-fingerprint — polynomial rolling hash over code points,
+    * `h = (h*31 + cp) mod (2^31-1)`, null/empty → null. A native codegen'd
+    * expression ([[graft.functions.RollingHash]]) — the HOF character loop
+    * ran interpreted and dominated the text-stats pass.
     */
-  def fingerprint(text: Column): Column = {
-    val chars = transform(sequence(lit(1), length(text)),
-      i => ascii(text.substr(i, lit(1))))
-    when(length(text) > 0,
-      aggregate(chars, lit(0L),
-        (acc, c) => (acc * 31 + c) % FingerprintMod))
-  }
+  def fingerprint(text: Column): Column =
+    graft.functions.rolling_hash(text)
 
   /** Exact content identity: md5 of the UTF-8 bytes. */
   def contentHash(text: Column): Column = md5(text.cast("binary"))

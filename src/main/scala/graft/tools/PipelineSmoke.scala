@@ -69,10 +69,13 @@ object PipelineSmoke {
     // SQL surface: native expression registered for spark.sql users
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark,
       "parse_clp_money", ch => graft.functions.ParseClpMoney(ch.head))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark,
+      "rolling_hash", ch => graft.functions.RollingHash(ch.head))
     val sqlRow = spark.sql(
-      "SELECT parse_clp_money('$1.234.567') AS a, parse_clp_money('N/A') AS b")
-      .collect().head
-    println(s"[smoke] sql: parse_clp_money=${sqlRow.getDecimal(0)} invalid=${sqlRow.isNullAt(1)}")
+      "SELECT parse_clp_money('$1.234.567') AS a, parse_clp_money('N/A') AS b, " +
+        "rolling_hash('abc') AS c").collect().head
+    println(s"[smoke] sql: parse_clp_money=${sqlRow.getDecimal(0)} " +
+      s"invalid=${sqlRow.isNullAt(1)} rolling_hash=${sqlRow.getLong(2)}")
     spark.stop()
   }
 
