@@ -66,6 +66,19 @@ object PipelineSmoke {
     q.awaitTermination()
     println(s"[smoke] windows: closed=${spark.table("smoke_win").count()}")
 
+    // bucketed-store surface: PK aggregation over the bucketed layout must
+    // plan without a shuffle exchange
+    spark.sql("DROP TABLE IF EXISTS smoke_bucketed")
+    val inv = spark.read.parquet(s"$base/consolidado.parquet")
+    graft.pipeline.BucketedStore.write(inv, "smoke_bucketed",
+      Seq("invoice_number", "reference_number"), buckets = 4)
+    val agg = graft.pipeline.BucketedStore.read(spark, "smoke_bucketed")
+      .groupBy("invoice_number", "reference_number")
+      .agg(org.apache.spark.sql.functions.sum("total_amount"))
+    println(s"[smoke] bucketed: shuffleFree=${graft.pipeline.BucketedStore.hasNoShuffle(agg)}" +
+      s" rows=${agg.count()}")
+    spark.sql("DROP TABLE IF EXISTS smoke_bucketed")
+
     // SQL surface: native expression registered for spark.sql users
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark,
       "parse_clp_money", ch => graft.functions.ParseClpMoney(ch.head))
