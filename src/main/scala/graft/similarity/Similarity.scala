@@ -101,6 +101,65 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "bucket", "cosine")
   }
 
+  /** IVF coarse quantizer: `nCentroids` deterministic pseudo-random
+    * centroids in quantized milli-units, derived from md5 so any engine
+    * can reproduce them: `centroid[c][d] = (md5_28("ivf-c-d") mod 2001) − 1000`.
+    * A production engine would train these with k-means over a sample;
+    * the assignment/search plumbing is identical either way.
+    */
+  def ivfCentroids(nCentroids: Int, dims: Int): Seq[(Int, Seq[Long])] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h28(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until nCentroids).map(c =>
+      c -> (0 until dims).map(d => h28(s"ivf-$c-$d") % 2001 - 1000))
+  }
+
+  /** IVF list assignment: nearest centroid by exact integer squared
+    * distance `|q|² − 2·q·c + |c|²` (ties → smallest centroid id).
+    * Input rows: (idCol, qv: array<long>); output adds `centroid_id`.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, qvCol: String,
+      centroids: Seq[(Int, Seq[Long])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toDF("centroid_id", "cv"))
+    val dist = normSqQ(col(qvCol)) - lit(2L) * dotQ(col(qvCol), col("cv")) +
+      normSqQ(col("cv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(dist.asc, col("centroid_id"))
+    df.crossJoin(cdf)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "cv")
+  }
+
+  /** IVF ANN: assign every vector to its coarse list, then search only
+    * within the query's list (nprobe=1). At scale the corpus is stored
+    * partitioned by centroid_id, so a probe touches one partition.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, dims: Int = 64): DataFrame = {
+    val q = ivfAssign(
+      df.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
+      "query_id", "qv", ivfCentroids(nCentroids, dims))
+    val c = q.select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
+      col("centroid_id"))
+    val scored = q.join(c, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("centroid_id"), col("query_id"), col("neighbor_id"),
+        cosineFromQ(dotQ(col("qv"), col("cv")),
+          normSqQ(col("qv")), normSqQ(col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "centroid_id", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs: id1 < id2 with cosine above
     * `thresholdPpm/1e6`, decided in EXACT integer arithmetic:
     * `dot > 0 && dot^2 * 10^12 >= t^2 * |a|^2 * |b|^2` — no float boundary.

@@ -39,6 +39,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("IVF: identical vectors share a centroid list; top-k finds the twin") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(
+      df.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv")),
+      "vec_id", "qv", Similarity.ivfCentroids(16, 4))
+    val byId = assigned.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("centroid_id")).toMap
+    assert(byId(0L) == byId(3L)) // identical vectors → same list
+    assert(assigned.count() == 4) // every vector assigned exactly once
+
+    val top = Similarity.ivfTopK(df, "vec_id", "embedding", 2, 16, 4)
+      .filter(col("query_id") === 0).orderBy("rank").collect()
+    assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 3L)
+  }
+
   test("sign bucket groups sign-identical vectors") {
     val df = vecs.toDF("vec_id", "embedding").select(col("vec_id"),
       Similarity.signBucket(Similarity.quantize(col("embedding")), 4).as("b"))
