@@ -37,7 +37,11 @@ object ConsolidationPipeline {
       auditDir: String,
       lifecycleDir: String,
       mergeMode: String = "insert-only", // or "upsert"
-      dateFormat: String = "dd-MM-yyyy")
+      dateFormat: String = "dd-MM-yyyy",
+      /** Partition the store on these columns (e.g. invoice_date): date-
+        * scoped reads prune partitions instead of scanning the store.
+        */
+      partitionBy: Seq[String] = Nil)
 
   final case class SchemaValidationException(missing: Seq[String], extra: Seq[String])
     extends RuntimeException(
@@ -217,12 +221,16 @@ object ConsolidationPipeline {
     // S7 semantics — the store mutation happens LAST: append only the
     // inserted slice (insert-only) or overwrite with the merged view
     // (upsert; safe because mResult/inserted are already materialized)
+    def partitioned(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w
     cfg.mergeMode match {
       case "upsert" =>
-        mResult.write.mode(SaveMode.Overwrite).parquet(cfg.consolidatedPath)
+        partitioned(mResult.write.mode(SaveMode.Overwrite))
+          .parquet(cfg.consolidatedPath)
       case _ =>
-        alignToStore(spark, inserted, cfg.consolidatedPath)
-          .write.mode(SaveMode.Append).parquet(cfg.consolidatedPath)
+        partitioned(alignToStore(spark, inserted, cfg.consolidatedPath)
+          .write.mode(SaveMode.Append))
+          .parquet(cfg.consolidatedPath)
     }
 
     tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,

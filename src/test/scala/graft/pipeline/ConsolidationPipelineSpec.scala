@@ -209,6 +209,37 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(byPk("FAC-001") == 2 && byPk("FAC-002") == 1)
   }
 
+  test("date-partitioned store: layout on disk + partition pruning on date filters") {
+    val base = tmp()
+    val c = cfg(base).copy(partitionBy = Seq("invoice_date"))
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1, r2, r3))
+    assert(ConsolidationPipeline.run(spark, c).status == "SUCCESS")
+
+    // physical layout: one directory per invoice_date
+    val dirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(c.consolidatedPath)).iterator()
+    var partDirs = 0
+    while (dirs.hasNext) {
+      if (dirs.next().getFileName.toString.startsWith("invoice_date=")) partDirs += 1
+    }
+    assert(partDirs == 3)
+
+    // a date-scoped read prunes: PartitionFilters carries the predicate
+    val pruned = spark.read.parquet(c.consolidatedPath)
+      .filter(col("invoice_date") === java.sql.Date.valueOf("2026-01-15"))
+    val scan = pruned.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.exists(_.partitionFilters.nonEmpty),
+      pruned.queryExecution.sparkPlan.toString)
+    assert(pruned.count() == 1)
+    // second run still merges correctly against the partitioned store
+    writeSimpleWorkbook(s"$base/landing", "f2.csv",
+      Seq(Seq("FAC-009", "REF-009", "Carrier X", "18-01-2026", "d", "50", "0", "50", "CLP")))
+    assert(ConsolidationPipeline.run(spark, c).inserted == 1)
+    assert(spark.read.parquet(c.consolidatedPath).count() == 4)
+  }
+
   test("NO_FILES: empty landing dir → NO_FILES status, zero inserts") {
     val base = tmp()
     Files.createDirectories(Paths.get(s"$base/landing"))
