@@ -200,6 +200,53 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Bit-chunk banding rows for a 60-bit simhash: (idCol, block...,
+    * band_idx, band_sig) with `band_sig` = bits [b*width, (b+1)*width).
+    * Mirrors [[lshBands]]: the ONLY exploded representation, sized
+    * docs × bands.
+    */
+  def simhashBands(df: DataFrame, idCol: String, shCol: String,
+      bands: Int, blockCols: Seq[String] = Nil): DataFrame = {
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    df.select((col(idCol) +: blockCols.map(col)) :+ posexplode(
+      array((0 until bands).map(b =>
+        shiftright(col(shCol), b * width).bitwiseAND(mask)): _*))
+      .as(Seq("band_idx", "band_sig")): _*)
+  }
+
+  /** SimHash near-dup pairs with a COMPLETE banding guarantee: any pair
+    * within `radius` differing bits differs in at most `radius` bands, so
+    * with `bands > radius` chunks (pigeonhole, Manku et al. WWW'07 §3) it
+    * shares at least one identical band — candidates come from an
+    * equality join on (block..., band_idx, band_sig), never from an
+    * all-pairs product within a block. At 100 TB the shuffle key is the
+    * band value (bands × docs rows); per-cell population shrinks by
+    * 2^width per band, and `bands` trades radius for blocking power
+    * (radius 5 → 6 bands × 10 bits on 60-bit signatures).
+    *
+    * Returns (id1, id2, hamming) with id1 < id2, hamming ≤ radius —
+    * identical to the naive within-block all-pairs filter.
+    */
+  def simhashNearDupPairs(sh: DataFrame, idCol: String, shCol: String,
+      radius: Int, blockCols: Seq[String] = Nil, bands: Int = 6): DataFrame = {
+    require(bands > radius, s"banding completeness needs bands > radius ($bands <= $radius)")
+    require(60 % bands == 0, s"60-bit signature must split evenly into $bands bands")
+    val b1 = simhashBands(sh, idCol, shCol, bands, blockCols)
+      .withColumnRenamed(idCol, "id1")
+    val b2 = simhashBands(sh, idCol, shCol, bands, blockCols)
+      .withColumnRenamed(idCol, "id2")
+    val cand = b1.join(b2, blockCols ++ Seq("band_idx", "band_sig"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val s1 = sh.select(col(idCol).as("id1"), col(shCol).as("sh1"))
+    val s2 = sh.select(col(idCol).as("id2"), col(shCol).as("sh2"))
+    cand.join(s1, "id1").join(s2, "id2")
+      .select(col("id1"), col("id2"),
+        hammingDistance(col("sh1"), col("sh2")).cast("int").as("hamming"))
+      .filter(col("hamming") <= radius)
+  }
+
   // ---------------------------------------------------------- n-gram jaccard
 
   /** Exact n-gram Jaccard similarity in parts-per-million (integer — engine

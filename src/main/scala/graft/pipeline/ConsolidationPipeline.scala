@@ -62,7 +62,8 @@ object ConsolidationPipeline {
     val files: Seq[Path] =
       if (Files.isDirectory(landing))
         Files.list(landing).iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".csv"))
+          .filter(p => Files.isRegularFile(p) &&
+            (p.toString.endsWith(".csv") || p.toString.endsWith(".xlsx")))
           .toSeq
           // S1/O1: newest first by modification time
           .sortBy(p => -Files.getLastModifiedTime(p).toMillis)
@@ -87,8 +88,8 @@ object ConsolidationPipeline {
         val fStart = new Timestamp(System.currentTimeMillis())
         try {
           val inProcess = lifecycle.moveToInProcess(file)
-          val outcome = processFile(spark, cfg, tracker, runId, fileLogId,
-            fileName, mtime, fStart, inProcess)
+          val outcome = processFile(spark, cfg, tracker, lifecycle, runId,
+            fileLogId, fileName, mtime, fStart, inProcess)
           lifecycle.moveToBackup(inProcess)
           outcomes :+= outcome
           allErrors ++= outcome.errorDetail
@@ -132,11 +133,16 @@ object ConsolidationPipeline {
   private def now() = new Timestamp(System.currentTimeMillis())
 
   private def processFile(spark: SparkSession, cfg: Config,
-      tracker: Audit.Tracker, runId: String, fileLogId: String,
-      fileName: String, mtime: Timestamp, fStart: Timestamp,
-      path: Path): Report.FileOutcome = {
+      tracker: Audit.Tracker, lifecycle: Lifecycle, runId: String,
+      fileLogId: String, fileName: String, mtime: Timestamp,
+      fStart: Timestamp, path: Path): Report.FileOutcome = {
 
-    val sheet = StagedWorkbook.fromCsv(spark, path.toString)
+    // S3: stage by format — real Excel bytes via the dependency-free
+    // XLSX reader, staged CSV workbooks via the CSV reader
+    val sheet =
+      if (path.toString.endsWith(".xlsx"))
+        graft.sources.XlsxIngress.stage(spark, path.toString)
+      else StagedWorkbook.fromCsv(spark, path.toString)
     val fc = StagedWorkbook.fixedCells(sheet)
     val headerRow =
       if (StagedWorkbook.isMixedFormat(fc))
@@ -166,7 +172,13 @@ object ConsolidationPipeline {
 
     val split = Validate.split(extracted)
     val valid = split.valid.localCheckpoint()
-    val errorRows = split.errors.collect()
+    val errors = split.errors.localCheckpoint()
+    // NEVER collect the full error channel: one poison file with millions
+    // of bad rows would OOM the driver. Count distributed; pull only the
+    // first `errorCap` (+1 to detect truncation) for the report detail —
+    // orderBy+limit compiles to TakeOrderedAndProject (no full sort).
+    val errorCount = errors.count()
+    val errorSample = errors.orderBy(col("row_index")).limit(errorCap + 1).collect()
     val rowsTotal = extracted.count()
     val rowsValid = valid.count()
 
@@ -207,7 +219,7 @@ object ConsolidationPipeline {
     // J2 + S8 — record-level lineage: merge actions for valid rows,
     // VALIDATION_ERROR rows from the split side-channel
     val attributed = Merge.attributeActions(valid, mResult, InvoiceRecord.pk)
-    val errDf = split.errors.select(col("row_index"), col("invoice_number"),
+    val errDf = errors.select(col("row_index"), col("invoice_number"),
       lit(null).cast("string").as("reference_number"),
       lit(RecordAction.ValidationError).as("action"),
       col("error").as("error_message"))
@@ -223,7 +235,7 @@ object ConsolidationPipeline {
     // (upsert; safe because mResult/inserted are already materialized)
     def partitioned(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
       if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w
-    cfg.mergeMode match {
+    try cfg.mergeMode match {
       case "upsert" =>
         partitioned(mResult.write.mode(SaveMode.Overwrite))
           .parquet(cfg.consolidatedPath)
@@ -231,21 +243,33 @@ object ConsolidationPipeline {
         partitioned(alignToStore(spark, inserted, cfg.consolidatedPath)
           .write.mode(SaveMode.Append))
           .parquet(cfg.consolidatedPath)
+    } catch {
+      case NonFatal(e) =>
+        // a failed Overwrite can leave the store truncated/corrupt —
+        // roll back to the pre-run backup before failing the file
+        // (reference consolidate_invoices.py:150-155 + restore_backup)
+        lifecycle.restoreBackup(cfg.consolidatedPath, runId)
+        throw e
     }
 
     tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,
       schema_valid = true, Nil, Nil, rowsTotal, rowsValid,
-      errorRows.length.toLong, "COMPLETED", fStart, Some(now())))
+      errorCount, "COMPLETED", fStart, Some(now())))
 
     Report.FileOutcome(fileName, "COMPLETED", rowsTotal, rowsValid,
-      errorRows.length.toLong,
+      errorCount,
       inserted = insertedCount,
       updated = counters.getOrElse("updated", 0L),
       unchanged = counters.getOrElse("unchanged", 0L),
       sourceTotal = BigDecimal(srcTotal),
-      errorDetail = errorRows.map(r =>
-        s"$fileName fila ${r.getAs[Any]("row_index")}: ${r.getAs[String]("error")}").toSeq)
+      errorDetail = Report.cappedErrorsTotal(
+        errorSample.take(errorCap).toSeq.map(r =>
+          s"$fileName fila ${r.getAs[Any]("row_index")}: ${r.getAs[String]("error")}"),
+        errorCount, errorCap))
   }
+
+  /** Error-detail cap per file (reference dtos.py:74-88 caps at 20). */
+  val errorCap = 20
 
   private def readConsolidated(spark: SparkSession, path: String): DataFrame =
     if (Files.exists(Paths.get(path)))

@@ -56,6 +56,39 @@ final class Lifecycle(baseDir: String, now: () => LocalDateTime = () => LocalDat
       dst
     }
 
+  /** Restore the consolidated store from this run's pre-run backup
+    * (reference file_lifecycle_manager.py:95-130: `restore_backup` after a
+    * post-write failure). The damaged store is moved aside (never deleted
+    * — `_corrupt_{run8}`) before the backup copies back, so even a crash
+    * mid-restore loses nothing. Returns false when no backup exists.
+    */
+  def restoreBackup(consolidatedPath: String, runId: String): Boolean = {
+    val backup = backupDir
+      .map(_.resolve(s"consolidado_backup_prerun_${runId.take(8)}" + {
+        val name = Paths.get(consolidatedPath).getFileName.toString
+        val dot = name.lastIndexOf('.')
+        if (dot >= 0) name.substring(dot) else ""
+      }))
+      .filter(Files.exists(_))
+    backup.exists { src =>
+      val dst = Paths.get(consolidatedPath)
+      if (Files.exists(dst)) {
+        val aside = dst.resolveSibling(dst.getFileName.toString + s"_corrupt_${runId.take(8)}")
+        deleteRecursive(aside)
+        Files.move(dst, aside, StandardCopyOption.REPLACE_EXISTING)
+      }
+      copyRecursive(src, dst)
+      true
+    }
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      else Files.delete(p)
+    }
+
   /** Move a source file to `En Proceso/` (with a pre-copy into the backup
     * folder — the reference copies before moving so a crash never loses
     * the original).

@@ -40,6 +40,15 @@ object Report {
     if (errors.size <= cap) errors
     else errors.take(cap) :+ s"... y ${errors.size - cap} más"
 
+  /** Like [[cappedErrors]] but with the TRUE total known out-of-band —
+    * used when the caller only materialized a bounded sample of the error
+    * channel (the full count comes from a distributed count, not from the
+    * collected list).
+    */
+  def cappedErrorsTotal(sample: Seq[String], total: Long, cap: Int = 20): Seq[String] =
+    if (total <= cap) sample.take(cap)
+    else sample.take(cap) :+ s"... y ${total - cap} más"
+
   /** `{word}` template substitution that leaves non-identifier braces (CSS
     * blocks) intact (gmail_notifier.py:92-111: regex `\{(\w+)\}` with
     * lookup fallback to the literal).
@@ -48,6 +57,88 @@ object Report {
     "\\{(\\w+)\\}".r.replaceAllIn(template, m =>
       scala.util.matching.Regex.quoteReplacement(
         vars.getOrElse(m.group(1), m.matched)))
+
+  // ----------------------------------------------------- HTML notification
+
+  /** status → template file (consolidate_invoices.py TEMPLATE_MAP +
+    * config default `ETL_Consolidacion_Error.html`).
+    */
+  def templateFor(status: String): String = status match {
+    case "SUCCESS"  => "ETL_Consolidacion_Exito.html"
+    case "PARTIAL"  => "ETL_Consolidacion_Parcial.html"
+    case "NO_FILES" => "ETL_Consolidacion_Vacio.html"
+    case _          => "ETL_Consolidacion_Error.html"
+  }
+
+  /** Status → subject label (consolidate_invoices.py STATUS_LABELS). */
+  def statusLabel(status: String): String = status match {
+    case "SUCCESS"  => "EXITOSO"
+    case "PARTIAL"  => "ADVERTENCIA"
+    case "ERROR"    => "ERROR"
+    case "NO_FILES" => "SIN ARCHIVOS"
+    case other      => other
+  }
+
+  private def escapeHtml(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Error rows table body (dtos.py:74-88): first 20 as
+    * `<tr><td>file</td><td>row</td><td>error</td></tr>`, then a
+    * `colspan='3'` "... y N más" tail. Entries look like
+    * "file fila N: message" (the pipeline's detail format); anything else
+    * renders as (N/A, N/A, entry). `total` carries the true error count
+    * when the caller only materialized a bounded sample.
+    */
+  def errorRowsHtml(errors: Seq[String], total: Long, cap: Int = 20): String = {
+    if (errors.isEmpty) return ""
+    val Parsed = "(.*?) fila (\\d+): (.*)".r
+    val rows = errors.take(cap).map {
+      case Parsed(f, r, e) =>
+        s"<tr><td>${escapeHtml(f)}</td><td>$r</td><td>${escapeHtml(e)}</td></tr>"
+      case other =>
+        s"<tr><td>N/A</td><td>N/A</td><td>${escapeHtml(other)}</td></tr>"
+    }
+    val tail =
+      if (total > cap) Seq(s"<tr><td colspan='3'>... y ${total - cap} más</td></tr>")
+      else Nil
+    (rows ++ tail).mkString("\n")
+  }
+
+  /** Template variables (dtos.py:59-72): the exact placeholder names the
+    * ETL_Consolidacion_* templates consume.
+    */
+  def toTemplateVars(r: ExecutionReport, consolidatedLink: String = "",
+      timestamp: String = ""): Map[String, String] = {
+    // drop the pipeline's own "... y N más" sample tails — the HTML table
+    // re-derives its tail from the true count
+    val errs = r.validationErrors.filterNot(_.startsWith("... y "))
+    Map(
+      "run_id" -> r.runUuid,
+      "timestamp" -> timestamp,
+      "archivos_procesados" -> r.totalFiles.toString,
+      "registros_insertados" -> r.inserted.toString,
+      "total_registros" -> r.totalRecords.toString,
+      "errores_validacion" -> errorRowsHtml(errs, math.max(r.errors, errs.size)),
+      "error_detalle" -> errs.take(5).mkString("; "),
+      "link_consolidado" -> consolidatedLink)
+  }
+
+  /** Load a bundled template (src/main/resources/templates). */
+  def loadTemplate(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/templates/$name")
+    require(in != null, s"Template no encontrado: $name")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Full HTML notification body for a run: status-selected template +
+    * placeholder substitution (CSS braces survive — see
+    * [[renderTemplate]]).
+    */
+  def renderHtml(r: ExecutionReport, consolidatedLink: String = "",
+      timestamp: String = ""): String =
+    renderTemplate(loadTemplate(templateFor(r.status)),
+      toTemplateVars(r, consolidatedLink, timestamp))
 
   /** Plain-text run summary (the notification body's data). */
   def summary(r: ExecutionReport): String = {

@@ -18,6 +18,16 @@ object CoreQueries {
   private val money = InvoiceRecord.money
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Lineitem's deduplicated PK view, registered in the session cache so
+    * the many queries deriving from it (the p6/o3, scalar-F and merge-J
+    * families) share ONE materialization instead of each re-running the
+    * 600k-row groupBy.
+    */
+  private def uniqShared(s: SparkSession, dir: String): DataFrame = {
+    InvoiceView.ensureShared(s, dir)
+    InvoiceView.uniq(t(s, dir, "lineitem"))
+  }
+
   // ---------------------------------------------------------------- scans/agg
 
   /** A1/A-class headline agg (TPC-H Q1 shape) on exact decimals. */
@@ -37,9 +47,9 @@ object CoreQueries {
     },
     Some("""
       |SELECT l_returnflag, l_linestatus,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |       CAST(SUM(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |       CAST(ROUND(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * (1 - CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      |       CAST(CAST(SUM(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      |       CAST(CAST(ROUND(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * (1 - CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc_price,
       |       COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -67,7 +77,7 @@ object CoreQueries {
     },
     Some("""
       |SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-      |       CAST(ROUND(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * (1 - CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS revenue
+      |       CAST(CAST(ROUND(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * (1 - CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -102,7 +112,7 @@ object CoreQueries {
     },
     Some("""
       |SELECT n_name,
-      |       CAST(ROUND(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * (1 - CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS revenue
+      |       CAST(CAST(ROUND(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * (1 - CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -137,7 +147,7 @@ object CoreQueries {
       |SELECT CAST(l_orderkey AS VARCHAR) AS invoice_number,
       |       l_returnflag AS carrier_name,
       |       CAST(l_linenumber AS VARCHAR) AS reference_number,
-      |       CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) AS total_amount
+      |       CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) AS DOUBLE) AS total_amount
       |FROM lineitem
       |ORDER BY invoice_number, reference_number, carrier_name, total_amount
       |""".stripMargin))
@@ -209,8 +219,10 @@ object CoreQueries {
 
   // --------------------------------------------------------------- validation
 
-  private def canonicalInvoices(s: SparkSession, dir: String): DataFrame =
+  private def canonicalInvoices(s: SparkSession, dir: String): DataFrame = {
+    InvoiceView.ensureShared(s, dir)
     InvoiceView.canonical(t(s, dir, "lineitem"))
+  }
 
   /** Oracle-side predicate marking rows the pipeline must reject. */
   private val errCondSql =
@@ -233,9 +245,9 @@ object CoreQueries {
       |       CAST(l_linenumber AS VARCHAR) AS reference_number,
       |       l_returnflag AS carrier_name,
       |       l_shipdate AS invoice_date,
-      |       l_extendedprice AS net_amount,
-      |       CAST(0 AS DECIMAL(18,2)) AS tax_amount,
-      |       l_extendedprice AS total_amount,
+      |       CAST(l_extendedprice AS DOUBLE) AS net_amount,
+      |       CAST(0 AS DOUBLE) AS tax_amount,
+      |       CAST(l_extendedprice AS DOUBLE) AS total_amount,
       |       'CLP' AS currency
       |FROM uniq
       |WHERE NOT $errCondSql
@@ -277,7 +289,7 @@ object CoreQueries {
     */
   val f3ParseMoney = QueryDef("f3_parse_money",
     (s, dir) => {
-      val li = InvoiceView.uniq(t(s, dir, "lineitem"))
+      val li = uniqShared(s, dir)
       val k1 = (col("l_orderkey") % 900 + 100).cast("string") // 3 digits
       val k2 = lpad((col("l_partkey") % 1000).cast("string"), 3, "0")
       val k3 = lpad((col("l_suppkey") % 100).cast("string"), 2, "0")
@@ -303,15 +315,15 @@ object CoreQueries {
     Some(s"""
       |WITH ${InvoiceView.uniqSql}
       |SELECT l_orderkey * 10 + l_linenumber AS row_index,
-      |       CAST((l_orderkey % 900 + 100) * 1000 + l_partkey % 1000 AS DECIMAL(18,2)) AS m_chile,
-      |       CAST(CAST((l_orderkey % 900 + 100) * 1000 + l_partkey % 1000 AS VARCHAR) || '.' ||
-      |            lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DECIMAL(18,2)) AS m_us,
-      |       CAST(CAST(l_orderkey % 900 + 100 AS VARCHAR) || '.' ||
-      |            lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DECIMAL(18,2)) AS m_comma,
-      |       CAST(1000000 + (l_partkey % 1000) * 1000 + l_partkey % 1000 AS DECIMAL(18,2)) AS m_multi,
-      |       CAST((l_orderkey % 900 + 100) * 1000 + l_partkey % 1000 AS DECIMAL(18,2)) AS m_dollar,
-      |       CAST(l_orderkey % 900 + 100 AS DECIMAL(18,2)) AS m_plain,
-      |       CAST(NULL AS DECIMAL(18,2)) AS m_invalid
+      |       CAST(CAST((l_orderkey % 900 + 100) * 1000 + l_partkey % 1000 AS DECIMAL(18,2)) AS DOUBLE) AS m_chile,
+      |       CAST(CAST(CAST((l_orderkey % 900 + 100) * 1000 + l_partkey % 1000 AS VARCHAR) || '.' ||
+      |            lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DECIMAL(18,2)) AS DOUBLE) AS m_us,
+      |       CAST(CAST(CAST(l_orderkey % 900 + 100 AS VARCHAR) || '.' ||
+      |            lpad(CAST(l_suppkey % 100 AS VARCHAR), 2, '0') AS DECIMAL(18,2)) AS DOUBLE) AS m_comma,
+      |       CAST(CAST(1000000 + (l_partkey % 1000) * 1000 + l_partkey % 1000 AS DECIMAL(18,2)) AS DOUBLE) AS m_multi,
+      |       CAST(CAST((l_orderkey % 900 + 100) * 1000 + l_partkey % 1000 AS DECIMAL(18,2)) AS DOUBLE) AS m_dollar,
+      |       CAST(CAST(l_orderkey % 900 + 100 AS DECIMAL(18,2)) AS DOUBLE) AS m_plain,
+      |       CAST(NULL AS DOUBLE) AS m_invalid
       |FROM uniq
       |ORDER BY row_index
       |""".stripMargin))
@@ -319,7 +331,7 @@ object CoreQueries {
   /** F4 + F5 — multi-format date parse incl. the Excel-serial fallback. */
   val f4ParseDate = QueryDef("f4_parse_date",
     (s, dir) => {
-      val li = InvoiceView.uniq(t(s, dir, "lineitem"))
+      val li = uniqShared(s, dir)
       val ok = col("l_orderkey")
       val d = col("l_shipdate")
       val serial = datediff(d, lit(java.sql.Date.valueOf("1899-12-30")))
@@ -358,7 +370,7 @@ object CoreQueries {
     */
   val f7TotalOverride = QueryDef("f7_total_override",
     (s, dir) => {
-      val li = InvoiceView.uniq(t(s, dir, "lineitem"))
+      val li = uniqShared(s, dir)
       val ok = col("l_orderkey")
       val totalServicio = when(ok % 4 === 0, col("l_extendedprice").cast(money))
         .otherwise(lit(0).cast(money))
@@ -374,10 +386,10 @@ object CoreQueries {
     Some(s"""
       |WITH ${InvoiceView.uniqSql}
       |SELECT l_orderkey * 10 + l_linenumber AS row_index,
-      |       CAST(CASE WHEN l_orderkey % 4 = 0 THEN l_extendedprice
+      |       CAST(CAST(CASE WHEN l_orderkey % 4 = 0 THEN l_extendedprice
       |            ELSE COALESCE(CASE WHEN l_orderkey % 5 = 0 THEN NULL
       |                               ELSE CAST(l_quantity AS DECIMAL(18,2)) END, 0)
-      |                 + l_tax + l_discount END AS DECIMAL(18,2)) AS total_amount
+      |                 + l_tax + l_discount END AS DECIMAL(18,2)) AS DOUBLE) AS total_amount
       |FROM uniq
       |ORDER BY row_index
       |""".stripMargin))
@@ -385,7 +397,7 @@ object CoreQueries {
   /** F9 — best-effort integral invoice-number rendering on egress. */
   val f9InvoiceInt = QueryDef("f9_invoice_int",
     (s, dir) => {
-      val li = InvoiceView.uniq(t(s, dir, "lineitem"))
+      val li = uniqShared(s, dir)
       val raw = when(col("l_orderkey") % 9 === 0,
         concat(lit("FAC-"), col("l_orderkey").cast("string")))
         .otherwise(concat(col("l_orderkey").cast("string"), lit(".0")))
@@ -404,17 +416,22 @@ object CoreQueries {
 
   // ------------------------------------------------------------------- merge
 
-  private def existingInv(s: SparkSession, dir: String): DataFrame =
+  private def existingInv(s: SparkSession, dir: String): DataFrame = {
+    InvoiceView.ensureShared(s, dir)
     InvoiceView.clean(t(s, dir, "lineitem")).filter(col("ok") % 3 === 0).drop("ok")
+  }
 
-  private def incomingInv(s: SparkSession, dir: String): DataFrame =
+  private def incomingInv(s: SparkSession, dir: String): DataFrame = {
+    InvoiceView.ensureShared(s, dir)
     InvoiceView.clean(t(s, dir, "lineitem")).filter(col("ok") % 2 === 0).drop("ok")
+  }
 
   /** Incoming side for the upsert: carrier mutated on ok%5==0 rows so the
     * full-outer merge sees NEW / UPDATED / UNCHANGED all three.
     */
   private def incomingUpsert(s: SparkSession, dir: String): DataFrame =
-    InvoiceView.clean(t(s, dir, "lineitem")).filter(col("ok") % 2 === 0)
+    { InvoiceView.ensureShared(s, dir); InvoiceView.clean(t(s, dir, "lineitem")) }
+      .filter(col("ok") % 2 === 0)
       .withColumn("carrier_name",
         when(col("ok") % 5 === 0, concat(col("carrier_name"), lit("X")))
           .otherwise(col("carrier_name"))).drop("ok")
@@ -446,10 +463,12 @@ object CoreQueries {
       |${InvoiceView.cleanSql},
       |$existingSql,
       |$incomingSql
-      |SELECT invoice_number, reference_number, carrier_name, total_amount, 'new' AS status
+      |SELECT invoice_number, reference_number, carrier_name,
+      |       CAST(total_amount AS DOUBLE) AS total_amount, 'new' AS status
       |FROM existing
       |UNION ALL
-      |SELECT i.invoice_number, i.reference_number, i.carrier_name, i.total_amount, 'new' AS status
+      |SELECT i.invoice_number, i.reference_number, i.carrier_name,
+      |       CAST(i.total_amount AS DOUBLE) AS total_amount, 'new' AS status
       |FROM incoming i
       |WHERE NOT EXISTS (SELECT 1 FROM existing e
       |                  WHERE e.invoice_number = i.invoice_number
@@ -473,7 +492,8 @@ object CoreQueries {
       |${InvoiceView.cleanSql},
       |$existingSql,
       |$incomingSql
-      |SELECT i.invoice_number, i.reference_number, i.total_amount
+      |SELECT i.invoice_number, i.reference_number,
+      |       CAST(i.total_amount AS DOUBLE) AS total_amount
       |FROM incoming i
       |WHERE NOT EXISTS (SELECT 1 FROM existing e
       |                  WHERE e.invoice_number = i.invoice_number
@@ -511,7 +531,7 @@ object CoreQueries {
       |SELECT COALESCE(i.invoice_number, e.invoice_number) AS invoice_number,
       |       COALESCE(i.reference_number, e.reference_number) AS reference_number,
       |       CASE WHEN $upsertStatusSql IN ('new','updated') THEN i.carrier_name ELSE e.carrier_name END AS carrier_name,
-      |       CASE WHEN $upsertStatusSql IN ('new','updated') THEN i.total_amount ELSE e.total_amount END AS total_amount,
+      |       CAST(CASE WHEN $upsertStatusSql IN ('new','updated') THEN i.total_amount ELSE e.total_amount END AS DOUBLE) AS total_amount,
       |       $upsertStatusSql AS status
       |FROM existing e
       |FULL OUTER JOIN incoming i
@@ -579,7 +599,7 @@ object CoreQueries {
       .orderBy(col("l_returnflag")),
     Some("""
       |SELECT l_returnflag,
-      |       CAST(SUM(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount
+      |       CAST(CAST(SUM(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_amount
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag
@@ -621,17 +641,17 @@ object CoreQueries {
       |   WHERE NOT EXISTS (SELECT 1 FROM merged m
       |                     WHERE m.invoice_number = s.invoice_number
       |                       AND m.reference_number = s.reference_number)) AS missing_pks,
-      |  (SELECT CAST(SUM(total_amount) AS DECIMAL(18,2)) FROM incoming) AS source_total,
-      |  (SELECT CAST(SUM(total_amount) AS DECIMAL(18,2)) FROM merged m
+      |  CAST((SELECT CAST(SUM(total_amount) AS DECIMAL(18,2)) FROM incoming) AS DOUBLE) AS source_total,
+      |  CAST((SELECT CAST(SUM(total_amount) AS DECIMAL(18,2)) FROM merged m
       |   WHERE EXISTS (SELECT 1 FROM incoming i
       |                 WHERE i.invoice_number = m.invoice_number
-      |                   AND i.reference_number = m.reference_number)) AS result_total,
-      |  CAST(ABS((SELECT SUM(total_amount) FROM incoming) -
+      |                   AND i.reference_number = m.reference_number)) AS DOUBLE) AS result_total,
+      |  CAST(CAST(ABS((SELECT SUM(total_amount) FROM incoming) -
       |           (SELECT SUM(total_amount) FROM merged m
       |            WHERE EXISTS (SELECT 1 FROM incoming i
       |                          WHERE i.invoice_number = m.invoice_number
       |                            AND i.reference_number = m.reference_number)))
-      |       AS DECIMAL(18,2)) AS variance
+      |       AS DECIMAL(18,2)) AS DOUBLE) AS variance
       |""".stripMargin))
 
   /** A3 — merge action counters (inserted/updated/unchanged). */
@@ -753,7 +773,7 @@ object CoreQueries {
     Some(s"""
       |SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
       |       COUNT(*) AS n,
-      |       CAST(SUM(${InvoiceView.m2Sql("value")}) AS DECIMAL(18,2)) AS total_value
+      |       CAST(CAST(SUM(${InvoiceView.m2Sql("value")}) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour_bucket, event_type
@@ -781,7 +801,7 @@ object CoreQueries {
       |         row_number() OVER (PARTITION BY user_id
       |           ORDER BY ${InvoiceView.m2Sql("value")} DESC, event_id) AS rk
       |  FROM events)
-      |SELECT user_id, event_id, value_clp, CAST(rk AS INT) AS rk
+      |SELECT user_id, event_id, CAST(value_clp AS DOUBLE) AS value_clp, CAST(rk AS INT) AS rk
       |FROM ranked WHERE rk <= 3
       |ORDER BY user_id, rk
       |""".stripMargin))
@@ -802,7 +822,7 @@ object CoreQueries {
     },
     Some(s"""
       |SELECT event_type, COUNT(*) AS n,
-      |       CAST(SUM(${InvoiceView.m2Sql("value")}) AS DECIMAL(18,2)) AS total_value
+      |       CAST(CAST(SUM(${InvoiceView.m2Sql("value")}) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type
@@ -825,7 +845,7 @@ object CoreQueries {
     Some(s"""
       |WITH dim AS (SELECT DISTINCT user_id, user_id % 7 AS cohort FROM events)
       |SELECT d.cohort, COUNT(*) AS n,
-      |       CAST(SUM(${InvoiceView.m2Sql("e.value")}) AS DECIMAL(18,2)) AS total_value
+      |       CAST(CAST(SUM(${InvoiceView.m2Sql("e.value")}) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
       |FROM events e JOIN dim d ON e.user_id = d.user_id
       |GROUP BY d.cohort
       |ORDER BY d.cohort
@@ -849,7 +869,7 @@ object CoreQueries {
       |SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
       |       COALESCE(l_linestatus, '<all>') AS l_linestatus,
       |       COUNT(*) AS n,
-      |       CAST(SUM(${InvoiceView.m2Sql("l_extendedprice")}) AS DECIMAL(18,2)) AS total
+      |       CAST(CAST(SUM(${InvoiceView.m2Sql("l_extendedprice")}) AS DECIMAL(18,2)) AS DOUBLE) AS total
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag, l_linestatus

@@ -104,6 +104,24 @@ object InvoiceView {
       lit("clp").as("currency"))
   }
 
+  /** Session-scoped shared materialization of [[uniq]] + [[canonical]]
+    * over `sfDir`'s lineitem. Spark's CacheManager substitutes cached
+    * plans into ANY query whose subplan canonically matches, so after
+    * this runs once, every driver-invoked query that re-derives the
+    * 600k-row uniq groupBy (p6 family, o3, f3/f4/f7/f9, the j* merges
+    * via [[clean]]) reads the InMemoryRelation instead of re-aggregating.
+    * ~tens of MB at sf0.1 — at cluster scale this is a `persist` of a
+    * dimension-sized view, the standard Spark idiom for cross-query reuse.
+    */
+  private val shared = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def ensureShared(s: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    shared.getOrElseUpdate(System.identityHashCode(s) + "|" + sfDir, {
+      val li = Tables.load(s, sfDir, "lineitem")
+      uniq(li).persist()
+      canonical(li).persist()
+      ()
+    })
+
   /** Canonicalized invoice rows: cleaning + money/date parsing applied.
     * Output types are the canonical wire types (SURVEY §1.2).
     */

@@ -215,18 +215,19 @@ object PipelineQueries {
       |ORDER BY doc_id
       |""".stripMargin))
 
-  /** D4b — SimHash near-dup pairs: hamming distance ≤ 16, blocked by lang. */
+  /** D4b — SimHash near-dup pairs: hamming distance ≤ 5, blocked by lang.
+    * Candidates come from 6×10-bit band-equality joins (pigeonhole-complete
+    * for radius 5 — see [[Dedup.simhashNearDupPairs]]), NOT from an
+    * all-pairs product within a language: at 100 TB one language is the
+    * whole corpus and a lang-blocked self-join is quadratic.
+    */
   val d4SimhashPairs = QueryDef("d4_simhash_pairs",
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val sh = Dedup.simhashes(docs, "doc_id", "text", carry = Seq("lang"))
-        .localCheckpoint() // both self-join sides share one computation
-      val l = sh.select(col("doc_id").as("id1"), col("lang"), col("simhash").as("sh1"))
-      val r = sh.select(col("doc_id").as("id2"), col("lang"), col("simhash").as("sh2"))
-      l.join(r, "lang").filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          Dedup.hammingDistance(col("sh1"), col("sh2")).as("hamming"))
-        .filter(col("hamming") <= 16)
+        .localCheckpoint() // band rows + signature joins share one computation
+      Dedup.simhashNearDupPairs(sh, "doc_id", "simhash",
+          radius = 5, blockCols = Seq("lang"))
         .orderBy(col("id1"), col("id2"))
     },
     Some("""
@@ -251,7 +252,7 @@ object PipelineQueries {
       |SELECT a.doc_id AS id1, b.doc_id AS id2,
       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
       |ORDER BY id1, id2
       |""".stripMargin))
 
@@ -303,7 +304,10 @@ object PipelineQueries {
   val s2AnnBucketed = QueryDef("s2_ann_bucketed",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.bucketedTopK(emb, "vec_id", "embedding", 3)
+      // bits scale with corpus size (== 8, the oracle's constant, at the
+      // driver's verification scales — SimilaritySpec pins this)
+      Similarity.bucketedTopK(emb, "vec_id", "embedding", 3,
+          bits = Similarity.scaledBits(emb.count()))
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
@@ -338,7 +342,10 @@ object PipelineQueries {
   val s3AnnIvf = QueryDef("s3_ann_ivf",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, "vec_id", "embedding", 3)
+      // nCentroids scales ~sqrt(corpus) (== 16, the oracle's constant, at
+      // the driver's verification scales — SimilaritySpec pins this)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", 3,
+          nCentroids = Similarity.scaledCentroids(emb.count()))
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""

@@ -42,6 +42,33 @@ object Similarity {
     when(normSqA > 0 && normSqB > 0,
       dot.cast("double") / sqrt((normSqA * normSqB).cast("double")))
 
+  // ------------------------------------------------- blocking-parameter scaling
+
+  /** Sign-bucket bits as a function of corpus size: enough buckets
+    * (2^bits) that the average bucket holds ~`targetBucketSize` vectors,
+    * clamped to [8, 24]. A FIXED bucket count caps blocking — at 100 TB
+    * a 256-cell blocking leaves each cell corpus-sized; with this rule a
+    * 10^9-vector corpus gets 2^24 cells (~64 vectors each), and the probe
+    * cost stays O(targetBucketSize) per query regardless of corpus scale.
+    */
+  def scaledBits(corpusSize: Long, targetBucketSize: Long = 64): Int = {
+    val buckets = math.max(1L, corpusSize / math.max(1L, targetBucketSize))
+    val ceilLog2 =
+      if (buckets <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(24, math.max(8, ceilLog2))
+  }
+
+  /** IVF coarse-list count as a function of corpus size: 16 lists for
+    * small corpora (coarse quantization only pays once lists hold
+    * hundreds of vectors), then the classic ~sqrt(n) rule capped at
+    * 65536. Probe cost per query at nprobe=1 is n / nCentroids — sqrt(n)
+    * keeps both the centroid scan and the list scan at O(sqrt(n)).
+    */
+  def scaledCentroids(corpusSize: Long, minListSize: Long = 256): Int =
+    if (corpusSize <= minListSize * 16) 16
+    else math.min(65536L, math.ceil(math.sqrt(corpusSize.toDouble)).toLong).toInt
+
   /** 8-bit sign-bucket of a quantized vector: bit j set when dim j > 0.
     * A degenerate random-hyperplane LSH (axis-aligned planes) — the bucket
     * key for the partitioned ANN variant.

@@ -57,6 +57,35 @@ class DedupSpec extends SparkSpec {
       s"near=${ham(sh(0), sh(2))} far=${ham(sh(0), sh(3))}")
   }
 
+  test("banded simhash pairs: complete vs naive all-pairs, band-key join in plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.simhashes(docs, "doc_id", "text", carry = Seq("lang"))
+      .localCheckpoint()
+    val banded = Dedup.simhashNearDupPairs(sh, "doc_id", "simhash",
+      radius = 5, blockCols = Seq("lang"))
+    // plan proof: candidates come from a band-key equality join, not a
+    // lang-only product
+    assert(banded.queryExecution.optimizedPlan.toString.contains("band_sig"))
+    val got = banded.orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val l = sh.select(col("doc_id").as("id1"), col("lang"), col("simhash").as("sh1"))
+    val r = sh.select(col("doc_id").as("id2"), col("lang"), col("simhash").as("sh2"))
+    val naive = l.join(r, "lang").filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Dedup.hammingDistance(col("sh1"), col("sh2")).cast("int").as("hamming"))
+      .filter(col("hamming") <= 5)
+      .orderBy("id1", "id2").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+    assert(got == naive, s"banded ${got.size} pairs vs naive ${naive.size}")
+    // identical docs always collide in every band
+    val two = Seq((1L, "en", "same words here"), (2L, "en", "same words here"))
+      .toDF("doc_id", "lang", "text")
+    val sh2 = Dedup.simhashes(two, "doc_id", "text", carry = Seq("lang"))
+    val p = Dedup.simhashNearDupPairs(sh2, "doc_id", "simhash",
+      radius = 5, blockCols = Seq("lang")).collect()
+    assert(p.length == 1 && p(0).getInt(2) == 0)
+  }
+
   test("jaccard ppm: exact integer similarity") {
     val df = Seq((1L, "g", "a b c d"), (2L, "g", "a b c e"), (3L, "g", "x y z w"))
       .toDF("doc_id", "blk", "text")

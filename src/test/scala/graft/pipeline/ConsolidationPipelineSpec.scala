@@ -158,6 +158,23 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(c.consolidatedPath).count() == 1)
   }
 
+  test("error channel caps at 20 details + 'y N más' tail; full count still reported") {
+    val base = tmp()
+    // 25 invalid rows (unparseable date → validation error, NOT the P5
+    // take-while stop a blank invoice number would trigger) + 2 valid —
+    // detail must cap at errorCap without collecting the whole channel
+    val bad = (1 to 25).map(i => Seq(s"FAC-B$i", s"REF-B$i", "Carrier X",
+      "NO-ES-FECHA", "x", "1000", "190", "1190", "CLP"))
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1, r2) ++ bad)
+    val report = ConsolidationPipeline.run(spark, cfg(base))
+    assert(report.status == "SUCCESS", report.toString)
+    assert(report.errors == 25 && report.inserted == 2)
+    val detail = report.files.head.errorDetail
+    assert(detail.size == ConsolidationPipeline.errorCap + 1, detail.mkString("\n"))
+    assert(detail.last == "... y 5 más")
+    assert(detail.init.forall(_.startsWith("f1.csv fila ")))
+  }
+
   test("upsert mode (J3): changed fields update in place, new PKs insert") {
     val base = tmp()
     val c = cfg(base).copy(mergeMode = "upsert")
@@ -173,6 +190,48 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(store.count() == 2)
     val f1 = store.filter(col("invoice_number") === "FAC-001").collect().head
     assert(f1.getAs[java.math.BigDecimal]("total_amount").longValue == 142800L)
+  }
+
+  test("restore-on-failure: failed upsert overwrite rolls the store back to pre-run backup") {
+    val base = tmp()
+    val c = cfg(base).copy(mergeMode = "upsert")
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
+    assert(ConsolidationPipeline.run(spark, c).status == "SUCCESS")
+    val before = spark.read.parquet(c.consolidatedPath)
+      .select("invoice_number", "total_amount").collect().toSet
+
+    // inject a write failure: partitionBy on a column that doesn't exist
+    // fails the overwrite after merge/reconcile succeeded
+    val broken = c.copy(partitionBy = Seq("no_such_column"))
+    writeSimpleWorkbook(s"$base/landing", "f2.csv", Seq(r2))
+    val rep2 = ConsolidationPipeline.run(spark, broken)
+    assert(rep2.status != "SUCCESS")
+
+    val after = spark.read.parquet(c.consolidatedPath)
+      .select("invoice_number", "total_amount").collect().toSet
+    assert(after == before, "store must be back to the pre-run state")
+  }
+
+  test("Lifecycle.restoreBackup: damaged store moves aside, backup copies back") {
+    val base = tmp()
+    val lc = new Lifecycle(s"$base/lifecycle")
+    val store = Paths.get(s"$base/store.parquet")
+    Files.createDirectories(store)
+    Files.writeString(store.resolve("part-0"), "good")
+    lc.initBackupFolder()
+    val runId = "abcdef12-run"
+    assert(lc.backupConsolidated(store.toString, runId).isDefined)
+    // corrupt the store
+    Files.writeString(store.resolve("part-0"), "CORRUPT")
+    Files.writeString(store.resolve("junk"), "x")
+    assert(lc.restoreBackup(store.toString, runId))
+    assert(Files.readString(store.resolve("part-0")) == "good")
+    assert(!Files.exists(store.resolve("junk")))
+    // forensic copy of the damaged store is kept
+    assert(Files.exists(Paths.get(s"$base/store.parquet_corrupt_abcdef12")))
+    // no backup for that run → false, store untouched
+    assert(!lc.restoreBackup(store.toString, "ffffffff-other-run"))
+    assert(Files.readString(store.resolve("part-0")) == "good")
   }
 
   test("typed core: canonical rows lift into Dataset[InvoiceRecord]") {

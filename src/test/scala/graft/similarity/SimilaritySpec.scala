@@ -60,4 +60,28 @@ class SimilaritySpec extends SparkSpec {
     val b = df.orderBy("vec_id").as[(Long, Int)].collect().map(_._2)
     assert(b(0) == b(3) && b(0) != b(2))
   }
+
+  test("blocking parameters scale with corpus size; pinned at oracle scales") {
+    // the driver's verification corpora (sf0.001: 50, sf0.01: 500 vectors)
+    // must produce EXACTLY the oracle SQL's constants (8 bits, 16 lists)
+    for (n <- Seq(50L, 500L, 5000L)) assert(Similarity.scaledBits(n) == 8, s"n=$n")
+    for (n <- Seq(50L, 500L)) assert(Similarity.scaledCentroids(n) == 16, s"n=$n")
+    // growth: more corpus → more blocking cells, monotonic, capped
+    assert(Similarity.scaledBits(1L << 20) == 14)
+    assert(Similarity.scaledBits(1000000000L) == 24)
+    assert(Similarity.scaledCentroids(1000000L) == 1000)
+    assert(Similarity.scaledCentroids(Long.MaxValue / 4) == 65536)
+    val sizes = Seq(100L, 10000L, 1000000L, 100000000L)
+    assert(sizes.map(Similarity.scaledBits(_)) == sizes.map(Similarity.scaledBits(_)).sorted)
+    assert(sizes.map(Similarity.scaledCentroids(_).toLong) ==
+      sizes.map(Similarity.scaledCentroids(_).toLong).sorted)
+    // bucket-count growth is real on data: more bits → at least as many
+    // distinct sign buckets
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def buckets(bits: Int) = emb.select(
+      Similarity.signBucket(Similarity.quantize(col("embedding")), bits).as("b"))
+      .distinct().count()
+    assert(buckets(12) >= buckets(8))
+    assert(buckets(8) > 1)
+  }
 }

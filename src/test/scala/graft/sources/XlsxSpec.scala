@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Real-bytes Excel I/O: XlsxEgress-written workbooks read back through
+  * XlsxIngress must drive the S3–S5 extraction identically to the
+  * staged-CSV path, including header discovery, fixed cells and the
+  * mixed-format broadcast semantics.
+  */
+class XlsxSpec extends SparkSpec {
+
+  private def tmpFile(suffix: String): String =
+    Files.createTempFile("graft-xlsx", suffix).toString
+
+  private val headers = Seq("N° Factura", "N° Referencia", "Transportista",
+    "Fecha Factura", "Descripción", "Monto Neto", "IVA", "Monto Total", "Moneda")
+  private val r1 = Seq("FAC-001", "REF-001", "Transportes Chile Ltda",
+    "15-01-2026", "Flete Santiago-Valparaíso", "100000", "19000", "119000", "CLP")
+  private val r2 = Seq("FAC-002", "REF-002", "Carrier Sur",
+    "16-01-2026", "Porteo", "200000", "38000", "238000", "CLP")
+
+  private def collectExtract(df: DataFrame) =
+    df.orderBy("row_index").collect().map(r =>
+      (r.getAs[String]("invoice_number"), r.getAs[String]("reference_number"),
+        r.getAs[String]("carrier_name"),
+        Option(r.getAs[java.math.BigDecimal]("total_amount")).map(_.longValue)))
+
+  test("simple-tabular xlsx == staged-csv path through extract()") {
+    // identical content through both ingress paths
+    val filler = Seq.fill(10)(Seq.fill(headers.size)(""))
+    val all = filler ++ Seq(headers) ++ Seq(r1, r2)
+
+    val xlsx = tmpFile(".xlsx")
+    XlsxEgress.write(xlsx, all.map(_.map(c => c: Any)))
+    val csv = tmpFile(".csv")
+    Files.writeString(java.nio.file.Paths.get(csv),
+      all.map(_.map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(","))
+        .mkString("\n"))
+
+    val viaXlsx = OfficialFormatExtract.extract(XlsxIngress.stage(spark, xlsx))
+    val viaCsv = OfficialFormatExtract.extract(StagedWorkbook.fromCsv(spark, csv))
+    val gx = collectExtract(viaXlsx)
+    val gc = collectExtract(viaCsv)
+    assert(gx.nonEmpty && gx.toSeq == gc.toSeq)
+    assert(gx.head == (("FAC-001", "REF-001", "Transportes Chile Ltda", Some(119000L))))
+  }
+
+  test("mixed-format xlsx: fixed cells C6/G3/C8/H6/H7/F4 + detail rows on real bytes") {
+    // sparse sheet: fixed header cells + detail table with header row 11
+    val rows = Array.fill[Array[Any]](13)(Array.fill[Any](10)(null))
+    def set(addr: String, v: Any): Unit = {
+      val (letters, digits) = addr.partition(_.isLetter)
+      rows(digits.toInt - 1)(StagedWorkbook.colIndex(letters) - 1) = v
+    }
+    set("C6", "Transportes Mixto SA")   // empresaTransporte
+    set("G3", "20-02-2026")             // fechaEmision
+    set("C8", "FAC-777")                // numeroFactura → mixed detect
+    set("H6", "Nave Austral")           // nave
+    set("F4", "Aprobado por: Ana Díaz") // responsable
+    val detailHeaders = Seq("Fecha Servicio", "Órdenes de Embarque",
+      "Guías de Despacho", "Flete($)", "Porteo($)", "Total Servicio ($)")
+    detailHeaders.zipWithIndex.foreach { case (h, i) => rows(10)(i) = h }
+    Seq(
+      Seq[Any]("01-02-2026", "OE-1", "GD-1", 50000, 10000, null),
+      Seq[Any]("02-02-2026", "OE-2", "GD-2", null, null, 75000)
+    ).zipWithIndex.foreach { case (r, i) =>
+      r.zipWithIndex.foreach { case (v, j) => rows(11 + i)(j) = v } }
+
+    val xlsx = tmpFile(".xlsx")
+    XlsxEgress.write(xlsx, rows.toSeq.map(_.toSeq))
+
+    val sheet = XlsxIngress.stage(spark, xlsx)
+    val fc = StagedWorkbook.fixedCells(sheet)
+    assert(StagedWorkbook.isMixedFormat(fc))
+    assert(fc.nave.contains("Nave Austral"))
+    val out = OfficialFormatExtract.extract(sheet)
+      .orderBy("row_index").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("invoice_number") == "FAC-777"))
+    assert(out.forall(_.getAs[String]("carrier_name") == "Transportes Mixto SA"))
+    assert(out.forall(_.getAs[String]("aprobado_por") == "Ana Díaz"))
+    // F7: component sum (50000+10000) where no explicit total; override wins on row 2
+    assert(out(0).getAs[java.math.BigDecimal]("total_amount").longValue == 60000L)
+    assert(out(1).getAs[java.math.BigDecimal]("total_amount").longValue == 75000L)
+  }
+
+  test("append semantics: rows land after the last populated row") {
+    val xlsx = tmpFile(".xlsx")
+    XlsxEgress.write(xlsx, Seq(Seq("h1", "h2"), Seq("a", 1)))
+    XlsxEgress.append(xlsx, Seq("h1", "h2"), Seq(Seq("b", 2), Seq("c", 3)))
+    val rows = XlsxIngress.readRows(xlsx)
+    assert(rows.map(_.head) == Seq("h1", "a", "b", "c"))
+    assert(rows(3)(1) == "3")
+  }
+
+  test("pipeline consumes a real .xlsx landing file end-to-end") {
+    val base = Files.createTempDirectory("graft-xlsx-pipe")
+    val landing = Files.createDirectories(java.nio.file.Paths.get(s"$base/landing"))
+    val filler = Seq.fill(10)(Seq.fill(headers.size)(""))
+    XlsxEgress.write(s"$landing/facturas.xlsx",
+      (filler ++ Seq(headers) ++ Seq(r1, r2)).map(_.map(c => c: Any)))
+    val report = graft.pipeline.ConsolidationPipeline.run(spark,
+      graft.pipeline.ConsolidationPipeline.Config(
+        landingDir = s"$base/landing",
+        consolidatedPath = s"$base/consolidado.parquet",
+        auditDir = s"$base/audit",
+        lifecycleDir = s"$base/lifecycle"))
+    assert(report.status == "SUCCESS", report.toString)
+    assert(report.inserted == 2)
+    val store = spark.read.parquet(s"$base/consolidado.parquet")
+    assert(store.filter(org.apache.spark.sql.functions.col("invoice_number")
+      === "FAC-001").count() == 1)
+  }
+
+  test("shared strings, r-less rows and numeric normalization parse correctly") {
+    // hand-rolled workbook exercising the parts XlsxEgress never writes:
+    // sharedStrings.xml (t="s") and rows/cells without r= attributes
+    val xlsx = tmpFile(".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(xlsx)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml", """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId9"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/data.xml"/></Relationships>""")
+    put("xl/sharedStrings.xml", """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>hola</t></si><si><r><t>multi</t></r><r><t xml:space="preserve"> run</t></r></si></sst>""")
+    put("xl/worksheets/data.xml", """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="s"><v>0</v></c><c><v>119000.0</v></c><c t="s"><v>1</v></c></row><row r="3"><c r="B3"><v>1.2E5</v></c></row></sheetData></worksheet>""")
+    zos.close()
+
+    val rows = XlsxIngress.readRows(xlsx)
+    assert(rows(0) == Seq("hola", "119000", "multi run"))
+    assert(rows(1).forall(_ == null)) // empty row 2 present (dense)
+    assert(rows(2)(1) == "120000")    // scientific notation normalized
+  }
+}
