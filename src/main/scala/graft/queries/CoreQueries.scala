@@ -612,15 +612,19 @@ object CoreQueries {
     (s, dir) => {
       val source = incomingInv(s, dir)
       val m = Merge.insertOnly(existingInv(s, dir), source, InvoiceRecord.pk)
-      val srcKeys = source.select(InvoiceRecord.pk.map(col): _*).distinct()
-      val missing = srcKeys
-        .join(m.result, InvoiceRecord.pk, "left_anti")
-        .agg(count(lit(1)).as("missing_pks"))
-      val srcTotal = source.agg(
-        sum(col("total_amount")).cast(money).as("source_total"))
-      val outTotal = m.result.join(srcKeys, InvoiceRecord.pk, "left_semi")
-        .agg(sum(col("total_amount")).cast(money).as("result_total"))
-      missing.crossJoin(srcTotal).crossJoin(outTotal)
+      // single-pass reconcile: source is PK-unique (clean view) and the
+      // merged result is PK-unique (insert-only + first-wins dedup), so
+      // ONE left join + ONE aggregate yields the missing-PK count, both
+      // totals and the variance — instead of an anti-join job, a
+      // semi-join job and three separate aggregates
+      val joined = source
+        .select(col("invoice_number"), col("reference_number"), col("total_amount"))
+        .join(m.result.select(col("invoice_number"), col("reference_number"),
+          col("total_amount").as("r_total")), InvoiceRecord.pk, "left")
+      joined.agg(
+          sum(when(col("r_total").isNull, 1L).otherwise(0L)).as("missing_pks"),
+          sum(col("total_amount")).cast(money).as("source_total"),
+          sum(col("r_total")).cast(money).as("result_total"))
         .withColumn("variance",
           abs(col("source_total") - col("result_total")).cast(money))
     },

@@ -23,15 +23,56 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object XlsxEgress {
 
-  /** Write rows (first seq = header row) as a fresh workbook. */
-  def write(path: String, rows: Seq[Seq[Any]]): Unit = {
+  /** Per-column presentation (excel_handler.py:16-36 COLUMN_FORMATS):
+    * number format code + horizontal alignment, keyed by header text.
+    */
+  final case class ColumnFormat(numberFormat: Option[String] = None,
+      alignment: Option[String] = None)
+
+  /** The reference's consolidated-sheet formats: integral invoice
+    * numbers, CLP currency totals, dd/mm/yyyy dates, centered headers.
+    */
+  val ConsolidatedFormats: Map[String, ColumnFormat] = Map(
+    "N° Factura" -> ColumnFormat(Some("0"), Some("center")),
+    "Empresa Transporte" -> ColumnFormat(None, Some("center")),
+    "Nave" -> ColumnFormat(None, Some("center")),
+    "Órdenes de Embarque" -> ColumnFormat(None, Some("left")),
+    "Guías de Despacho" -> ColumnFormat(Some("0"), Some("right")),
+    "Total Servicio ($)" ->
+      ColumnFormat(Some("""_ "$"* #,##0_ ;_ "$"* \-#,##0_ ;_ "$"* "-"_ ;_ @_ """)),
+    "Fecha Emisión" -> ColumnFormat(Some("dd/mm/yyyy"), Some("center")),
+    "Fecha Recepción Digital" -> ColumnFormat(Some("dd/mm/yyyy"), Some("center")),
+    "Aprobado por:" -> ColumnFormat(None, Some("center")),
+    "Estado Operaciones" -> ColumnFormat(None, Some("center")),
+    "Fecha Aprobación Operaciones" -> ColumnFormat(Some("dd/mm/yyyy"), Some("center")),
+    "Observaciones" -> ColumnFormat(None, Some("left")))
+
+  /** Write rows (first seq = header row) as a fresh workbook. When
+    * `formats` is non-empty, per-column styles resolve by the header text
+    * of each column and apply to every data cell in that column.
+    */
+  def write(path: String, rows: Seq[Seq[Any]],
+      formats: Map[String, ColumnFormat] = Map.empty): Unit = {
+    // style index per column: 0 = default; custom styles start at 1
+    val header = rows.headOption.getOrElse(Seq.empty)
+    val colFormats: Seq[ColumnFormat] = header.map {
+      case h: String => formats.getOrElse(h, ColumnFormat())
+      case _ => ColumnFormat()
+    }
+    val distinctStyles = colFormats.filter(f =>
+      f.numberFormat.isDefined || f.alignment.isDefined).distinct
+    val styleIdx: Map[ColumnFormat, Int] =
+      distinctStyles.zipWithIndex.map { case (f, i) => f -> (i + 1) }.toMap
+    val colStyle: Seq[Int] = colFormats.map(f => styleIdx.getOrElse(f, 0))
+
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {
       put(zos, "[Content_Types].xml", contentTypes)
       put(zos, "_rels/.rels", rootRels)
       put(zos, "xl/workbook.xml", workbook)
       put(zos, "xl/_rels/workbook.xml.rels", workbookRels)
-      put(zos, "xl/worksheets/sheet1.xml", sheetXml(rows))
+      put(zos, "xl/styles.xml", stylesXml(distinctStyles))
+      put(zos, "xl/worksheets/sheet1.xml", sheetXml(rows, colStyle))
     } finally zos.close()
   }
 
@@ -39,22 +80,27 @@ object XlsxEgress {
     * `max_row` probe then sequential appends). Creates the file with
     * `header` when absent.
     */
-  def append(path: String, header: Seq[Any], rows: Seq[Seq[Any]]): Unit = {
+  def append(path: String, header: Seq[Any], rows: Seq[Seq[Any]],
+      formats: Map[String, ColumnFormat] = Map.empty): Unit = {
     val existing: Seq[Seq[Any]] =
       if (new java.io.File(path).exists()) XlsxIngress.readRows(path)
       else Seq(header)
-    write(path, existing ++ rows)
+    write(path, existing ++ rows, formats)
   }
 
   /** Render a small egress DataFrame (e.g. [[graft.pipeline.Egress]]'s
     * consolidated layout) to a workbook — collects, so callers bound the
     * row count first (egress views are file-sized by construction).
+    * Columns matching [[ConsolidatedFormats]] headers get the reference's
+    * number formats (currency totals, dd/mm/yyyy dates, integral invoice
+    * numbers).
     */
-  def writeDataFrame(path: String, df: DataFrame): Unit = {
+  def writeDataFrame(path: String, df: DataFrame,
+      formats: Map[String, ColumnFormat] = ConsolidatedFormats): Unit = {
     val header: Seq[Any] = df.columns.toSeq
     val data = df.collect().toSeq.map((r: Row) =>
       (0 until r.length).map(i => r.get(i)))
-    write(path, header +: data)
+    write(path, header +: data, formats)
   }
 
   // ------------------------------------------------------------------- xml
@@ -69,26 +115,32 @@ object XlsxEgress {
     sb.toString
   }
 
-  private def cellXml(ref: String, v: Any): Option[String] = v match {
-    case null => None
-    case n: Byte => Some(s"""<c r="$ref"><v>$n</v></c>""")
-    case n: Short => Some(s"""<c r="$ref"><v>$n</v></c>""")
-    case n: Int => Some(s"""<c r="$ref"><v>$n</v></c>""")
-    case n: Long => Some(s"""<c r="$ref"><v>$n</v></c>""")
-    case n: Float => Some(s"""<c r="$ref"><v>$n</v></c>""")
-    case n: Double => Some(s"""<c r="$ref"><v>$n</v></c>""")
-    case n: java.math.BigDecimal => Some(s"""<c r="$ref"><v>${n.toPlainString}</v></c>""")
-    case n: BigDecimal => Some(s"""<c r="$ref"><v>${n.bigDecimal.toPlainString}</v></c>""")
-    case b: Boolean => Some(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
-    case s: String if s.isEmpty => None
-    case other => Some(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(other.toString)}</t></is></c>""")
+  private def cellXml(ref: String, v: Any, style: Int): Option[String] = {
+    val s = if (style > 0) s""" s="$style"""" else ""
+    v match {
+      case null => None
+      case n: Byte => Some(s"""<c r="$ref"$s><v>$n</v></c>""")
+      case n: Short => Some(s"""<c r="$ref"$s><v>$n</v></c>""")
+      case n: Int => Some(s"""<c r="$ref"$s><v>$n</v></c>""")
+      case n: Long => Some(s"""<c r="$ref"$s><v>$n</v></c>""")
+      case n: Float => Some(s"""<c r="$ref"$s><v>$n</v></c>""")
+      case n: Double => Some(s"""<c r="$ref"$s><v>$n</v></c>""")
+      case n: java.math.BigDecimal => Some(s"""<c r="$ref"$s><v>${n.toPlainString}</v></c>""")
+      case n: BigDecimal => Some(s"""<c r="$ref"$s><v>${n.bigDecimal.toPlainString}</v></c>""")
+      case b: Boolean => Some(s"""<c r="$ref"$s t="b"><v>${if (b) 1 else 0}</v></c>""")
+      case str: String if str.isEmpty => None
+      case other => Some(s"""<c r="$ref"$s t="inlineStr"><is><t xml:space="preserve">${esc(other.toString)}</t></is></c>""")
+    }
   }
 
-  private def sheetXml(rows: Seq[Seq[Any]]): String = {
+  private def sheetXml(rows: Seq[Seq[Any]], colStyle: Seq[Int]): String = {
     val body = rows.zipWithIndex.flatMap { case (cells, r0) =>
       val r = r0 + 1
       val cs = cells.zipWithIndex.flatMap { case (v, c0) =>
-        cellXml(s"${colLetters(c0 + 1)}$r", v)
+        // styles apply to data rows only — the header row keeps style 0,
+        // like the reference which styles appended cells, not the template
+        val style = if (r0 == 0) 0 else colStyle.lift(c0).getOrElse(0)
+        cellXml(s"${colLetters(c0 + 1)}$r", v, style)
       }
       if (cs.isEmpty) None
       else Some(s"""<row r="$r">${cs.mkString}</row>""")
@@ -97,9 +149,34 @@ object XlsxEgress {
        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>${body.mkString}</sheetData></worksheet>""".stripMargin
   }
 
+  /** styles.xml: one cellXf per distinct column format (index i+1 — index
+    * 0 stays the default style); custom number-format ids start at 164
+    * per the OOXML spec.
+    */
+  private def stylesXml(styles: Seq[ColumnFormat]): String = {
+    val numFmts = styles.zipWithIndex.collect {
+      case (f, i) if f.numberFormat.isDefined =>
+        (f, 164 + i)
+    }.toMap
+    val numFmtXml = numFmts.map { case (f, id) =>
+      s"""<numFmt numFmtId="$id" formatCode="${esc(f.numberFormat.get)}"/>"""
+    }.mkString
+    val xfs = styles.map { f =>
+      val fmtId = numFmts.get(f).getOrElse(0)
+      val applyFmt = if (fmtId > 0) """ applyNumberFormat="1"""" else ""
+      f.alignment match {
+        case Some(h) =>
+          s"""<xf numFmtId="$fmtId" xfId="0"$applyFmt applyAlignment="1"><alignment horizontal="$h"/></xf>"""
+        case None => s"""<xf numFmtId="$fmtId" xfId="0"$applyFmt/>"""
+      }
+    }.mkString
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><numFmts count="${numFmts.size}">$numFmtXml</numFmts><fonts count="1"><font/></fonts><fills count="2"><fill><patternFill patternType="none"/></fill><fill><patternFill patternType="gray125"/></fill></fills><borders count="1"><border/></borders><cellStyleXfs count="1"><xf/></cellStyleXfs><cellXfs count="${styles.size + 1}"><xf numFmtId="0" xfId="0"/>$xfs</cellXfs></styleSheet>""".stripMargin
+  }
+
   private val contentTypes =
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-      |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""".stripMargin
+      |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/></Types>""".stripMargin
 
   private val rootRels =
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -111,7 +188,7 @@ object XlsxEgress {
 
   private val workbookRels =
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-      |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin
+      |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/></Relationships>""".stripMargin
 
   private def put(zos: ZipOutputStream, name: String, content: String): Unit = {
     zos.putNextEntry(new ZipEntry(name))

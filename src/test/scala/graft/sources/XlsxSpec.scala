@@ -89,6 +89,32 @@ class XlsxSpec extends SparkSpec {
     assert(out(1).getAs[java.math.BigDecimal]("total_amount").longValue == 75000L)
   }
 
+  test("consolidated egress formats: currency/date/int styles land in styles.xml") {
+    val xlsx = tmpFile(".xlsx")
+    XlsxEgress.write(xlsx, Seq(
+      Seq[Any]("N° Factura", "Total Servicio ($)", "Fecha Emisión", "Observaciones"),
+      Seq[Any](123, 119000.0, "15/01/2026", "ok")),
+      XlsxEgress.ConsolidatedFormats)
+    val zip = new java.util.zip.ZipFile(xlsx)
+    def part(n: String) = new String(
+      zip.getInputStream(zip.getEntry(n)).readAllBytes(), "UTF-8")
+    try {
+      val styles = part("xl/styles.xml")
+      // reference COLUMN_FORMATS: integral invoice, CLP currency, dd/mm/yyyy
+      assert(styles.contains("formatCode=\"0\""))
+      assert(styles.contains("#,##0"))
+      assert(styles.contains("dd/mm/yyyy"))
+      assert(styles.contains("<alignment horizontal=\"center\"/>"))
+      val sheet = part("xl/worksheets/sheet1.xml")
+      // data cells styled, header cells not
+      assert(sheet.contains("<c r=\"A2\" s="))
+      assert(!sheet.contains("<c r=\"A1\" s="))
+    } finally zip.close()
+    // values still round-trip through the ingress reader
+    val rows = XlsxIngress.readRows(xlsx)
+    assert(rows(1)(0) == "123" && rows(1)(1) == "119000")
+  }
+
   test("append semantics: rows land after the last populated row") {
     val xlsx = tmpFile(".xlsx")
     XlsxEgress.write(xlsx, Seq(Seq("h1", "h2"), Seq("a", 1)))
