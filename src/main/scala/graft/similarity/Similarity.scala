@@ -146,22 +146,27 @@ object Similarity {
   }
 
   /** IVF list assignment: nearest centroid by exact integer squared
-    * distance `|q|² − 2·q·c + |c|²` (ties → smallest centroid id).
-    * Input rows: (idCol, qv: array<long>); output adds `centroid_id`.
+    * distance (ties → smallest centroid id). Input rows:
+    * (idCol, qv: array<long>); output adds `centroid_id`.
+    *
+    * Implemented as ONE scan-stage projection — centroids are literals,
+    * so per row we evaluate `−2·q·c_i + |c_i|²` once per centroid (the
+    * common `|q|²` term cannot change the argmin and is dropped) and take
+    * `array_min` over (distance, id) structs, whose lexicographic order
+    * breaks ties on the smaller id. No crossJoin, no shuffle, no window:
+    * at 100 TB assignment costs exactly one pass over the corpus, and
+    * the codegen'd [[graft.functions.LongArrayDot]] keeps the k-way dot
+    * loop in the scan stage.
     */
   def ivfAssign(df: DataFrame, idCol: String, qvCol: String,
       centroids: Seq[(Int, Seq[Long])]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(centroids.toDF("centroid_id", "cv"))
-    val dist = normSqQ(col(qvCol)) - lit(2L) * dotQ(col(qvCol), col("cv")) +
-      normSqQ(col("cv"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(dist.asc, col("centroid_id"))
-    df.crossJoin(cdf)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__rk", "cv")
+    val scored = centroids.map { case (id, cv) =>
+      val cNormSq = cv.map(x => x * x).sum
+      struct(
+        (lit(-2L) * dotQ(col(qvCol), typedlit(cv)) + lit(cNormSq)).as("d"),
+        lit(id).as("c"))
+    }
+    df.withColumn("centroid_id", array_min(array(scored: _*)).getField("c"))
   }
 
   /** IVF ANN: assign every vector to its coarse list, then search only
