@@ -124,6 +124,60 @@ object CoreQueries {
       |ORDER BY revenue DESC, n_name
       |""".stripMargin))
 
+  /** Q6 shape — tight filtered aggregation: every predicate reaches the
+    * parquet scan (PushedFilters on l_quantity; date/discount predicates
+    * evaluate in the scan stage), one partial+final agg, no join. The
+    * pushdown showcase query.
+    */
+  val q6Forecast = QueryDef("q6_forecast",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      import InvoiceView.m2
+      val d = col("l_shipdate").cast("date")
+      li.filter(
+          d >= lit(java.sql.Date.valueOf("1997-01-01")) &&
+          d < lit(java.sql.Date.valueOf("1998-01-01")) &&
+          m2(col("l_discount")).between(
+            lit(new java.math.BigDecimal("0.02")),
+            lit(new java.math.BigDecimal("0.06"))) &&
+          col("l_quantity") < 24)
+        .agg(sum((m2(col("l_extendedprice")) * m2(col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("revenue"))
+    },
+    Some("""
+      |SELECT CAST(CAST(SUM(CAST(CAST(CAST(ROUND((l_extendedprice)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) * CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      |  AND CAST(CAST(ROUND((l_discount)*100) AS DECIMAL(18,0)) * 0.01 AS DECIMAL(18,2)) BETWEEN 0.02 AND 0.06
+      |  AND l_quantity < 24
+      |""".stripMargin))
+
+  /** W2 — cumulative window: per-user running total of event value in
+    * event_id order (unique per user, so RANGE ≡ ROWS framing on both
+    * engines). Exact decimal accumulation, double at the boundary.
+    */
+  val w2RunningTotal = QueryDef("w2_running_total",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      ev.select(col("user_id"), col("event_id"),
+          InvoiceView.m2(col("value")).as("value_clp"))
+        .withColumn("running",
+          sum(col("value_clp")).over(w).cast(InvoiceRecord.money))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some(s"""
+      |SELECT user_id, event_id,
+      |       CAST(${InvoiceView.m2Sql("value")} AS DOUBLE) AS value_clp,
+      |       CAST(CAST(SUM(${InvoiceView.m2Sql("value")})
+      |              OVER (PARTITION BY user_id ORDER BY event_id)
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS running
+      |FROM events
+      |ORDER BY user_id, event_id
+      |""".stripMargin))
+
   // ------------------------------------------------------- projections/filters
 
   /** P1 — column-mapping rename-project (Spanish headers → canonical). */
@@ -880,7 +934,7 @@ object CoreQueries {
       |""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    q1Agg, q3TopRevenue, q5LocalRevenue,
+    q1Agg, q3TopRevenue, q5LocalRevenue, q6Forecast, w2RunningTotal,
     p1MapColumns, p3RequireNonBlank, p4SummaryFilter, p5TakeWhile,
     p6ValidRows, p6ErrorChannel,
     f3ParseMoney, f4ParseDate, f6StripPrefix, f7TotalOverride, f9InvoiceInt,

@@ -39,6 +39,31 @@ object StagedWorkbook {
       .select("_row_num", "cells")
   }
 
+  /** Stage a whole DIRECTORY of headerless CSV workbooks in one read:
+    * rows carry `source_file` and a per-file `_row_num` from a window
+    * partitioned by file — unlike [[fromCsv]]'s single global window,
+    * this parallelizes across files (one sort partition per file, skew
+    * bounded by the largest workbook), so a million-file landing zone
+    * numbers rows without a single-reducer bottleneck.
+    */
+  def fromCsvDir(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read
+      .option("header", "false")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .schema(StructType((0 until 64).map(i =>
+        StructField(s"_c$i", StringType))))
+      .csv(s"$dir/*.csv")
+      .withColumn("source_file", input_file_name())
+    val cellCols = (0 until 64).map(i => col(s"_c$i"))
+    df.withColumn("cells", array(cellCols: _*))
+      .withColumn("_row_num",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source_file"))
+          .orderBy(monotonically_increasing_id())).cast("int"))
+      .select(col("source_file"), col("_row_num"), col("cells"))
+  }
+
   /** Build a staged sheet from in-memory rows (test fixtures). */
   def fromRows(spark: SparkSession, rows: Seq[Seq[String]]): DataFrame = {
     val data = rows.zipWithIndex.map { case (cells, i) =>

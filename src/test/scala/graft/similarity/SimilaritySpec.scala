@@ -61,6 +61,16 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0) == b(3) && b(0) != b(2))
   }
 
+  test("ivfAssign is a pure projection: no Exchange in the plan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = Similarity.ivfAssign(
+      emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv")),
+      "vec_id", "qv", Similarity.ivfCentroids(16, 64))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(assigned.count() == emb.count())
+  }
+
   test("blocking parameters scale with corpus size; pinned at oracle scales") {
     // the driver's verification corpora (sf0.001: 50, sf0.01: 500 vectors)
     // must produce EXACTLY the oracle SQL's constants (8 bits, 16 lists)

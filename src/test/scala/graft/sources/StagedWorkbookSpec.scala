@@ -74,4 +74,23 @@ class StagedWorkbookSpec extends SparkSpec {
       Seq("row_index", "A", "B"), Seq("A", "B"))
     assert(ok2 && m2.isEmpty && e2.isEmpty)
   }
+
+  test("fromCsvDir: per-file row numbering from a file-partitioned window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvdir")
+    def w(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), lines.mkString("\n"))
+    w("a.csv", Seq("\"a1\"", "\"a2\"", "\"a3\""))
+    w("b.csv", Seq("\"b1\"", "\"b2\""))
+    val staged = StagedWorkbook.fromCsvDir(spark, dir.toString)
+    val rows = staged.collect().map(r => (
+      r.getAs[String]("source_file").split('/').last,
+      r.getAs[Int]("_row_num"),
+      r.getSeq[String](r.fieldIndex("cells")).head)).sortBy(x => (x._1, x._2))
+    assert(rows.toSeq == Seq(
+      ("a.csv", 1, "a1"), ("a.csv", 2, "a2"), ("a.csv", 3, "a3"),
+      ("b.csv", 1, "b1"), ("b.csv", 2, "b2")))
+    // the numbering window partitions by file, never a global single reducer
+    val plan = staged.queryExecution.optimizedPlan.toString
+    assert(plan.contains("source_file"))
+  }
 }
