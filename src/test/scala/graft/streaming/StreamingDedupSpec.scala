@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+/** Streaming exact dedup over a document file stream keeps exactly the
+  * batch keep-set (one winner per distinct content) and drops duplicates
+  * across micro-batches.
+  */
+class StreamingDedupSpec extends SparkSpec {
+
+  test("streamed exact dedup keeps one doc per distinct content, across batches") {
+    val base = Files.createTempDirectory("graft-sdedup")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      // deterministic ingestion time so the watermark has an event-time
+      // axis; offset from the epoch — the initial watermark is epoch 0
+      // and the stateful late-row filter is inclusive, so a row AT the
+      // epoch would be dropped as late
+      .withColumn("ingested_at",
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L))
+    // two landing files with OVERLAP: part2 re-delivers 20 docs of part1
+    docs.filter(col("doc_id") < 400).write.parquet(s"$base/landing/part1")
+    docs.filter(col("doc_id") >= 380).write.parquet(s"$base/landing/part2")
+
+    val streamed = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/landing/*")
+    val q = StreamingDedup.exactDedupStream(streamed, "text", "ingested_at")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination()
+
+    val got = spark.table("dedup_stream")
+    // one emission per distinct content hash, matching the batch count
+    val batchDistinct = Dedup.exactDedup(docs, "text", "doc_id").count()
+    assert(got.count() == batchDistinct,
+      s"streamed ${got.count()} != batch distinct $batchDistinct")
+    assert(got.groupBy("content_hash").count()
+      .filter(col("count") > 1).count() == 0, "a hash emitted twice")
+    // the stream ingested 520 rows (500 + 20 redelivered) but emitted
+    // only the distinct 500 — the overlap never re-emitted
+    val ingested = spark.read.parquet(s"$base/landing/*").count()
+    assert(ingested == docs.count() + 20)
+    assert(got.count() < ingested)
+  }
+}
