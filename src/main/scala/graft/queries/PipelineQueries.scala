@@ -380,6 +380,53 @@ object PipelineQueries {
       |ORDER BY query_id, rank
       |""".stripMargin))
 
+  /** S4 — multi-probe IVF (nprobe=4): each query searches its 4 nearest
+    * coarse lists, the corpus stays single-list — the recall lever that
+    * makes IVF usable at 100 TB without re-partitioning the corpus.
+    */
+  val s4AnnIvfProbe = QueryDef("s4_ann_ivf_probe",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKProbe(emb, "vec_id", "embedding", 5,
+          nCentroids = Similarity.scaledCentroids(emb.count()), nprobe = 4,
+          queryFilter = col("vec_id") % 20 === 0)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |cent AS (
+      |  SELECT c.c AS centroid_id,
+      |         list_transform(range(0, 64),
+      |           d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
+      |                % 2001 - 1000) AS cv
+      |  FROM (SELECT unnest(range(16)) AS c) c),
+      |ranks AS (
+      |  SELECT v.vec_id, v.qv, c.centroid_id,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |           ${dotSql("v.qv", "v.qv")} - 2 * ${dotSql("v.qv", "c.cv")}
+      |             + ${dotSql("c.cv", "c.cv")} ASC, c.centroid_id) AS rk
+      |  FROM qv v CROSS JOIN cent c),
+      |assignq AS (
+      |  SELECT vec_id, qv, centroid_id FROM ranks
+      |  WHERE rk <= 4 AND vec_id % 20 = 0),
+      |assignc AS (SELECT vec_id, qv, centroid_id FROM ranks WHERE rk = 1),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM assignq q JOIN assignc c
+      |    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank
+      |""".stripMargin))
+
   /** D5 — embedding-cosine near-duplicate pairs at threshold 0.55, decided
     * in exact integer arithmetic (no float boundary), blocked by sign
     * bucket.
@@ -487,6 +534,6 @@ object PipelineQueries {
     tTextStats,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup,
-    s1AnnBruteForce, s2AnnBucketed, s3AnnIvf,
+    s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
     m1MediaMeta, m2MediaAnn)
 }

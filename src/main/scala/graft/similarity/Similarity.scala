@@ -169,6 +169,54 @@ object Similarity {
     df.withColumn("centroid_id", array_min(array(scored: _*)).getField("c"))
   }
 
+  /** Multi-probe IVF assignment: each row explodes into its `nprobe`
+    * NEAREST coarse lists (by exact integer distance, ties to smaller
+    * id). Query-side only — the corpus keeps single-list assignment;
+    * probing more lists trades extra partition reads for recall, the
+    * standard IVF recall lever. Same literal-centroid projection as
+    * [[ivfAssign]] plus an array_sort + slice on a `nCentroids`-element
+    * array per row; no shuffle.
+    */
+  def ivfAssignProbe(df: DataFrame, idCol: String, qvCol: String,
+      centroids: Seq[(Int, Seq[Long])], nprobe: Int): DataFrame = {
+    val scored = centroids.map { case (id, cv) =>
+      val cNormSq = cv.map(x => x * x).sum
+      struct(
+        (lit(-2L) * dotQ(col(qvCol), typedlit(cv)) + lit(cNormSq)).as("d"),
+        lit(id).as("c"))
+    }
+    df.withColumn("centroid_id",
+      explode(slice(array_sort(array(scored: _*)), 1, nprobe).getField("c")))
+  }
+
+  /** IVF ANN with multi-probe queries: corpus vectors live in ONE list;
+    * each query searches its `nprobe` nearest lists. A (query, neighbor)
+    * pair appears at most once (the neighbor's list is unique), so no
+    * dedup is needed before ranking.
+    */
+  def ivfTopKProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, dims: Int = 64, nprobe: Int = 4,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val cents = ivfCentroids(nCentroids, dims)
+    val q = ivfAssignProbe(
+      df.filter(queryFilter)
+        .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
+      "query_id", "qv", cents, nprobe)
+    val c = ivfAssign(
+      df.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
+      "neighbor_id", "cv", cents)
+    val scored = q.join(c, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromQ(dotQ(col("qv"), col("cv")),
+          normSqQ(col("qv")), normSqQ(col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** IVF ANN: assign every vector to its coarse list, then search only
     * within the query's list (nprobe=1). At scale the corpus is stored
     * partitioned by centroid_id, so a probe touches one partition.

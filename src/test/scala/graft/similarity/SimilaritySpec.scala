@@ -61,6 +61,26 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0) == b(3) && b(0) != b(2))
   }
 
+  test("multi-probe IVF: recall vs brute force improves with nprobe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val isQuery = col("vec_id") % 20 === 0
+    def topkSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bf = topkSet(Similarity.bruteForceTopK(
+      emb.filter(isQuery), emb, "vec_id", "embedding", 5))
+    def recall(nprobe: Int): Double = {
+      val got = topkSet(Similarity.ivfTopKProbe(emb, "vec_id", "embedding", 5,
+        nprobe = nprobe, queryFilter = isQuery))
+      (bf & got).size.toDouble / bf.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r16 = recall(16)
+    assert(r4 >= r1, s"recall must not drop with more probes: $r1 -> $r4")
+    assert(r16 >= r4, s"recall must not drop with more probes: $r4 -> $r16")
+    // probing ALL 16 lists IS brute force (minus nothing): exact recall
+    assert(r16 == 1.0, s"nprobe=16 of 16 lists must be exhaustive, got $r16")
+    assert(r4 >= 0.5, s"nprobe=4 recall unexpectedly low: $r4")
+  }
+
   test("ivfAssign is a pure projection: no Exchange in the plan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val assigned = Similarity.ivfAssign(
