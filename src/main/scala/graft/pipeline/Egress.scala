@@ -45,4 +45,18 @@ object Egress {
       opt("fecha_aprobacion_operaciones").as("Fecha Aprobación Operaciones"),
       opt("description").as("Observaciones"))
   }
+
+  /** Full S7 byte surface: consolidated layout → a real `.xlsx` with the
+    * reference's per-column formats, appended after the last populated
+    * row when the file exists (excel_handler.py:61-132 semantics). The
+    * egress view is file-sized by construction (a store slice or a run's
+    * inserted rows); the 100 TB data path stays in parquet.
+    */
+  def writeConsolidatedXlsx(df: DataFrame, path: String): Unit = {
+    val layout = consolidatedLayout(df)
+    val header: Seq[Any] = layout.columns.toSeq
+    val rows = layout.collect().toSeq.map(r => (0 until r.length).map(i => r.get(i)))
+    graft.sources.XlsxEgress.append(path, header, rows,
+      graft.sources.XlsxEgress.ConsolidatedFormats)
+  }
 }

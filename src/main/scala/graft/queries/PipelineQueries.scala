@@ -89,6 +89,38 @@ object PipelineQueries {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** T5 — corpus profile: per-language doc counts, exact token/char
+    * totals and distinct-content cardinality — the dataset-curation
+    * dashboard numbers (one hash-aggregate pass; all metrics are
+    * integer-exact so the oracle matches bit-for-bit).
+    */
+  val t2CorpusProfile = QueryDef("t2_corpus_profile",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          countDistinct(TextAnalysis.contentHash(col("text"))).as("distinct_contents"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      |WITH st AS (
+      |  SELECT lang, text,
+      |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                         x -> x <> '')) AS n_tok,
+      |         length(text) AS n_chr,
+      |         md5(text) AS h
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(CAST(n_chr AS BIGINT)) AS BIGINT) AS total_chars,
+      |       COUNT(DISTINCT h) AS distinct_contents
+      |FROM st GROUP BY lang
+      |ORDER BY lang
+      |""".stripMargin))
+
   // ----------------------------------------------------------------- dedup
 
   /** D1 — exact dedup keep-list over a corpus with synthesized duplicates
@@ -531,7 +563,7 @@ object PipelineQueries {
       |""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    tTextStats,
+    tTextStats, t2CorpusProfile,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,

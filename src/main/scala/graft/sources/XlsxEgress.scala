@@ -82,8 +82,9 @@ object XlsxEgress {
     */
   def append(path: String, header: Seq[Any], rows: Seq[Seq[Any]],
       formats: Map[String, ColumnFormat] = Map.empty): Unit = {
+    val f = new java.io.File(path)
     val existing: Seq[Seq[Any]] =
-      if (new java.io.File(path).exists()) XlsxIngress.readRows(path)
+      if (f.exists() && f.length() > 0) XlsxIngress.readRows(path)
       else Seq(header)
     write(path, existing ++ rows, formats)
   }

@@ -124,6 +124,28 @@ class XlsxSpec extends SparkSpec {
     assert(rows(3)(1) == "3")
   }
 
+  test("Egress.writeConsolidatedXlsx: store slice → styled workbook, appends on rerun") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    val store = Seq(
+      ("123", "REF-1", "Carrier A", "2026-01-15", "119000.00"),
+      ("FAC-9", "REF-2", "Carrier B", "2026-01-16", "238000.00"))
+      .toDF("invoice_number", "reference_number", "carrier_name", "d", "t")
+      .select(col("invoice_number"), col("reference_number"), col("carrier_name"),
+        to_date(col("d")).as("invoice_date"),
+        col("t").cast("decimal(18,2)").as("total_amount"))
+    val xlsx = tmpFile(".xlsx")
+    graft.pipeline.Egress.writeConsolidatedXlsx(store.filter(col("invoice_number") === "123"), xlsx)
+    graft.pipeline.Egress.writeConsolidatedXlsx(store.filter(col("invoice_number") =!= "123"), xlsx)
+    val rows = XlsxIngress.readRows(xlsx)
+    assert(rows.head.head == "N° Factura")
+    // F9: integral invoice renders as a number; non-integral stays text
+    assert(rows(1).head == "123" && rows(2).head == "FAC-9")
+    assert(rows(1)(5) == "119000") // Total Servicio ($) as number
+    assert(rows(1)(6) == "15/01/2026") // dd/MM/yyyy
+    assert(rows.length == 3) // header + 2 appended rows across two writes
+  }
+
   test("pipeline consumes a real .xlsx landing file end-to-end") {
     val base = Files.createTempDirectory("graft-xlsx-pipe")
     val landing = Files.createDirectories(java.nio.file.Paths.get(s"$base/landing"))
