@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-shape audit for the scale-critical queries: these assertions pin
+  * the properties that make the plans survive a 100× scale-up — filters
+  * reaching the parquet scan, broadcast joins on dimension sides, anti-
+  * join merges, and the absence of cartesian products in pair
+  * generation. Analysis-only (nothing executes).
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+    // formatted mode includes scan metadata (PushedFilters / ReadSchema)
+    // that the simple plan string truncates
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: every predicate pushes to the parquet scan; only needed columns read") {
+    val p = plan("q6_forecast")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date lower bound must push")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity filter must push")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      "scan must read only the 4 referenced columns")
+  }
+
+  test("q3/q5: dimension sides broadcast — no shuffled join on the small side") {
+    assert(plan("q3_top_revenue").contains("BroadcastHashJoin"))
+    val q5 = plan("q5_nation_revenue")
+    assert(q5.contains("BroadcastHashJoin"))
+    assert(!q5.contains("CartesianProduct"))
+  }
+
+  test("j1 merge is an anti-join, never a cartesian product") {
+    val p = plan("j1_insert_only_merge")
+    assert(p.contains("LeftAnti"), "insert-only merge must anti-join on the PK")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pair generation never goes all-pairs: jaccard + simhash + cosine near-dup") {
+    for (q <- Seq("d2_jaccard_pairs", "d4_simhash_pairs", "d5_cosine_near_dup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("ANN: brute force broadcasts the query side; ivf assignment shuffle-free") {
+    assert(plan("s1_ann_brute_force").contains("BroadcastNestedLoopJoin"),
+      "brute force IS the deliberate broadcast cross join — query side tiny")
+    val s3 = plan("s3_ann_ivf")
+    assert(!s3.contains("CartesianProduct"))
+    assert(s3.contains("array_min"), "assignment must be the literal-centroid projection")
+  }
+
+  test("o3 top-errors uses TakeOrderedAndProject, not a full sort") {
+    assert(plan("o3_top_errors").contains("TakeOrderedAndProject"))
+  }
+}
