@@ -74,8 +74,12 @@ object PipelineQueries {
       |       CAST((n_let + 3) // 4 + n_dig + n_pun AS BIGINT) AS n_subwords,
       |       CAST(n_pun AS INT) AS n_punct,
       |       CAST(LEAST(100, n_tok)
-      |            + LEAST(100, CAST(FLOOR((en_hits + es_hits) * 500 / n_tok) AS INT))
-      |            + 100 - LEAST(100, CAST(FLOOR(n_pun * 300 / n_chr) AS INT))
+      |            + CASE WHEN n_tok > 0
+      |                   THEN LEAST(100, CAST(FLOOR((en_hits + es_hits) * 500 / n_tok) AS INT))
+      |                   ELSE 0 END
+      |            + 100 - CASE WHEN n_chr > 0
+      |                   THEN LEAST(100, CAST(FLOOR(n_pun * 300 / n_chr) AS INT))
+      |                   ELSE 0 END
       |            AS BIGINT) AS quality,
       |       CASE WHEN en_hits > es_hits THEN 'en'
       |            WHEN es_hits > en_hits THEN 'es' ELSE 'und' END AS lang_guess,

@@ -60,9 +60,14 @@ object TextAnalysis {
     val nChr = length(text)
     val stopHits = stopwordHits(text, EnglishStopwords ++ SpanishStopwords)
     val lenScore = least(lit(100), nTok)
-    val stopScore = least(lit(100), floor(stopHits * 500 / nTok).cast("int"))
-    val punctScore = lit(100) -
-      least(lit(100), floor(punctCount(text) * 300 / nChr).cast("int"))
+    // zero-token / zero-char guards keep the expression TOTAL: without
+    // them an empty document makes 0/0 = NaN and ANSI mode (Spark 4
+    // default) throws on the int cast — one dirty row would kill a
+    // corpus-wide pass
+    val stopScore = when(nTok > 0,
+      least(lit(100), floor(stopHits * 500 / nTok).cast("int"))).otherwise(0)
+    val punctScore = lit(100) - when(nChr > 0,
+      least(lit(100), floor(punctCount(text) * 300 / nChr).cast("int"))).otherwise(0)
     (lenScore + stopScore + punctScore).cast("long")
   }
 

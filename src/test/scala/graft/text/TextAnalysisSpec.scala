@@ -50,4 +50,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(prose > junk)
     assert(prose <= 300 && junk >= 0)
   }
+
+  test("quality score is TOTAL: empty/whitespace docs score without ANSI errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ANSI mode (Spark 4 default) throws on int casts of NaN — the
+    // zero-token/zero-char guards must keep these rows alive
+    val got = Seq("", "   ", "!!!", "the of and").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[Long].collect()
+    assert(got(0) == 100) // 0 tokens, 0 chars: 0 + 0 + (100 - 0)
+    assert(got(1) == 100) // whitespace only
+    assert(got(2) == 1 + 0 + 0) // "!!!": 1 token, all punct
+    assert(got(3) > 200) // real prose with stopwords scores high
+  }
 }
