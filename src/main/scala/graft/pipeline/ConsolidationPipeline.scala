@@ -127,6 +127,17 @@ object ConsolidationPipeline {
       report.totalFiles, report.totalRecords, report.inserted, report.updated,
       report.unchanged, report.errors, sourceTotal.bigDecimal,
       outputTotal.bigDecimal, None))
+    // S9 — the rendered notification is a run artifact (the reference
+    // sends it via Gmail; the engine renders the same HTML and leaves
+    // the transport to a connector). Never fails the run.
+    try {
+      val dir = Paths.get(cfg.auditDir, "notifications")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(s"$runId.html"),
+        Report.renderHtml(report,
+          consolidatedLink = cfg.consolidatedPath,
+          timestamp = startedAt.toInstant.toString))
+    } catch { case NonFatal(_) => () }
     report
   }
 

@@ -175,6 +175,19 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(detail.init.forall(_.startsWith("f1.csv fila ")))
   }
 
+  test("every run leaves a rendered HTML notification artifact (S9)") {
+    val base = tmp()
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
+    val report = ConsolidationPipeline.run(spark, cfg(base))
+    val dir = Paths.get(s"$base/audit/notifications")
+    val files = Files.list(dir).iterator()
+    assert(files.hasNext)
+    val html = Files.readString(Files.list(dir).iterator().next())
+    assert(html.contains(report.runUuid))
+    assert(html.contains("exitosamente")) // SUCCESS template selected
+    assert(html.contains("{ margin: 0;")) // CSS braces survived
+  }
+
   test("upsert mode (J3): changed fields update in place, new PKs insert") {
     val base = tmp()
     val c = cfg(base).copy(mergeMode = "upsert")
