@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Consolidated-store maintenance: the insert-only pipeline appends a
+  * few part files per run, so a store that lives for years accumulates
+  * thousands of tiny files — the classic small-files problem that
+  * dominates scan setup cost at scale. Compaction rewrites the store
+  * into size-targeted files.
+  *
+  * Safety: the rewrite goes to a sibling temp directory first (never
+  * overwrite-while-reading — the plan being written READS the files
+  * being replaced), then the old store moves aside and the temp swaps
+  * in; the aside copy is deleted only after the swap succeeds, so a
+  * crash at any point leaves either the old or the new store intact.
+  */
+object StoreMaintenance {
+
+  /** Number of parquet part files currently in the store (recursive —
+    * counts within partition directories too).
+    */
+  def partFileCount(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).iterator().asScala
+      .count(f => f.getFileName.toString.startsWith("part-") &&
+        f.getFileName.toString.endsWith(".parquet"))
+  }
+
+  /** Rewrite the store into `ceil(bytes / targetBytes)` files (min 1),
+    * preserving `partitionBy` layout when given. Returns the new part
+    * count, or -1 when the store does not exist.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      partitionBy: Seq[String] = Nil): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return -1L
+    val bytes = Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+
+    val tmp = p.resolveSibling(p.getFileName.toString + "__compact_tmp")
+    val aside = p.resolveSibling(p.getFileName.toString + "__compact_old")
+    deleteRecursive(tmp); deleteRecursive(aside)
+
+    val df = spark.read.parquet(path).repartition(nFiles)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp.toString)
+
+    Files.move(p, aside, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable =>
+      // roll the old store back before propagating
+      Files.move(aside, p, StandardCopyOption.ATOMIC_MOVE)
+      throw e
+    }
+    deleteRecursive(aside)
+    partFileCount(path)
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+}

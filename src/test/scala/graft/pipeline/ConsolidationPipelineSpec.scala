@@ -175,6 +175,32 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(detail.init.forall(_.startsWith("f1.csv fila ")))
   }
 
+  test("store compaction: many-run small files rewrite into one, data unchanged") {
+    val base = tmp()
+    val c = cfg(base)
+    // five runs, each appending its own part files
+    val rows = Seq(r1, r2, r3)
+    for (i <- 1 to 5) {
+      val rI = Seq(s"FAC-10$i", s"REF-10$i", "Carrier C",
+        "15-01-2026", "x", "1000", "190", "1190", "CLP")
+      writeSimpleWorkbook(s"$base/landing", s"f$i.csv", Seq(rI))
+      assert(ConsolidationPipeline.run(spark, c).status == "SUCCESS")
+    }
+    val before = StoreMaintenance.partFileCount(c.consolidatedPath)
+    assert(before >= 5, s"expected ≥5 small files, got $before")
+    val data = spark.read.parquet(c.consolidatedPath)
+      .select("invoice_number", "total_amount").collect().toSet
+
+    val after = StoreMaintenance.compact(spark, c.consolidatedPath)
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    val dataAfter = spark.read.parquet(c.consolidatedPath)
+      .select("invoice_number", "total_amount").collect().toSet
+    assert(dataAfter == data)
+    // the pipeline keeps appending fine after compaction
+    writeSimpleWorkbook(s"$base/landing", "f9.csv", Seq(r1))
+    assert(ConsolidationPipeline.run(spark, c).inserted == 1)
+  }
+
   test("every run leaves a rendered HTML notification artifact (S9)") {
     val base = tmp()
     writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
