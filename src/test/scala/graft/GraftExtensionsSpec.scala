@@ -23,6 +23,43 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.isNullAt(2))
   }
 
+  test("composite text/dedup/similarity layer callable from SQL") {
+    GraftExtensions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT token_count('the quick fox') AS tc,
+        |       quality_score('the of and to in') AS q,
+        |       lang_id('la que el en y') AS lang,
+        |       content_hash('abc') AS h,
+        |       shingles('a b c d', 3) AS sh,
+        |       jaccard_ppm(array('ab','bc','cd'), array('ab','bc','ce')) AS j,
+        |       simhash60('hello world') AS s60,
+        |       quantize_vec(array(0.5D, -0.25D)) AS qv,
+        |       cosine_q(array(3L, 4L), array(3L, 4L)) AS cos""".stripMargin)
+      .collect().head
+    assert(row.getAs[Int]("tc") == 3)
+    assert(row.getAs[Long]("q") > 200)
+    assert(row.getAs[String]("lang") == "es")
+    assert(row.getAs[String]("h") == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(row.getSeq[String](row.fieldIndex("sh")) == Seq("a b c", "b c d"))
+    assert(row.getAs[Long]("j") == 500000L) // 2 of 4 distinct grams
+    assert(row.getAs[Long]("s60") != 0L)
+    assert(row.getSeq[Long](row.fieldIndex("qv")) == Seq(500L, -250L))
+    assert(row.getAs[Double]("cos") == 1.0)
+    // SQL-function results agree with the Scala API on real data
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, quality_score(text) q, lang_id(text) l, simhash60(text) s FROM ext_docs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val viaApi = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")),
+        graft.text.TextAnalysis.langId(col("text")),
+        graft.dedup.Dedup.simhash(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(viaSql == viaApi)
+  }
+
   test("GraftExtensions builder produces the expression for one argument") {
     val e = new GraftExtensions
     // the injected builder itself: arity guard + expression construction
