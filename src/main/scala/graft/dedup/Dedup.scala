@@ -114,6 +114,23 @@ object Dedup {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** The similarity threshold of a (bands, rowsPerBand) MinHash banding:
+    * the Jaccard similarity at which the candidate probability s-curve
+    * crosses ~1/2 is `(1/b)^(1/r)` (Mining of Massive Datasets §3.4.2 —
+    * public LSH theory). Choose banding by threshold, not corpus size:
+    * the curve is a property of the signature, so the same (b, r) works
+    * at any scale; what grows with the corpus is only the band-join's
+    * shuffle volume (docs × bands rows).
+    */
+  def lshThreshold(bands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+
+  /** Probability that a pair with Jaccard similarity `s` becomes a
+    * candidate under (bands, rowsPerBand) banding: `1 − (1 − s^r)^b`.
+    */
+  def lshCandidateProbability(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
   /** LSH banding: (doc, band_idx, band_signature) rows — the ONLY exploded
     * representation, sized docs × bands. Join docs on equal band signatures
     * to get candidate pairs.

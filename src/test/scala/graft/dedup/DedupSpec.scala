@@ -57,6 +57,20 @@ class DedupSpec extends SparkSpec {
       s"near=${ham(sh(0), sh(2))} far=${ham(sh(0), sh(3))}")
   }
 
+  test("LSH s-curve: threshold and candidate probability behave per theory") {
+    // the repo's (4 bands, 4 rows) banding targets Jaccard ≈ 0.71
+    assert(math.abs(Dedup.lshThreshold(4, 4) - math.pow(0.25, 0.25)) < 1e-12)
+    // steep s-curve: well below threshold → unlikely candidate; well above → near-certain
+    val (b, r) = (4, 4)
+    val t = Dedup.lshThreshold(b, r)
+    assert(Dedup.lshCandidateProbability(t - 0.3, b, r) < 0.2)
+    assert(Dedup.lshCandidateProbability(t + 0.25, b, r) > 0.9)
+    // monotone in s
+    val ps = (0 to 10).map(i => Dedup.lshCandidateProbability(i / 10.0, b, r))
+    assert(ps == ps.sorted)
+    assert(ps.head == 0.0 && math.abs(ps.last - 1.0) < 1e-12)
+  }
+
   test("banded simhash pairs: complete vs naive all-pairs, band-key join in plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sh = Dedup.simhashes(docs, "doc_id", "text", carry = Seq("lang"))
