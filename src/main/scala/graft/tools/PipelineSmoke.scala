@@ -79,16 +79,52 @@ object PipelineSmoke {
       s" rows=${agg.count()}")
     spark.sql("DROP TABLE IF EXISTS smoke_bucketed")
 
-    // SQL surface: native expression registered for spark.sql users
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark,
-      "parse_clp_money", ch => graft.functions.ParseClpMoney(ch.head))
-    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark,
-      "rolling_hash", ch => graft.functions.RollingHash(ch.head))
+    // SQL surface: native expressions + the composite SQL-function layer
+    graft.GraftExtensions.registerAll(spark)
     val sqlRow = spark.sql(
       "SELECT parse_clp_money('$1.234.567') AS a, parse_clp_money('N/A') AS b, " +
-        "rolling_hash('abc') AS c").collect().head
+        "rolling_hash('abc') AS c, quality_score('the of and to in') AS q")
+      .collect().head
     println(s"[smoke] sql: parse_clp_money=${sqlRow.getDecimal(0)} " +
-      s"invalid=${sqlRow.isNullAt(1)} rolling_hash=${sqlRow.getLong(2)}")
+      s"invalid=${sqlRow.isNullAt(1)} rolling_hash=${sqlRow.getLong(2)} " +
+      s"quality=${sqlRow.getLong(3)}")
+
+    // real Excel bytes through the pipeline: xlsx landing file + styled
+    // consolidated egress render
+    val xBase = Files.createTempDirectory("graft-smoke-xlsx")
+    Files.createDirectories(Paths.get(s"$xBase/landing"))
+    val xlsxRows: Seq[Seq[Any]] = Seq.fill(10)(Seq.fill(9)(null: Any)) ++
+      Seq(headers.map(h => h: Any)) ++
+      Seq(Seq[Any]("FAC-X1", "RX1", "Carrier", "15-01-2026", "d", 100, 19, 119, "CLP"))
+    graft.sources.XlsxEgress.write(s"$xBase/landing/fx.xlsx", xlsxRows)
+    val xReport = ConsolidationPipeline.run(spark, ConsolidationPipeline.Config(
+      s"$xBase/landing", s"$xBase/consolidado.parquet", s"$xBase/audit", s"$xBase/lc"))
+    graft.pipeline.Egress.writeConsolidatedXlsx(
+      spark.read.parquet(s"$xBase/consolidado.parquet"), s"$xBase/out.xlsx")
+    val egressRows = graft.sources.XlsxIngress.readRows(s"$xBase/out.xlsx")
+    println(s"[smoke] xlsx: status=${xReport.status} inserted=${xReport.inserted} " +
+      s"egressRows=${egressRows.size}")
+
+    // YAML-config-driven run + notification artifact + compaction
+    val yBase = Files.createTempDirectory("graft-smoke-yaml")
+    Files.writeString(Paths.get(s"$yBase/configuration.yaml"),
+      """google:
+        |  credentials_path: ./cred.json
+        |drive:
+        |  source_path: "landing"
+        |email:
+        |  sender: bot@example.com
+        |""".stripMargin)
+    val app = graft.pipeline.AppConfig.load(s"$yBase/configuration.yaml")
+    val pc = app.toPipelineConfig(yBase.toString)
+    Files.createDirectories(Paths.get(pc.landingDir))
+    Files.writeString(Paths.get(pc.landingDir, "f1.csv"), csv)
+    val yReport = ConsolidationPipeline.run(spark, pc)
+    val notif = Files.list(Paths.get(s"${pc.auditDir}/notifications")).count()
+    val partsBefore = graft.pipeline.StoreMaintenance.partFileCount(pc.consolidatedPath)
+    val partsAfter = graft.pipeline.StoreMaintenance.compact(spark, pc.consolidatedPath)
+    println(s"[smoke] yaml: status=${yReport.status} notifications=$notif " +
+      s"compact=$partsBefore->$partsAfter")
     spark.stop()
   }
 
