@@ -78,15 +78,77 @@ object XlsxEgress {
 
   /** Append rows after the last populated row (excel_handler.py:199-214:
     * `max_row` probe then sequential appends). Creates the file with
-    * `header` when absent.
+    * `header` when absent; an EXISTING workbook is edited in place —
+    * every other zip part (embedded images, drawings, styles, column
+    * widths, extra sheets) passes through verbatim, and appended cells
+    * copy the per-column style of the last existing data row, matching
+    * the reference's template-preserving append (excel_handler.py:87-132
+    * + image re-insertion :185-233).
     */
   def append(path: String, header: Seq[Any], rows: Seq[Seq[Any]],
       formats: Map[String, ColumnFormat] = Map.empty): Unit = {
     val f = new java.io.File(path)
-    val existing: Seq[Seq[Any]] =
-      if (f.exists() && f.length() > 0) XlsxIngress.readRows(path)
-      else Seq(header)
-    write(path, existing ++ rows, formats)
+    if (f.exists() && f.length() > 0) appendInPlace(path, rows)
+    else write(path, header +: rows, formats)
+  }
+
+  private def appendInPlace(path: String, rows: Seq[Seq[Any]]): Unit = {
+    import java.util.zip.ZipFile
+    val zip = new ZipFile(path)
+    val (entries, sheetName) =
+      try {
+        val es = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+        val it = zip.entries()
+        while (it.hasMoreElements) {
+          val e = it.nextElement()
+          if (!e.isDirectory) es(e.getName) = zip.getInputStream(e).readAllBytes()
+        }
+        (es, XlsxIngress.sheetEntryName(zip, 0))
+      } finally zip.close()
+    require(entries.contains(sheetName), s"no worksheet part $sheetName in $path")
+
+    val sheetXmlStr = new String(entries(sheetName), StandardCharsets.UTF_8)
+    val (maxRow, lastStyles) = lastRowInfo(sheetXmlStr)
+    val newRows = rows.zipWithIndex.map { case (cells, i) =>
+      val r = maxRow + 1 + i
+      val cs = cells.zipWithIndex.flatMap { case (v, c0) =>
+        val letters = colLetters(c0 + 1)
+        cellXml(s"$letters$r", v, lastStyles.getOrElse(letters, 0))
+      }
+      s"""<row r="$r">${cs.mkString}</row>"""
+    }.mkString
+    val updated =
+      if (sheetXmlStr.contains("</sheetData>"))
+        sheetXmlStr.replace("</sheetData>", newRows + "</sheetData>")
+      else
+        sheetXmlStr.replaceFirst("<sheetData\\s*/>",
+          java.util.regex.Matcher.quoteReplacement(s"<sheetData>$newRows</sheetData>"))
+    entries(sheetName) = updated.getBytes(StandardCharsets.UTF_8)
+
+    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try entries.foreach { case (name, bytes) =>
+      zos.putNextEntry(new ZipEntry(name)); zos.write(bytes); zos.closeEntry()
+    } finally zos.close()
+  }
+
+  /** (last populated row number, per-column-letter style index of that
+    * row) — the append position probe and the reference's copy-style-
+    * from-last-row behavior.
+    */
+  private def lastRowInfo(sheetXml: String): (Int, Map[String, Int]) = {
+    val rowRe = """<row r="(\d+)"""".r
+    val maxRow = rowRe.findAllMatchIn(sheetXml).map(_.group(1).toInt)
+      .foldLeft(0)(math.max)
+    if (maxRow == 0) return (0, Map.empty)
+    val lastRowBody = {
+      val start = sheetXml.indexOf(s"""<row r="$maxRow"""")
+      val end = sheetXml.indexOf("</row>", start)
+      if (start < 0) "" else sheetXml.substring(start, if (end < 0) sheetXml.length else end)
+    }
+    val cellRe = """<c r="([A-Z]+)\d+"[^>]*?s="(\d+)"""".r
+    val styles = cellRe.findAllMatchIn(lastRowBody)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    (maxRow, styles)
   }
 
   /** Render a small egress DataFrame (e.g. [[graft.pipeline.Egress]]'s

@@ -61,7 +61,7 @@ object XlsxIngress {
     * the rel target is the physical part). Falls back to the
     * conventional `xl/worksheets/sheet{n}.xml`.
     */
-  private def sheetEntryName(zip: ZipFile, sheetIndex: Int): String = {
+  private[sources] def sheetEntryName(zip: ZipFile, sheetIndex: Int): String = {
     val fallback = s"xl/worksheets/sheet${sheetIndex + 1}.xml"
     val wb = zip.getEntry("xl/workbook.xml")
     val rels = zip.getEntry("xl/_rels/workbook.xml.rels")

@@ -165,6 +165,45 @@ class XlsxSpec extends SparkSpec {
       === "FAC-001").count() == 1)
   }
 
+  test("in-place append preserves images/drawings and copies last-row styles") {
+    val xlsx = tmpFile(".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(xlsx)))
+    def put(name: String, content: Array[Byte]): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content); zos.closeEntry()
+    }
+    def putS(name: String, content: String): Unit = put(name, content.getBytes("UTF-8"))
+    putS("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Default Extension="png" ContentType="image/png"/></Types>""")
+    putS("_rels/.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    putS("xl/workbook.xml", """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    putS("xl/_rels/workbook.xml.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    // a fake embedded image + a drawing reference inside the sheet
+    val png = Array[Byte](0x50, 0x4E, 0x47, 1, 2, 3)
+    put("xl/media/image1.png", png)
+    putS("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><cols><col min="1" max="1" width="25"/></cols><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>hdr</t></is></c></row><row r="2"><c r="A2" s="3" t="inlineStr"><is><t>old</t></is></c><c r="B2" s="7"><v>10</v></c></row></sheetData><drawing r:id="rId99"/></worksheet>""")
+    zos.close()
+
+    XlsxEgress.append(xlsx, Seq("hdr"), Seq(Seq[Any]("new1", 11), Seq[Any]("new2", 12)))
+
+    val zip = new java.util.zip.ZipFile(xlsx)
+    try {
+      // media part survived byte-for-byte
+      val media = zip.getInputStream(zip.getEntry("xl/media/image1.png")).readAllBytes()
+      assert(media.toSeq == png.toSeq)
+      val sheet = new String(zip.getInputStream(
+        zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(), "UTF-8")
+      assert(sheet.contains("""<drawing r:id="rId99"/>"""), "drawing ref dropped")
+      assert(sheet.contains("""<col min="1" max="1" width="25"/>"""), "col widths dropped")
+      // appended rows land after row 2 and copy the last row's styles
+      assert(sheet.contains("""<c r="A3" s="3" t="inlineStr">"""))
+      assert(sheet.contains("""<c r="B3" s="7"><v>11</v></c>"""))
+      assert(sheet.contains("""<c r="A4" s="3""""))
+    } finally zip.close()
+    val rows = XlsxIngress.readRows(xlsx)
+    assert(rows.map(_.head) == Seq("hdr", "old", "new1", "new2"))
+  }
+
   test("shared strings, r-less rows and numeric normalization parse correctly") {
     // hand-rolled workbook exercising the parts XlsxEgress never writes:
     // sharedStrings.xml (t="s") and rows/cells without r= attributes
