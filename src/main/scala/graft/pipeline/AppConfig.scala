@@ -122,10 +122,13 @@ object AppConfig {
         mm.toSeq.map { case (a, b) => a -> b.toString } }
     def strSeq(m: Map[String, Any], k: String): Option[Seq[String]] =
       m.get(k).collect { case s: Seq[Any @unchecked] => s.map(_.toString) }
-    // "a@x.com, b@y.com" → Seq (the template uses comma-joined strings)
+    // "a@x.com, b@y.com" (template form) OR a YAML sequence
+    // (config.py test_email_lists_become_tuples) → Seq
     def recipients(m: Map[String, Any], k: String): Seq[String] =
-      m.get(k).map(_.toString).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      m.get(k).toSeq.flatMap {
+        case s: Seq[Any @unchecked] => s.map(_.toString.trim)
+        case one => one.toString.split(",").map(_.trim).toSeq
+      }.filter(_.nonEmpty)
 
     val g = section("google"); val d = section("drive"); val e = section("excel")
     val em = section("email"); val tr = section("tracking")

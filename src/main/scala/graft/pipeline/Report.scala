@@ -123,6 +123,16 @@ object Report {
       "link_consolidado" -> consolidatedLink)
   }
 
+  /** Plain-text fallback of an HTML body (gmail_notifier.py:113-119:
+    * `<br>` → newline, strip tags, collapse 3+ newlines to 2, trim) —
+    * the text/plain alternative part of the notification.
+    */
+  def htmlToPlain(html: String): String = {
+    val br = "(?i)<br\\s*/?>".r.replaceAllIn(html, "\n")
+    val noTags = "<[^>]+>".r.replaceAllIn(br, "")
+    "\\n{3,}".r.replaceAllIn(noTags, "\n\n").trim
+  }
+
   /** Load a bundled template (src/main/resources/templates). */
   def loadTemplate(name: String): String = {
     val in = getClass.getResourceAsStream(s"/templates/$name")

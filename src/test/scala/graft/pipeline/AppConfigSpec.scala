@@ -82,6 +82,33 @@ class AppConfigSpec extends SparkSpec {
     intercept[java.io.FileNotFoundException](AppConfig.load("/no/such/config.yaml"))
   }
 
+  test("email recipients accept YAML sequences as well as comma strings") {
+    val cfg = AppConfig.fromYamlText(
+      """google:
+        |  credentials_path: x
+        |drive:
+        |  source_path: landing
+        |email:
+        |  sender: s@example.com
+        |  to:
+        |    - a@example.com
+        |    - b@example.com
+        |  cc:
+        |    - c@example.com
+        |""".stripMargin)
+    assert(cfg.email.to == Seq("a@example.com", "b@example.com"))
+    assert(cfg.email.cc == Seq("c@example.com"))
+  }
+
+  test("missing leaf requirements raise like config.py builders") {
+    intercept[IllegalArgumentException](AppConfig.fromYamlText(
+      "google:\n  token_path: t\ndrive:\n  source_path: s\nemail:\n  sender: e\n"))
+    intercept[IllegalArgumentException](AppConfig.fromYamlText(
+      "google:\n  credentials_path: c\ndrive:\n  backup_path: b\nemail:\n  sender: e\n"))
+    intercept[IllegalArgumentException](AppConfig.fromYamlText(
+      "google:\n  credentials_path: c\ndrive:\n  source_path: s\nemail:\n  cc: x\n"))
+  }
+
   test("defaults fill unspecified keys like the reference dataclasses") {
     val cfg = AppConfig.fromYamlText(
       """google:

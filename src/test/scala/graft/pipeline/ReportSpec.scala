@@ -67,6 +67,16 @@ class ReportSpec extends AnyFunSuite {
       Map("run_id" -> "x")) == "{desconocido} x")
   }
 
+  test("html-to-plain fallback: reference's tag/br/newline rules") {
+    // test_gmail_notifier.py TestHtmlToPlain semantics
+    assert(Report.htmlToPlain("<p>Hello <b>World</b></p>") == "Hello World")
+    assert(Report.htmlToPlain("Line1<br/>Line2<br>Line3").contains("Line1\nLine2\nLine3"))
+    assert(!Report.htmlToPlain("<p>A</p>\n\n\n\n<p>B</p>").contains("\n\n\n"))
+    // a real rendered notification converts cleanly
+    val plain = Report.htmlToPlain(Report.renderHtml(report("SUCCESS")))
+    assert(plain.contains("run-123") && !plain.contains("<"))
+  }
+
   test("empty render: NO_FILES template mentions no changes") {
     val html = Report.renderHtml(report("NO_FILES"))
     assert(html.contains("sin archivos nuevos"))
