@@ -137,6 +137,25 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(tracker.records.count() == 2)
   }
 
+  test("idempotence probe: errored files and changed mtimes DO reprocess") {
+    // sqlite_tracker.py:116-137 — COMPLETED gates the skip; an ERROR
+    // status or a different modified time must both re-process
+    val base = tmp()
+    val tracker = new Audit.Tracker(spark, cfg(base).auditDir)
+    val t1 = new java.sql.Timestamp(1700000000000L)
+    val t2 = new java.sql.Timestamp(1700000060000L)
+    def log(name: String, mtime: java.sql.Timestamp, status: String): Unit =
+      tracker.logFile(Audit.FileLog("run-x", java.util.UUID.randomUUID().toString,
+        name, mtime, schema_valid = true, Nil, Nil, 1, 1, 0, status,
+        t1, Some(t1)))
+    assert(!tracker.isFileProcessed("a.csv", t1), "unknown file must process")
+    log("a.csv", t1, "ERROR")
+    assert(!tracker.isFileProcessed("a.csv", t1), "errored file must reprocess")
+    log("a.csv", t1, "COMPLETED")
+    assert(tracker.isFileProcessed("a.csv", t1), "completed file skips")
+    assert(!tracker.isFileProcessed("a.csv", t2), "modified file must reprocess")
+  }
+
   test("idempotence: re-running the same file (same mtime) is a no-op") {
     val base = tmp()
     val f = writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
