@@ -58,6 +58,18 @@ object ConsolidationPipeline {
     val tracker = new Audit.Tracker(spark, cfg.auditDir)
     val lifecycle = new Lifecycle(cfg.lifecycleDir)
 
+    // consolidated-store pre-flight (consolidate_invoices.py:85-90: a
+    // missing consolidado is FileNotFoundError → the run reports ERROR)
+    if (!createIfMissing && !Files.exists(Paths.get(cfg.consolidatedPath))) {
+      val msg = s"Consolidado '${cfg.consolidatedPath}' no encontrado"
+      val report = Report.ExecutionReport(runId, "ERROR", Vector.empty,
+        BigDecimal(0), BigDecimal(0), Vector(msg))
+      tracker.logRun(Audit.ExecutionRun(runId, startedAt, Some(now()), "ERROR",
+        0, 0, 0, 0, 0, 0, BigDecimal(0).bigDecimal, BigDecimal(0).bigDecimal,
+        Some(msg)))
+      return report
+    }
+
     val landing = Paths.get(cfg.landingDir)
     val files: Seq[Path] =
       if (Files.isDirectory(landing))

@@ -137,6 +137,20 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(tracker.records.count() == 2)
   }
 
+  test("missing consolidated store without createIfMissing → ERROR run") {
+    val base = tmp()
+    writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
+    val report = ConsolidationPipeline.run(spark, cfg(base), createIfMissing = false)
+    assert(report.status == "ERROR")
+    assert(report.validationErrors.exists(_.contains("no encontrado")))
+    // nothing processed, nothing written
+    assert(!Files.exists(Paths.get(cfg(base).consolidatedPath)))
+    val tracker = new Audit.Tracker(spark, cfg(base).auditDir)
+    assert(tracker.runs.collect().head.getAs[String]("status") == "ERROR")
+    // with the default createIfMissing the same landing succeeds
+    assert(ConsolidationPipeline.run(spark, cfg(base)).status == "SUCCESS")
+  }
+
   test("idempotence probe: errored files and changed mtimes DO reprocess") {
     // sqlite_tracker.py:116-137 — COMPLETED gates the skip; an ERROR
     // status or a different modified time must both re-process
