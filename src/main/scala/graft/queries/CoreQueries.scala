@@ -124,6 +124,55 @@ object CoreQueries {
       |ORDER BY revenue DESC, n_name
       |""".stripMargin))
 
+  /** Q4 shape — EXISTS as a left-semi join with a non-equi condition
+    * (late-shipped orders per priority class).
+    */
+  val q4OrderPriority = QueryDef("q4_order_priority",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").cast("date") > col("o_orderdate").cast("date"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      |SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority
+      |""".stripMargin))
+
+  /** Q13 shape — left-outer join + two-level aggregation: the customer
+    * order-count distribution (customers with zero orders included).
+    */
+  val q13CustDist = QueryDef("q13_custdist",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      |SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC
+      |""".stripMargin))
+
   /** Q6 shape — tight filtered aggregation: every predicate reaches the
     * parquet scan (PushedFilters on l_quantity; date/discount predicates
     * evaluate in the scan stage), one partial+final agg, no join. The
@@ -934,7 +983,8 @@ object CoreQueries {
       |""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    q1Agg, q3TopRevenue, q5LocalRevenue, q6Forecast, w2RunningTotal,
+    q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
+    q13CustDist, w2RunningTotal,
     p1MapColumns, p3RequireNonBlank, p4SummaryFilter, p5TakeWhile,
     p6ValidRows, p6ErrorChannel,
     f3ParseMoney, f4ParseDate, f6StripPrefix, f7TotalOverride, f9InvoiceInt,
