@@ -31,6 +31,17 @@ object EventWindows {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast — stream-static joins are STATELESS in
+    * Structured Streaming, so no watermark or state store is involved;
+    * the dimension re-resolves per micro-batch, picking up dim updates
+    * between batches). The standard pattern for attaching user/document
+    * metadata to a 100 TB event firehose without shuffling the stream.
+    */
+  def enriched(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
+
   final case class SessionEvent(user_id: Long, event_time_us: Long)
   final case class SessionState(start_us: Long, last_us: Long, events: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long,
