@@ -275,6 +275,25 @@ object Dedup {
     when(union > 0, floor(inter.cast("long") * 1000000L / union)).otherwise(0L)
   }
 
+  /** Shared-long-window pairs — the exact-substring duplication signal
+    * of training-data curation (documents sharing ≥ `minShared` distinct
+    * n-token windows contain literally copied passages, whatever their
+    * overall Jaccard). Same inverted-index shape as [[jaccardPairs]]:
+    * pairs materialize only from window-hash co-occurrence, linear in
+    * co-occurrences and shuffled on the window key — never all-pairs.
+    * Returns (id1, id2, shared_windows) with id1 < id2.
+    */
+  def sharedWindowPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minShared: Long): DataFrame = {
+    val ex = shingleRows(df, idCol, textCol, n)
+    ex.select(col(idCol).as("id1"), col("s"))
+      .join(ex.select(col(idCol).as("id2"), col("s")), "s")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .filter(col("shared_windows") >= minShared)
+  }
+
   /** Nonzero n-gram Jaccard pairs within blocking groups, id1 < id2, via a
     * shingle-inverted-index join: explode shingles, join on
     * (block, shingle), count co-occurrences per pair, then

@@ -174,6 +174,33 @@ object PipelineQueries {
       |ORDER BY jaccard_ppm DESC, id1, id2
       |""".stripMargin))
 
+  /** D6 — shared-long-window pairs (8-token windows, ≥3 shared): the
+    * exact-substring duplication signal; inverted-index join, never
+    * all-pairs.
+    */
+  val d6SharedWindows = QueryDef("d6_shared_windows",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.sharedWindowPairs(docs, "doc_id", "text", 8, 3)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |w8 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(1, GREATEST(len(tk) - 7, 0) + 1),
+      |           i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 7), ' '))) AS w
+      |  FROM toks)
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS shared_windows
+      |FROM w8 a JOIN w8 b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.w, b.w)) >= 3
+      |ORDER BY id1, id2
+      |""".stripMargin))
+
   /** D3 — MinHash(16)+LSH(4×4) candidate pairs with exact signature-match
     * counts. The banding join is the only shuffle; signatures are per-row
     * expressions.
@@ -569,7 +596,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
-    d5CosineNearDup,
+    d5CosineNearDup, d6SharedWindows,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
     m1MediaMeta, m2MediaAnn)
 }

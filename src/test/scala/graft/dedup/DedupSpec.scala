@@ -100,6 +100,24 @@ class DedupSpec extends SparkSpec {
     assert(p.length == 1 && p(0).getInt(2) == 0)
   }
 
+  test("shared-window pairs: copied passages surface, unrelated docs never join") {
+    val copied = "one two three four five six seven eight nine ten eleven twelve"
+    val partial = "zzz one two three four five six seven eight nine ten yyy"
+    val df = Seq(
+      (1L, copied),
+      (2L, copied + " extra tail words here"),
+      (3L, partial),
+      (4L, "totally different words that never overlap with anything else at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sharedWindowPairs(df, "doc_id", "text", 8, 3)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("shared_windows"))).toSeq
+    // docs 1 and 2 share all 5 of doc 1's 8-token windows; 1-3 share 3
+    assert(pairs.contains((1L, 2L, 5L)), pairs.toString)
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("jaccard ppm: exact integer similarity") {
     val df = Seq((1L, "g", "a b c d"), (2L, "g", "a b c e"), (3L, "g", "x y z w"))
       .toDF("doc_id", "blk", "text")
