@@ -125,6 +125,33 @@ object PipelineQueries {
       |ORDER BY lang
       |""".stripMargin))
 
+  /** T6 — deterministic corpus downsampling: a 25% hash-Bernoulli sample
+    * plus a per-language quota of 30, both decided by md5-derived
+    * uniforms (reproducible on any engine/partitioning — no RNG seeds).
+    */
+  val t3DeterministicSample = QueryDef("t3_deterministic_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sampled = graft.sampling.Sampling.hashSample(docs, "doc_id", 250000L)
+      graft.sampling.Sampling.stratifiedQuota(sampled, "lang", "doc_id", 30)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH u AS (
+      |  SELECT doc_id, lang,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 15) AS BIGINT)
+      |           % 1000000 AS ppm
+      |  FROM documents),
+      |sampled AS (SELECT * FROM u WHERE ppm < 250000),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY ppm, doc_id) AS rk
+      |  FROM sampled)
+      |SELECT doc_id, lang FROM ranked WHERE rk <= 30
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   // ----------------------------------------------------------------- dedup
 
   /** D1 — exact dedup keep-list over a corpus with synthesized duplicates
@@ -594,7 +621,7 @@ object PipelineQueries {
       |""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    tTextStats, t2CorpusProfile,
+    tTextStats, t2CorpusProfile, t3DeterministicSample,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,

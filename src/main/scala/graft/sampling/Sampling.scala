@@ -1,0 +1,47 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines. Spark's
+  * `df.sample` is seed-dependent on partitioning and not reproducible
+  * across engines or re-runs with different splits; these operators
+  * derive a per-row uniform from md5 of the row KEY, so the same row
+  * always makes the same decision — on any cluster, any partitioning,
+  * any engine (the DuckDB oracle recomputes it exactly).
+  *
+  * Scale posture: both forms are one scan; the quota form shuffles only
+  * on the stratum key (bounded by the largest stratum — language-sized,
+  * acceptable; salt the stratum if one dominates).
+  */
+object Sampling {
+
+  /** md5-derived uniform in [0, 1e6) ppm for a key + salt. Changing the
+    * salt draws an independent sample (the "seed").
+    */
+  def hashUniformPpm(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("|" + salt))), 1, 15),
+      16, 10).cast("long") % 1000000L
+
+  /** Keep rows whose uniform falls below `fractionPpm` — a deterministic
+    * Bernoulli sample at fraction ppm/1e6.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fractionPpm: Long,
+      salt: String = "sample"): DataFrame =
+    df.filter(hashUniformPpm(col(keyCol), salt) < fractionPpm)
+
+  /** Per-stratum quota sample: the `quota` rows of each stratum with the
+    * smallest (uniform, key) — deterministic, order-free, and exactly
+    * `min(quota, |stratum|)` rows per stratum (language-balanced corpus
+    * downsampling).
+    */
+  def stratifiedQuota(df: DataFrame, strataCol: String, keyCol: String,
+      quota: Int, salt: String = "sample"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashUniformPpm(col(keyCol), salt), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+}
