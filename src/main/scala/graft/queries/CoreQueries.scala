@@ -935,6 +935,35 @@ object CoreQueries {
       |ORDER BY user_id, rk
       |""".stripMargin))
 
+  /** W3 — pivot with explicit values (event-type counts per user cohort):
+    * Spark's `pivot` with an enumerated value list compiles to one
+    * hash-aggregate of conditional counts — no second pass to discover
+    * columns, which is the scalable form (value-discovering pivot runs an
+    * extra distinct job and is capped by
+    * spark.sql.pivotMaxValues).
+    */
+  val w3Pivot = QueryDef("w3_pivot_event_counts",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.withColumn("cohort", col("user_id") % 10)
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("cohort"))
+    },
+    Some("""
+      |SELECT user_id % 10 AS cohort,
+      |       COUNT(*) FILTER (event_type = 'click') AS click,
+      |       COUNT(*) FILTER (event_type = 'error') AS error,
+      |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |       COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY cohort
+      |""".stripMargin))
+
   /** K1 — salted two-phase aggregation over a hot grouping key: results
     * must be IDENTICAL to the plain groupBy (the oracle computes the
     * unsalted form — salting is semantically invisible).
@@ -1013,6 +1042,6 @@ object CoreQueries {
     j1InsertOnly, j1InsertedSlice, j3FullUpsert, j2Attribution, j4Idempotence,
     a1DecimalSum, a2Reconcile, a3ActionCounters,
     o3TopErrors, u1Union, u2Except,
-    p8Egress, e1EventWindow, w1TopEventsPerUser,
+    p8Egress, e1EventWindow, w1TopEventsPerUser, w3Pivot,
     k1SaltedAgg, k2SaltedJoin, q8Rollup)
 }
