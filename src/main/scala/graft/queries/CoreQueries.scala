@@ -716,6 +716,46 @@ object CoreQueries {
       |ORDER BY file_id
       |""".stripMargin))
 
+  /** J6 — as-of join (operator Spark lacks; union-LOCF implementation,
+    * one key shuffle): each purchase event gets the user's latest view
+    * event at-or-before it; DuckDB's native ASOF LEFT JOIN is the
+    * oracle.
+    */
+  val j6AsofJoin = QueryDef("j6_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      // MICROsecond axis on both engines: DuckDB truncates parquet nanos
+      // to its microsecond TIMESTAMP, so comparing in nanos here would
+      // use a different time axis than the oracle's ASOF
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      val views = graft.operators.AsofJoin.dedupeRight(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us")),
+        Seq("user_id"), "ts_us", "event_id")
+      // no-match sentinel -1: NULLABLE int64 outputs degrade through
+      // pandas differently per engine — non-null longs render exactly
+      graft.operators.AsofJoin.asofJoin(purchases, views,
+          Seq("user_id"), "ts_us", "ts_us", Seq("event_id", "ts_us"))
+        .select(col("user_id"), col("event_id"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("view_event_id"),
+          coalesce(col("asof_ts_us"), lit(-1L)).as("view_ts"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      |WITH views AS (
+      |  SELECT user_id, ts, max(event_id) AS event_id
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id,
+      |       COALESCE(v.event_id, -1) AS view_event_id,
+      |       COALESCE(epoch_us(v.ts), -1) AS view_ts
+      |FROM purchases p ASOF LEFT JOIN views v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.user_id, p.event_id
+      |""".stripMargin))
+
   // ----------------------------------------------------------- aggregations
 
   /** A1 — exact decimal sums per group. */
@@ -1040,6 +1080,7 @@ object CoreQueries {
     p6ValidRows, p6ErrorChannel,
     f3ParseMoney, f4ParseDate, f6StripPrefix, f7TotalOverride, f9InvoiceInt,
     j1InsertOnly, j1InsertedSlice, j3FullUpsert, j2Attribution, j4Idempotence,
+    j6AsofJoin,
     a1DecimalSum, a2Reconcile, a3ActionCounters,
     o3TopErrors, u1Union, u2Except,
     p8Egress, e1EventWindow, w1TopEventsPerUser, w3Pivot,
