@@ -1049,6 +1049,43 @@ object CoreQueries {
       |ORDER BY d.cohort
       |""".stripMargin))
 
+  /** K3 — range join via value-axis binning: event amounts against
+    * overlapping price bands. The naive inequality join is a
+    * nested-loop O(points × intervals); the binned form is an equi-join
+    * on bin id + exact post-filter (see [[graft.operators.RangeJoin]]).
+    * The oracle runs the naive form — correctness identical, plan
+    * different.
+    */
+  val k3RangeJoin = QueryDef("k3_range_join",
+    (s, dir) => {
+      val points = t(s, dir, "events").select(col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("v_cents"))
+      val bands = t(s, dir, "nation").select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 20000L).as("lo"),
+        (col("n_nationkey") * 20000L + 29999L).as("hi"))
+      graft.operators.RangeJoin.binned(points, bands,
+          "v_cents", "lo", "hi", binWidth = 10000L)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v_cents")).as("total_cents"))
+        .orderBy(col("band_id"))
+    },
+    Some("""
+      |WITH points AS (
+      |  SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+      |  FROM events),
+      |bands AS (
+      |  SELECT n_nationkey AS band_id,
+      |         n_nationkey * 20000 AS lo,
+      |         n_nationkey * 20000 + 29999 AS hi
+      |  FROM nation)
+      |SELECT band_id, COUNT(*) AS n,
+      |       CAST(SUM(v_cents) AS BIGINT) AS total_cents
+      |FROM points JOIN bands ON v_cents >= lo AND v_cents <= hi
+      |GROUP BY band_id
+      |ORDER BY band_id
+      |""".stripMargin))
+
   /** Q8 — ROLLUP grouping-set aggregation (engine capability; the
     * reference has no grouping sets). Null-marker rows from both engines
     * must align, so grouping columns coalesce to sentinels.
@@ -1084,5 +1121,5 @@ object CoreQueries {
     a1DecimalSum, a2Reconcile, a3ActionCounters,
     o3TopErrors, u1Union, u2Except,
     p8Egress, e1EventWindow, w1TopEventsPerUser, w3Pivot,
-    k1SaltedAgg, k2SaltedJoin, q8Rollup)
+    k1SaltedAgg, k2SaltedJoin, k3RangeJoin, q8Rollup)
 }

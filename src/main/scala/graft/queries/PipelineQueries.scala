@@ -546,6 +546,28 @@ object PipelineQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  /** T7 — KMV distinct-count sketch over document content: an
+    * engine-portable cardinality estimate (md5 k-minima are a pure
+    * function of the data, so the oracle reproduces the sketch AND the
+    * estimate exactly — impossible with HyperLogLog).
+    */
+  val t4KmvDistinct = QueryDef("t4_kmv_distinct",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sketch.Sketch.kmvEstimate(docs, "text", 64)
+    },
+    Some(s"""
+      |WITH h AS (
+      |  SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 10) AS BIGINT) AS hh
+      |  FROM documents),
+      |topk AS (SELECT hh FROM h ORDER BY hh LIMIT 64)
+      |SELECT CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+      |            ELSE ${63L * graft.sketch.Sketch.HashSpace} // MAX(hh) END
+      |       AS BIGINT) AS distinct_estimate,
+      |       COUNT(*) AS sketch_size
+      |FROM topk
+      |""".stripMargin))
+
   // ------------------------------------------------------------ multimodal
 
   /** M1 — multimodal metadata decode: binary media column (synthesized
@@ -621,7 +643,7 @@ object PipelineQueries {
       |""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
-    tTextStats, t2CorpusProfile, t3DeterministicSample,
+    tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,

@@ -1,0 +1,55 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic cardinality sketching. Spark's approx_count_distinct
+  * (HyperLogLog++) is engine-specific — no other system reproduces its
+  * estimate, so it can't be oracle-checked and two stacks disagree on
+  * the same data. The K-Minimum-Values sketch estimates distinct counts
+  * from the k smallest values of a uniform hash: with md5-derived
+  * hashes the k-minima are a pure function of the DATA, so any engine
+  * computes the identical sketch AND the identical estimate.
+  *
+  * Estimator (Bar-Yossef et al. 2002): with h_k = the k-th smallest
+  * hash over a space of size U, distinct ≈ (k-1) · U / h_k. Exact
+  * integer arithmetic below 2^53 keeps engines bit-equal.
+  *
+  * Scale: one hash-aggregate for distinct hashes, then a global top-k
+  * (TakeOrdered — no full sort). Mergeable: the sketch of a union is
+  * the k smallest of the concatenated minima — store per-partition
+  * sketches and fold.
+  */
+object Sketch {
+
+  val HashSpace: Long = 1L << 40 // md5-derived 40-bit hashes
+
+  /** 40-bit md5-derived hash of a value (uniform over [0, 2^40)). */
+  def hash40(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 10), 16, 10)
+      .cast("long")
+
+  /** The KMV sketch: the k smallest DISTINCT hash values of `valueCol`,
+    * ascending. (distinct-hash aggregate + top-k; both shuffles are on
+    * tiny keys.)
+    */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    df.select(hash40(col(valueCol)).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+
+  /** Distinct-count estimate from the sketch: exact integers, identical
+    * on every engine. When fewer than k distinct hashes exist the count
+    * is exact (the sketch IS the distinct set).
+    */
+  def kmvEstimate(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val sk = kmvSketch(df, valueCol, k)
+    // (k-1)·U stays < 2^53; DIV is true integer division (double
+    // division + floor can flip at exact-divisor boundaries)
+    sk.agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(
+        when(col("n") < k, col("n"))
+          .otherwise(expr(s"${(k - 1).toLong * HashSpace}L DIV hk"))
+          .cast("long").as("distinct_estimate"),
+        col("n").cast("long").as("sketch_size"))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.sketch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KMV estimate: exact below k, within ~25% above k, deterministic") {
+    val small = spark.range(0, 40).select(concat(lit("v"), col("id")).as("s"))
+    val rSmall = Sketch.kmvEstimate(small, "s", 64).collect().head
+    assert(rSmall.getLong(0) == 40 && rSmall.getLong(1) == 40,
+      "below k the sketch IS the distinct set")
+
+    val big = spark.range(0, 20000).select(concat(lit("v"), col("id")).as("s"))
+      .unionAll(spark.range(0, 5000).select(concat(lit("v"), col("id")).as("s")))
+    val est = Sketch.kmvEstimate(big, "s", 256).collect().head.getLong(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25, s"estimate $est vs true 20000")
+
+    val est2 = Sketch.kmvEstimate(big.repartition(13), "s", 256)
+      .collect().head.getLong(0)
+    assert(est2 == est, "sketch must be partition-independent")
+  }
+
+  test("KMV sketches merge: union sketch = k smallest of concatenated sketches") {
+    val a = spark.range(0, 3000).select(concat(lit("a"), col("id")).as("s"))
+    val b = spark.range(0, 3000).select(concat(lit("b"), col("id")).as("s"))
+    val k = 128
+    val merged = Sketch.kmvSketch(a, "s", k).unionAll(Sketch.kmvSketch(b, "s", k))
+      .distinct().orderBy("h").limit(k).as[Long].collect().toSeq
+    val direct = Sketch.kmvSketch(a.unionAll(b), "s", k).as[Long].collect().toSeq
+    assert(merged == direct)
+  }
+}
