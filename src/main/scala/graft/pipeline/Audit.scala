@@ -88,11 +88,42 @@ object Audit {
 
     /** J4 — file-level idempotence probe: has (name, mtime) already
       * COMPLETED? (sqlite_tracker.py:232-240: an errored file IS
-      * reprocessed.)
+      * reprocessed.) A COMPLETED row gates the skip UNLESS a ROLLED_BACK
+      * supersession appended by [[markRolledBack]] at the same or a later
+      * started_at reverses it — only rollback undoes a completion (an
+      * unrelated ERROR attempt never hides an earlier success), and the
+      * audit tables stay append-only. Ties break toward reprocessing —
+      * the safe direction.
       */
-    def isFileProcessed(fileName: String, modifiedTime: Timestamp): Boolean =
-      files.filter(col("file_name") === fileName &&
-        col("file_modified_time") === modifiedTime &&
-        col("status") === "COMPLETED").limit(1).count() > 0
+    def isFileProcessed(fileName: String, modifiedTime: Timestamp): Boolean = {
+      val byTime = files.filter(col("file_name") === fileName &&
+          col("file_modified_time") === modifiedTime)
+        .groupBy(col("status")).agg(max(col("started_at")).as("at"))
+        .collect()
+        .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+      byTime.get("COMPLETED").exists(done =>
+        !byTime.get("ROLLED_BACK").exists(rb => !rb.before(done)))
+    }
+
+    /** Run-level rollback supersession: for every file this run logged
+      * COMPLETED, append a ROLLED_BACK row with the same (name, mtime) so
+      * [[isFileProcessed]] reprocesses it next run. Append-only by design —
+      * audit history keeps both the COMPLETED attempt and its reversal.
+      * Driver-side collect is bounded by the run's file count (the run
+      * already listed those files on the driver).
+      */
+    def markRolledBack(runUuid: String): Unit = {
+      val ts = new Timestamp(System.currentTimeMillis())
+      val reversals = files
+        .filter(col("run_uuid") === runUuid && col("status") === "COMPLETED")
+        .select("file_log_id", "file_name", "file_modified_time")
+        .collect()
+        .map(r => FileLog(runUuid, r.getString(0), r.getString(1),
+          r.getTimestamp(2), schema_valid = true, Nil, Nil, 0, 0, 0,
+          "ROLLED_BACK", ts, Some(ts)))
+        .toSeq
+      if (reversals.nonEmpty)
+        reversals.toDS().write.mode(SaveMode.Append).parquet(path("file_log"))
+    }
   }
 }

@@ -41,7 +41,24 @@ object ConsolidationPipeline {
       /** Partition the store on these columns (e.g. invoice_date): date-
         * scoped reads prune partitions instead of scanning the store.
         */
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      /** Fault-injection seam: invoked with the file name immediately
+        * before each store mutation. Production default is a no-op; specs
+        * use it to exercise the rollback path without filesystem tricks.
+        */
+      beforeStoreWrite: String => Unit = _ => ())
+
+  /** A store mutation failed and the pre-run backup was restored. The
+    * restore rolls back EVERY file merged in this run, so this aborts the
+    * whole run (reference consolidate_invoices.py:147-155 restores only at
+    * run level and marks the run ERROR) — continuing per-file would merge
+    * later files against the rewound store while earlier files' rows stay
+    * lost but logged COMPLETED.
+    */
+  final case class StoreRollbackException(fileName: String, cause: Throwable)
+    extends RuntimeException(
+      s"Fallo al escribir el consolidado procesando '$fileName'; " +
+        "respaldo pre-ejecución restaurado", cause)
 
   final case class SchemaValidationException(missing: Seq[String], extra: Seq[String])
     extends RuntimeException(
@@ -90,10 +107,13 @@ object ConsolidationPipeline {
     }
 
     var skipped = 0
+    var rolledBack = false
     files.foreach { file =>
       val mtime = new Timestamp(Files.getLastModifiedTime(file).toMillis)
       val fileName = file.getFileName.toString
-      if (tracker.isFileProcessed(fileName, mtime)) {
+      if (rolledBack) {
+        () // run aborted after a store rollback — remaining files untouched
+      } else if (tracker.isFileProcessed(fileName, mtime)) {
         skipped += 1 // J4: silently skip (consolidate_invoices.py:194-196)
       } else {
         val fileLogId = UUID.randomUUID().toString
@@ -106,6 +126,24 @@ object ConsolidationPipeline {
           outcomes :+= outcome
           allErrors ++= outcome.errorDetail
         } catch {
+          case e: StoreRollbackException =>
+            // run-level failure: the restore rewound EVERY merge of this
+            // run, so (a) supersede this run's COMPLETED file logs so the
+            // J4 probe reprocesses those files next run, (b) abort the
+            // remaining files, (c) the run reports ERROR + rollback
+            tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,
+              schema_valid = true, Nil, Nil, 0, 0, 0,
+              "ERROR", fStart, Some(now())))
+            tracker.markRolledBack(runId)
+            outcomes = outcomes.map(o =>
+              if (o.status == "COMPLETED")
+                o.copy(status = "ROLLED_BACK", inserted = 0, updated = 0,
+                  unchanged = 0, sourceTotal = BigDecimal(0))
+              else o)
+            outcomes :+= Report.FileOutcome(fileName, "ERROR",
+              0, 0, 0, 0, 0, 0, BigDecimal(0), Seq(e.getMessage))
+            allErrors :+= s"$fileName: ${e.getMessage}"
+            rolledBack = true
           case e: SchemaValidationException =>
             tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,
               schema_valid = false, e.missing, e.extra, 0, 0, 0,
@@ -125,7 +163,8 @@ object ConsolidationPipeline {
     }
 
     val status =
-      if (files.isEmpty) "NO_FILES"
+      if (rolledBack) "ERROR" // run-level failure, store rewound to pre-run
+      else if (files.isEmpty) "NO_FILES"
       else if (outcomes.isEmpty && skipped > 0) "SUCCESS" // everything idempotent-skipped
       else Report.rollUp(outcomes.size, outcomes.count(o => o.status != "COMPLETED"))
 
@@ -138,7 +177,8 @@ object ConsolidationPipeline {
     tracker.logRun(Audit.ExecutionRun(runId, startedAt, Some(now()), status,
       report.totalFiles, report.totalRecords, report.inserted, report.updated,
       report.unchanged, report.errors, sourceTotal.bigDecimal,
-      outputTotal.bigDecimal, None))
+      outputTotal.bigDecimal,
+      if (rolledBack) Some("rollback_executed") else None))
     // S9 — the rendered notification is a run artifact (the reference
     // sends it via Gmail; the engine renders the same HTML and leaves
     // the transport to a connector). Never fails the run.
@@ -258,21 +298,26 @@ object ConsolidationPipeline {
     // (upsert; safe because mResult/inserted are already materialized)
     def partitioned(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
       if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w
-    try cfg.mergeMode match {
-      case "upsert" =>
-        partitioned(mResult.write.mode(SaveMode.Overwrite))
-          .parquet(cfg.consolidatedPath)
-      case _ =>
-        partitioned(alignToStore(spark, inserted, cfg.consolidatedPath)
-          .write.mode(SaveMode.Append))
-          .parquet(cfg.consolidatedPath)
+    try {
+      cfg.beforeStoreWrite(fileName)
+      cfg.mergeMode match {
+        case "upsert" =>
+          partitioned(mResult.write.mode(SaveMode.Overwrite))
+            .parquet(cfg.consolidatedPath)
+        case _ =>
+          partitioned(alignToStore(spark, inserted, cfg.consolidatedPath)
+            .write.mode(SaveMode.Append))
+            .parquet(cfg.consolidatedPath)
+      }
     } catch {
       case NonFatal(e) =>
-        // a failed Overwrite can leave the store truncated/corrupt —
-        // roll back to the pre-run backup before failing the file
-        // (reference consolidate_invoices.py:150-155 + restore_backup)
+        // a failed Overwrite can leave the store truncated/corrupt — roll
+        // back to the pre-run backup. The restore rewinds the WHOLE run,
+        // so escalate to a run-level abort (caller supersedes this run's
+        // COMPLETED audit logs and stops processing further files);
+        // reference consolidate_invoices.py:147-155 + restore_backup.
         lifecycle.restoreBackup(cfg.consolidatedPath, runId)
-        throw e
+        throw StoreRollbackException(fileName, e)
     }
 
     tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,

@@ -371,6 +371,63 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(c.consolidatedPath).count() == 4)
   }
 
+  test("run-level rollback: mid-run store failure aborts the run and reopens earlier files") {
+    // Scenario from the reference's run-level restore contract
+    // (consolidate_invoices.py:147-155): file A merges fine, file B's
+    // store write fails → the pre-run backup restore rewinds A's rows
+    // too, so the run must abort, report ERROR + rollback, supersede A's
+    // COMPLETED log (else J4 would skip A forever = silent data loss),
+    // and a later run must re-merge A.
+    val base = tmp()
+    val c = cfg(base)
+
+    // seed run: the pre-run state the rollback must rewind to
+    writeSimpleWorkbook(s"$base/landing", "f0.csv", Seq(r3))
+    assert(ConsolidationPipeline.run(spark, c).status == "SUCCESS")
+    val seeded = spark.read.parquet(c.consolidatedPath)
+      .select("invoice_number").collect().map(_.getString(0)).toSet
+    assert(seeded == Set("FAC-003"))
+
+    // run 2: a.csv (newer mtime → processed first) merges, b.csv fails
+    val fa = writeSimpleWorkbook(s"$base/landing", "a.csv", Seq(r1))
+    val fb = writeSimpleWorkbook(s"$base/landing", "b.csv", Seq(r2))
+    Files.setLastModifiedTime(fa,
+      java.nio.file.attribute.FileTime.fromMillis(1700000060000L))
+    Files.setLastModifiedTime(fb,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+    val aMtime = new java.sql.Timestamp(1700000060000L)
+    val failing = c.copy(beforeStoreWrite = name =>
+      if (name == "b.csv") sys.error("disco lleno"))
+    val rep = ConsolidationPipeline.run(spark, failing)
+
+    assert(rep.status == "ERROR", rep.toString)
+    assert(rep.files.map(f => f.fileName -> f.status).toMap ==
+      Map("a.csv" -> "ROLLED_BACK", "b.csv" -> "ERROR"))
+    // store is byte-for-byte back at the pre-run state: A's rows are gone
+    val after = spark.read.parquet(c.consolidatedPath)
+      .select("invoice_number").collect().map(_.getString(0)).toSet
+    assert(after == Set("FAC-003"), "restore must rewind file A's merge")
+    // run log records the rollback
+    val tracker = new Audit.Tracker(spark, c.auditDir)
+    val runRow = tracker.runs.orderBy(col("started_at").desc).collect().head
+    assert(runRow.getAs[String]("status") == "ERROR")
+    assert(runRow.getAs[String]("message") == "rollback_executed")
+    // A's COMPLETED log is superseded → the J4 probe reopens it
+    assert(!tracker.isFileProcessed("a.csv", aMtime),
+      "rolled-back file must reprocess next run")
+
+    // run 3: the same a.csv (same mtime) re-merges — no silent loss
+    val fa2 = writeSimpleWorkbook(s"$base/landing", "a.csv", Seq(r1))
+    Files.setLastModifiedTime(fa2,
+      java.nio.file.attribute.FileTime.fromMillis(1700000060000L))
+    val rep3 = ConsolidationPipeline.run(spark, c)
+    assert(rep3.status == "SUCCESS", rep3.toString)
+    assert(rep3.inserted == 1)
+    val finalSet = spark.read.parquet(c.consolidatedPath)
+      .select("invoice_number").collect().map(_.getString(0)).toSet
+    assert(finalSet == Set("FAC-003", "FAC-001"))
+  }
+
   test("NO_FILES: empty landing dir → NO_FILES status, zero inserts") {
     val base = tmp()
     Files.createDirectories(Paths.get(s"$base/landing"))
