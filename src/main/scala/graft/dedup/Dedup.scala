@@ -275,17 +275,45 @@ object Dedup {
     when(union > 0, floor(inter.cast("long") * 1000000L / union)).otherwise(0L)
   }
 
+  /** Document-frequency cap on an exploded posting table: drop every
+    * posting whose term appears in more than `maxDf` documents (within
+    * its key group). The inverted-index self-join is linear in
+    * CO-OCCURRENCES, and one ubiquitous term ("de la que" in a Spanish
+    * corpus) co-occurring in K docs yields K·(K−1)/2 output rows from a
+    * single join key — the last all-pairs-shaped hazard between these
+    * operators and a 100 TB corpus. Standard curation practice truncates
+    * such posting lists before pairing; ubiquitous n-grams carry no
+    * duplication signal anyway (they match everything). Implemented as a
+    * count window over the posting key so the filtered output keeps the
+    * (key)-hash partitioning the self-join needs — no extra exchange.
+    * `ex` must already be distinct per (doc, key...) so the window count
+    * IS the document frequency.
+    */
+  private def capDf(ex: DataFrame, keyCols: Seq[String], maxDf: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    ex.withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+  }
+
   /** Shared-long-window pairs — the exact-substring duplication signal
     * of training-data curation (documents sharing ≥ `minShared` distinct
     * n-token windows contain literally copied passages, whatever their
     * overall Jaccard). Same inverted-index shape as [[jaccardPairs]]:
     * pairs materialize only from window-hash co-occurrence, linear in
     * co-occurrences and shuffled on the window key — never all-pairs.
+    * [[shingleRows]] is distinct per (doc, window), so a passage repeated
+    * k× inside one document still counts ONE shared window. Windows with
+    * document frequency above `maxDf` are dropped before pairing (see
+    * [[capDf]]); `shared_windows` then undercounts by at most the capped
+    * windows — a pair sharing `minShared` sub-`maxDf` windows is always
+    * found.
     * Returns (id1, id2, shared_windows) with id1 < id2.
     */
   def sharedWindowPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minShared: Long): DataFrame = {
-    val ex = shingleRows(df, idCol, textCol, n)
+      n: Int, minShared: Long, maxDf: Long = 1000): DataFrame = {
+    val ex = capDf(shingleRows(df, idCol, textCol, n), Seq("s"), maxDf)
     ex.select(col(idCol).as("id1"), col("s"))
       .join(ex.select(col(idCol).as("id2"), col("s")), "s")
       .filter(col("id1") < col("id2"))
@@ -301,23 +329,34 @@ object Dedup {
     * materialize — at scale this is linear in co-occurrences, not quadratic
     * in block size, and shuffles on the (block, shingle) key where skew is
     * diluted by the shingle dimension.
+    *
+    * Shingles with per-block document frequency above `maxDf` are dropped
+    * from the posting lists before the self-join (see [[capDf]] — the
+    * hot-key guard); set sizes |A|, |B| stay EXACT (computed before the
+    * cap), so `jaccard_ppm` can only undercount, and only for pairs whose
+    * overlap includes a capped ubiquitous shingle.
+    *
+    * The per-doc `sizes` table is one row per document — O(corpus) — so
+    * it must NEVER be broadcast: the pairs side post-aggregation is the
+    * small side, and AQE picks the strategy at runtime.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      blockCols: Seq[String]): DataFrame = {
+      blockCols: Seq[String], maxDf: Long = 1000): DataFrame = {
     // one shingle computation, already exploded; per-doc set sizes derive
     // FROM the exploded rows (a separate `size(shingles)` reference would
     // recompute the whole gram expression after projection collapse)
     val ex = shingleRows(df, idCol, textCol, n, blockCols)
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = ex.select((col(idCol).as("id1") +: blockCols.map(col)) :+ col("s"): _*)
-      .join(ex.select((col(idCol).as("id2") +: blockCols.map(col)) :+ col("s"): _*),
+    val capped = capDf(ex, blockCols :+ "s", maxDf)
+    val inter = capped.select((col(idCol).as("id1") +: blockCols.map(col)) :+ col("s"): _*)
+      .join(capped.select((col(idCol).as("id2") +: blockCols.map(col)) :+ col("s"): _*),
         blockCols :+ "s")
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.select(col(idCol).as("id1"), col("sz").as("sz1"))), "id1")
-      .join(broadcast(sizes.select(col(idCol).as("id2"), col("sz").as("sz2"))), "id2")
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), "id2")
       .select(col("id1"), col("id2"),
         floor(col("inter").cast("long") * 1000000L /
           (col("sz1") + col("sz2") - col("inter"))).as("jaccard_ppm"))

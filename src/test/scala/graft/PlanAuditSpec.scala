@@ -46,6 +46,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d2/d6: no forced broadcast of the O(corpus) per-doc sizes side") {
+    // a broadcast() hint on a one-row-per-document table is a guaranteed
+    // OOM at 100 TB — strategy choice must stay with AQE (a RUNTIME
+    // broadcast of a measured-small side is fine; the forced hint is not)
+    for (q <- Seq("d2_jaccard_pairs", "d6_shared_windows")) {
+      val analyzed = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$q carries a join-strategy hint:\n${analyzed.take(1500)}")
+    }
+  }
+
   test("ANN: brute force broadcasts the query side; ivf assignment shuffle-free") {
     assert(plan("s1_ann_brute_force").contains("BroadcastNestedLoopJoin"),
       "brute force IS the deliberate broadcast cross join — query side tiny")

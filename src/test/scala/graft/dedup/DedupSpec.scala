@@ -118,6 +118,50 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("shared-window pairs: a passage repeated WITHIN a doc still counts one window") {
+    // shingleRows is distinct per (doc, window): doc 2 contains the same
+    // 8-token passage twice, doc 3 once — the pair must count each shared
+    // window ONCE, not (occurrences in A) × (occurrences in B)
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (2L, s"$passage filler words between repeats $passage"),
+      (3L, s"intro $passage outro"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sharedWindowPairs(df, "doc_id", "text", 8, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("shared_windows")))
+    assert(pairs.toSeq == Seq((2L, 3L, 1L)),
+      s"repeated intra-doc passage must not multiply the count: ${pairs.toSeq}")
+  }
+
+  test("df cap: ubiquitous shingles leave the posting lists; set sizes stay exact") {
+    // "x y" appears in every doc (df=4 > maxDf=3) — it must stop
+    // generating candidate pairs; "y a"/"a b" (df=2) keep pairing 1-2.
+    // Doc sizes stay pre-cap, so the 1-2 jaccard DENOMINATOR still counts
+    // the capped shingle: inter={y a, a b}=2, sz=4 each →
+    // 2/(4+4-2) = 333333 ppm (uncapped it would be 3/5 = 600000).
+    val df = Seq(
+      (1L, "g", "x y a b c"), (2L, "g", "x y a b d"),
+      (3L, "g", "x y p q"), (4L, "g", "x y r s"))
+      .toDF("doc_id", "blk", "text")
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", 2, Seq("blk"), maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("jaccard_ppm")))
+    assert(capped.toSeq == Seq((1L, 2L, 333333L)),
+      s"only sub-cap postings may pair: ${capped.toSeq}")
+    // uncapped (default maxDf=1000): "x y" pairs everything
+    val full = Dedup.jaccardPairs(df, "doc_id", "text", 2, Seq("blk"))
+      .collect()
+    assert(full.length == 6, "uncapped: all 4 docs pair via 'x y'")
+    // same guard on shared windows: the ubiquitous window stops pairing
+    val w = Seq(
+      (1L, "one two three four five six seven eight a"),
+      (2L, "one two three four five six seven eight b"),
+      (3L, "one two three four five six seven eight c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedWindowPairs(w, "doc_id", "text", 8, 1, maxDf = 2)
+      .collect().isEmpty)
+    assert(Dedup.sharedWindowPairs(w, "doc_id", "text", 8, 1).count() == 3)
+  }
+
   test("jaccard ppm: exact integer similarity") {
     val df = Seq((1L, "g", "a b c d"), (2L, "g", "a b c e"), (3L, "g", "x y z w"))
       .toDF("doc_id", "blk", "text")
