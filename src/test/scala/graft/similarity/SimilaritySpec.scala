@@ -118,6 +118,20 @@ class SimilaritySpec extends SparkSpec {
       trained, nprobe = 4, queryFilter = isQuery))
     val recall = (bf & got).size.toDouble / bf.size
     assert(recall >= 0.5, s"trained nprobe=4 recall too low: $recall")
+
+    // the one-call production path (train + search) matches the composed
+    // form exactly — same centroids, same ranking
+    val oneCall = topkSet(Similarity.ivfTrainedTopK(emb, "vec_id", "embedding", 5,
+      nCentroids = k, nprobe = 4, queryFilter = isQuery, iterations = 3))
+    assert(oneCall == got, "ivfTrainedTopK must equal train+searchWith composition")
+
+    // nprobe=1 search over explicit centroids: the With variant matches
+    // the md5-default ivfTopK when handed the same md5 centroids
+    val viaWith = Similarity.ivfTopKWith(emb, "vec_id", "embedding", 3,
+      Similarity.ivfCentroids(16, 64)).collect().map(_.toString).sorted
+    val viaDefault = Similarity.ivfTopK(emb, "vec_id", "embedding", 3)
+      .collect().map(_.toString).sorted
+    assert(viaWith.sameElements(viaDefault))
   }
 
   test("ivfAssign is a pure projection: no Exchange in the plan") {
