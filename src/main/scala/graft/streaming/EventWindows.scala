@@ -48,18 +48,35 @@ object EventWindows {
       events: Long)
 
   /** Stateful sessionization: per-user sessions close after `gapMinutes`
-    * of inactivity (processing-time timeout — emitted when the state times
-    * out or a new event arrives past the gap). The custom-state shape the
-    * reference's architecture never needed but a streaming engine must
-    * offer (`flatMapGroupsWithState`).
+    * of inactivity in EVENT time (`EventTimeTimeout` + a `gapMinutes`
+    * watermark) — session boundaries are a function of the data alone, so
+    * a backfill replayed at any micro-batch split or throughput yields
+    * byte-identical sessions (a processing-time timeout would close them
+    * on wall-clock gaps between batches instead). A session emits when a
+    * new event arrives past the gap, or when the watermark passes
+    * `last_event + gap` (timeout). The custom-state shape the reference's
+    * architecture never needed but a streaming engine must offer
+    * (`flatMapGroupsWithState`).
+    *
+    * Scale: state is one (start, last, count) triple per ACTIVE user, and
+    * the watermark bounds how long inactivity keeps it alive — the state
+    * store stays O(active users) on an unbounded stream.
     */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
-    events.groupByKey(_.user_id)
+    val gapMs = gapMinutes.toLong * 60 * 1000
+    // the watermark delay equals the gap: any event surviving the late
+    // filter has ts >= watermark, so its timeout ts + gap is always ahead
+    // of the watermark (setTimeoutTimestamp would reject otherwise)
+    events
+      .withColumn("event_time", timestamp_micros(col("event_time_us")))
+      .withWatermark("event_time", s"$gapMinutes minutes")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -82,7 +99,7 @@ object EventWindows {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(s"$gapMinutes minutes")
+              state.setTimeoutTimestamp(s.last_us / 1000 + gapMs)
             }
             closed.reverseIterator
           }

@@ -64,6 +64,59 @@ class EventWindowsSpec extends SparkSpec {
     assert(sessions.head == EventWindows.Session(1L, 0, 5 * min, 2))
   }
 
+  test("event-time sessionization: identical sessions at ANY micro-batch split") {
+    // the determinism contract of EventTimeTimeout: session boundaries
+    // depend on the DATA, not on how the stream is chopped into batches
+    // or how fast it replays (a processing-time timeout breaks this)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hour = 3600L * 1000 * 1000
+    val min = 60L * 1000 * 1000
+    // all times offset +1h: the initial watermark is epoch 0 and its
+    // late-filter is inclusive, so a t=0 event would be dropped as late
+    // globally time-ordered: a per-event replay (split B) advances the
+    // watermark after every batch, so any event out of order by more than
+    // the gap would be dropped as late — in-order replay is the realistic
+    // backfill shape
+    val main = Seq(
+      EventWindows.SessionEvent(1L, hour + 0 * min),
+      EventWindows.SessionEvent(2L, hour + 1 * min),
+      EventWindows.SessionEvent(1L, hour + 5 * min),   // same session (gap 10)
+      EventWindows.SessionEvent(1L, hour + 30 * min),  // new session
+      EventWindows.SessionEvent(1L, hour + 32 * min))
+    // sentinels march the watermark past every timeout so sessions close;
+    // the LAST batch is identical in both splits (timeouts fire one batch
+    // after the watermark advance)
+    val sentinel1 = EventWindows.SessionEvent(99L, hour + 120 * min)
+    val sentinel2 = EventWindows.SessionEvent(99L, hour + 180 * min)
+
+    def run(name: String, batches: Seq[Seq[EventWindows.SessionEvent]]) = {
+      val base = Files.createTempDirectory("graft-sess")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[EventWindows.SessionEvent]
+      val q = EventWindows.sessionize(ms.toDS(), gapMinutes = 10)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[EventWindows.Session].collect().toSet
+    }
+
+    // split A: everything in one batch, then the closing sentinel
+    val a = run("sess_a", Seq(main :+ sentinel1, Seq(sentinel2)))
+    // split B: one event per batch — maximally different replay
+    val b = run("sess_b", (main :+ sentinel1).map(Seq(_)) :+ Seq(sentinel2))
+
+    val want = Set(
+      EventWindows.Session(1L, hour, hour + 5 * min, 2),
+      EventWindows.Session(1L, hour + 30 * min, hour + 32 * min, 2),
+      EventWindows.Session(2L, hour + 1 * min, hour + 1 * min, 1),
+      EventWindows.Session(99L, hour + 120 * min, hour + 120 * min, 1))
+    assert(a == want, s"split A sessions: $a")
+    assert(b == a, s"split B diverged from split A:\nA=$a\nB=$b")
+  }
+
   test("stream-static enrichment: windowed counts per dim attribute match batch") {
     val base = Files.createTempDirectory("graft-enrich")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
