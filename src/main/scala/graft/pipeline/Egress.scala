@@ -52,10 +52,14 @@ object Egress {
     * egress view is file-sized by construction (a store slice or a run's
     * inserted rows); the 100 TB data path stays in parquet.
     */
-  def writeConsolidatedXlsx(df: DataFrame, path: String): Unit = {
+  def writeConsolidatedXlsx(df: DataFrame, path: String,
+      maxRows: Int = graft.sources.XlsxEgress.MaxEgressRows): Unit = {
     val layout = consolidatedLayout(df)
     val header: Seq[Any] = layout.columns.toSeq
-    val rows = layout.collect().toSeq.map(r => (0 until r.length).map(i => r.get(i)))
+    // bounded: an unbounded slice fails fast instead of OOMing the driver
+    val rows = graft.sources.XlsxEgress
+      .boundedCollect(layout, maxRows, s"egreso consolidado a $path")
+      .map(r => (0 until r.length).map(i => r.get(i)))
     graft.sources.XlsxEgress.append(path, header, rows,
       graft.sources.XlsxEgress.ConsolidatedFormats)
   }

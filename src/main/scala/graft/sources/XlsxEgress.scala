@@ -109,6 +109,9 @@ object XlsxEgress {
 
     val sheetXmlStr = new String(entries(sheetName), StandardCharsets.UTF_8)
     val (maxRow, lastStyles) = lastRowInfo(sheetXmlStr)
+    require(maxRow + rows.size <= MaxEgressRows,
+      s"append a $path superaría el límite Excel de $MaxEgressRows filas " +
+        s"(actual $maxRow + ${rows.size} nuevas)")
     val newRows = rows.zipWithIndex.map { case (cells, i) =>
       val r = maxRow + 1 + i
       val cs = cells.zipWithIndex.flatMap { case (v, c0) =>
@@ -123,6 +126,12 @@ object XlsxEgress {
       else
         sheetXmlStr.replaceFirst("<sheetData\\s*/>",
           java.util.regex.Matcher.quoteReplacement(s"<sheetData>$newRows</sheetData>"))
+    // a sheet whose sheetData tag matches neither pattern (e.g. a
+    // namespace-prefixed <x:sheetData>) must fail LOUD — silently writing
+    // back the unchanged sheet would drop the appended rows
+    require(updated != sheetXmlStr || rows.isEmpty,
+      s"no se pudo insertar en $sheetName de $path: " +
+        "sheetData no reconocido (¿prefijo de namespace?)")
     entries(sheetName) = updated.getBytes(StandardCharsets.UTF_8)
 
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
@@ -145,24 +154,54 @@ object XlsxEgress {
       val end = sheetXml.indexOf("</row>", start)
       if (start < 0) "" else sheetXml.substring(start, if (end < 0) sheetXml.length else end)
     }
-    val cellRe = """<c r="([A-Z]+)\d+"[^>]*?s="(\d+)"""".r
-    val styles = cellRe.findAllMatchIn(lastRowBody)
-      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    // attribute order inside <c> is writer-dependent (`s=` may precede
+    // `r=`): match whole cell tags, then pull each attribute independently
+    val tagRe = """<c\b[^>]*""".r
+    val refRe = """\br="([A-Z]+)\d+"""".r
+    val styleRe = """\bs="(\d+)"""".r
+    val styles = tagRe.findAllIn(lastRowBody).flatMap { tag =>
+      for {
+        r <- refRe.findFirstMatchIn(tag)
+        s <- styleRe.findFirstMatchIn(tag)
+      } yield r.group(1) -> s.group(1).toInt
+    }.toMap
     (maxRow, styles)
   }
 
+  /** Excel's own worksheet row limit — the natural bound for any
+    * driver-side workbook render (a result that exceeds it cannot be a
+    * valid .xlsx anyway).
+    */
+  val MaxEgressRows: Int = 1048576
+
+  /** Collect at most `maxRows` rows for a workbook render, failing FAST
+    * (with a clear message, via a `limit(maxRows + 1)` probe that never
+    * pulls more than maxRows+1 rows to the driver) instead of OOMing on
+    * an unbounded egress view.
+    */
+  private[graft] def boundedCollect(df: DataFrame, maxRows: Int,
+      what: String): Seq[Row] = {
+    val data = df.limit(maxRows + 1).collect().toSeq
+    require(data.size <= maxRows,
+      s"$what excede el límite de $maxRows filas para egreso Excel — " +
+        "filtre o pagine la vista antes de renderizar")
+    data
+  }
+
   /** Render a small egress DataFrame (e.g. [[graft.pipeline.Egress]]'s
-    * consolidated layout) to a workbook — collects, so callers bound the
-    * row count first (egress views are file-sized by construction).
+    * consolidated layout) to a workbook. The driver-side collect is
+    * bounded by `maxRows` (default: Excel's 1,048,576-row sheet limit) —
+    * an oversized view fails fast instead of OOMing the driver.
     * Columns matching [[ConsolidatedFormats]] headers get the reference's
     * number formats (currency totals, dd/mm/yyyy dates, integral invoice
     * numbers).
     */
   def writeDataFrame(path: String, df: DataFrame,
-      formats: Map[String, ColumnFormat] = ConsolidatedFormats): Unit = {
+      formats: Map[String, ColumnFormat] = ConsolidatedFormats,
+      maxRows: Int = MaxEgressRows): Unit = {
     val header: Seq[Any] = df.columns.toSeq
-    val data = df.collect().toSeq.map((r: Row) =>
-      (0 until r.length).map(i => r.get(i)))
+    val data = boundedCollect(df, maxRows, s"egreso a $path")
+      .map((r: Row) => (0 until r.length).map(i => r.get(i)))
     write(path, header +: data, formats)
   }
 

@@ -50,28 +50,54 @@ object XlsxIngress {
     } finally zip.close()
   }
 
+  /** All cell rows of the sheet with the given NAME, with the reference's
+    * resolution contract (excel_handler.py:147-166): exact name →
+    * `Sheet1` fallback → error listing the available sheets. A workbook
+    * whose target sheet isn't first reads the RIGHT sheet, not sheet 1.
+    */
+  def readRowsByName(path: String, sheetName: String): Seq[Seq[String]] = {
+    val zip = new ZipFile(path)
+    try {
+      val shared = readSharedStrings(zip)
+      val part = sheetEntryForName(zip, sheetName, path)
+      val entry = zip.getEntry(part)
+      require(entry != null, s"worksheet part $part not found in $path")
+      val cells = parseSheet(zip.getInputStream(entry), shared)
+      if (cells.isEmpty) return Seq.empty
+      val maxRow = cells.keys.map(_._1).max
+      val maxCol = cells.keys.map(_._2).max
+      (1 to maxRow).map(r => (1 to maxCol).map(c => cells.getOrElse((r, c), null)))
+    } finally zip.close()
+  }
+
   /** Stage a real workbook file for the extraction pipeline. */
   def stage(spark: SparkSession, path: String, sheetIndex: Int = 0): DataFrame =
     StagedWorkbook.fromRows(spark, readRows(path, sheetIndex))
 
+  /** Stage the sheet with the given name ([[readRowsByName]] semantics). */
+  def stageByName(spark: SparkSession, path: String, sheetName: String): DataFrame =
+    StagedWorkbook.fromRows(spark, readRowsByName(path, sheetName))
+
   // ------------------------------------------------------------------ parts
 
-  /** Worksheet part for `sheetIndex`, resolved through workbook.xml +
-    * its rels (sheet order in workbook.xml is the user-visible order;
-    * the rel target is the physical part). Falls back to the
-    * conventional `xl/worksheets/sheet{n}.xml`.
+  /** `Sheet1` — the reference's fallback sheet name (excel_handler.py:15). */
+  val FallbackSheet = "Sheet1"
+
+  /** (sheet name, worksheet part) pairs in user-visible order, resolved
+    * through workbook.xml + its rels (sheet order in workbook.xml is the
+    * user-visible order; the rel target is the physical part). Empty when
+    * the workbook parts are missing.
     */
-  private[sources] def sheetEntryName(zip: ZipFile, sheetIndex: Int): String = {
-    val fallback = s"xl/worksheets/sheet${sheetIndex + 1}.xml"
+  private[sources] def sheetParts(zip: ZipFile): Seq[(String, String)] = {
     val wb = zip.getEntry("xl/workbook.xml")
     val rels = zip.getEntry("xl/_rels/workbook.xml.rels")
-    if (wb == null || rels == null) return fallback
-    val sheetRids = mutable.ArrayBuffer.empty[String]
+    if (wb == null || rels == null) return Seq.empty
+    val sheets = mutable.ArrayBuffer.empty[(String, String)] // (name, rid)
     parse(zip.getInputStream(wb), new DefaultHandler {
       override def startElement(u: String, l: String, q: String, a: Attributes): Unit =
         if (local(q, l) == "sheet") {
           val rid = Option(a.getValue("r:id")).getOrElse(a.getValue("id"))
-          if (rid != null) sheetRids += rid
+          if (rid != null) sheets += ((Option(a.getValue("name")).getOrElse(""), rid))
         }
     })
     val targets = mutable.Map.empty[String, String]
@@ -80,9 +106,31 @@ object XlsxIngress {
         if (local(q, l) == "Relationship")
           targets(a.getValue("Id")) = a.getValue("Target")
     })
-    sheetRids.lift(sheetIndex).flatMap(targets.get)
-      .map(t => if (t.startsWith("/")) t.drop(1) else s"xl/$t")
-      .getOrElse(fallback)
+    sheets.toSeq.flatMap { case (name, rid) =>
+      targets.get(rid)
+        .map(t => if (t.startsWith("/")) t.drop(1) else s"xl/$t")
+        .map(name -> _)
+    }
+  }
+
+  /** Worksheet part for `sheetIndex`. Falls back to the conventional
+    * `xl/worksheets/sheet{n}.xml` when the workbook parts are absent.
+    */
+  private[sources] def sheetEntryName(zip: ZipFile, sheetIndex: Int): String =
+    sheetParts(zip).lift(sheetIndex).map(_._2)
+      .getOrElse(s"xl/worksheets/sheet${sheetIndex + 1}.xml")
+
+  /** Worksheet part for a sheet NAME: exact match, else [[FallbackSheet]],
+    * else fail listing what exists (the reference's `_resolve_sheet`).
+    */
+  private[sources] def sheetEntryForName(zip: ZipFile, sheetName: String,
+      path: String): String = {
+    val parts = sheetParts(zip)
+    parts.collectFirst { case (n, p) if n == sheetName => p }
+      .orElse(parts.collectFirst { case (n, p) if n == FallbackSheet => p })
+      .getOrElse(throw new IllegalArgumentException(
+        s"Sheet '$sheetName' no encontrado en $path. " +
+          s"Sheets disponibles: ${parts.map(_._1).mkString("[", ", ", "]")}"))
   }
 
   private def readSharedStrings(zip: ZipFile): IndexedSeq[String] = {
@@ -140,7 +188,9 @@ object XlsxIngress {
             inlineStr = false
           case "is" => inlineStr = true
           case "v" => collecting = true; text.clear()
-          case "t" if inlineStr => collecting = true; text.clear()
+          // rich-text <is> holds MULTIPLE <t> runs (one per format span);
+          // they concatenate — clearing per run would keep only the last
+          case "t" if inlineStr => collecting = true
           case _ =>
         }
       override def characters(ch: Array[Char], start: Int, len: Int): Unit =
@@ -151,7 +201,9 @@ object XlsxIngress {
           case "c" =>
             val raw = text.toString
             val rendered = cellType match {
-              case "s"              => shared.lift(raw.trim.toInt).orNull
+              // a shared-string cell with no <v> child (`<c t="s"/>`,
+              // emitted by some writers) renders empty, not a crash
+              case "s"              => raw.trim.toIntOption.flatMap(shared.lift).orNull
               case "inlineStr"      => raw
               case "str"            => raw
               case "b"              => if (raw.trim == "1") "TRUE" else "FALSE"
