@@ -395,9 +395,11 @@ object PipelineQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       // bits scale with corpus size (== 8, the oracle's constant, at the
-      // driver's verification scales — SimilaritySpec pins this)
+      // driver's verification scales — SimilaritySpec pins this). Corpus
+      // cardinality comes from parquet footer metadata (Tables.rowCount),
+      // NOT df.count(): the builder must not run a full-corpus job.
       Similarity.bucketedTopK(emb, "vec_id", "embedding", 3,
-          bits = Similarity.scaledBits(emb.count()))
+          bits = Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")))
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
@@ -433,9 +435,10 @@ object PipelineQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       // nCentroids scales ~sqrt(corpus) (== 16, the oracle's constant, at
-      // the driver's verification scales — SimilaritySpec pins this)
+      // the driver's verification scales — SimilaritySpec pins this);
+      // sized from footer metadata, not a count() job (see s2).
       Similarity.ivfTopK(emb, "vec_id", "embedding", 3,
-          nCentroids = Similarity.scaledCentroids(emb.count()))
+          nCentroids = Similarity.scaledCentroids(Tables.rowCount(s, dir, "embeddings")))
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
@@ -478,7 +481,8 @@ object PipelineQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopKProbe(emb, "vec_id", "embedding", 5,
-          nCentroids = Similarity.scaledCentroids(emb.count()), nprobe = 4,
+          nCentroids = Similarity.scaledCentroids(
+            Tables.rowCount(s, dir, "embeddings")), nprobe = 4,
           queryFilter = col("vec_id") % 20 === 0)
         .orderBy(col("query_id"), col("rank"))
     },

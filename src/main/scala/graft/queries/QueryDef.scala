@@ -51,4 +51,38 @@ object QueryDef {
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private val rowCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Exact table row count from parquet FOOTER metadata — a driver-side
+    * file listing plus one footer read per part file, never a Spark job.
+    * Query builders that size blocking parameters from corpus cardinality
+    * (ANN bucket bits, IVF centroid counts) must use this instead of
+    * `df.count()`: a count() inside a builder is a hidden full-pass job
+    * paid on EVERY query construction, and at 100 TB that second scan
+    * dwarfs the query itself. Footer row counts are exact (parquet stores
+    * them per row group) and cached per path for the JVM's lifetime.
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val path = s"$sfDir/$name.parquet"
+    rowCounts.getOrElseUpdate(path, footerRowCount(spark, path))
+  }
+
+  private def footerRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      else Array(p)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

@@ -187,10 +187,12 @@ object Similarity {
   def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 5): Seq[(Int, Seq[Long])] = {
     val q = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__qv"))
-    val dims = q.select(size(col("__qv"))).head().getInt(0)
     var centroids: Seq[(Int, Seq[Long])] = q.orderBy(col("__id")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](r.fieldIndex("__qv")).toSeq }
+    require(centroids.nonEmpty, "trainIvfCentroids: empty corpus")
+    // dims falls out of the init collect — no separate head() job
+    val dims = centroids.head._2.length
     for (_ <- 1 to iterations) {
       val assigned = ivfAssign(q, "__id", "__qv", centroids)
       val sums = assigned.groupBy(col("centroid_id"))
