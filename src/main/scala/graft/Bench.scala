@@ -29,8 +29,11 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // best-of-two per query: a single pass is exposed to host-load noise
-    // (observed 0.4s queries billed 20s on a loaded machine)
+    // best-of-three per query: a single pass is exposed to host-load noise
+    // (observed 0.4s queries billed 20s on a loaded machine; round 4's
+    // driver run showed 1s queries billed 7s under sustained interference
+    // that best-of-two didn't absorb — a third sample costs ~40% more
+    // wall but pins the floor)
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -39,7 +42,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      name -> Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -61,7 +61,10 @@ object Tables {
     * `df.count()`: a count() inside a builder is a hidden full-pass job
     * paid on EVERY query construction, and at 100 TB that second scan
     * dwarfs the query itself. Footer row counts are exact (parquet stores
-    * them per row group) and cached per path for the JVM's lifetime.
+    * them per row group) and cached per path for the JVM's lifetime —
+    * which assumes the table is immutable at that path (true for the
+    * read-only test tables; a store that rewrites in-session must not
+    * size from this cache).
     */
   def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
     val path = s"$sfDir/$name.parquet"
@@ -76,10 +79,21 @@ object Tables {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, conf)
     val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile &&
-          s.getPath.getName.endsWith(".parquet")).map(_.getPath)
-      else Array(p)
+      if (fs.getFileStatus(p).isDirectory) {
+        // recursive: partitionBy layouts nest part files in subdirectories
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+            buf += s.getPath
+        }
+        buf.toArray
+      } else Array(p)
+    // an empty listing means the layout isn't what we expect (no .parquet
+    // parts at all) — sizing blocking parameters from 0 would silently
+    // clamp them to minimums; fail loud instead
+    require(files.nonEmpty, s"no .parquet part files under $path")
     files.map { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try r.getRecordCount finally r.close()

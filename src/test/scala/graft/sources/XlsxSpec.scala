@@ -204,6 +204,101 @@ class XlsxSpec extends SparkSpec {
     assert(rows.map(_.head) == Seq("hdr", "old", "new1", "new2"))
   }
 
+  /** Hand-rolled TWO-sheet workbook ("Resumen" first, then `second`) with
+    * one marker cell per sheet — the shape XlsxEgress never writes, needed
+    * to prove name resolution picks by NAME, not position.
+    */
+  private def twoSheetWorkbook(second: String): String = {
+    val xlsx = tmpFile(".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(xlsx)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml", s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Resumen" sheetId="1" r:id="rId1"/><sheet name="${second}" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml", """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>first-sheet</t></is></c></row></sheetData></worksheet>""")
+    put("xl/worksheets/sheet2.xml", """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>second-sheet</t></is></c></row></sheetData></worksheet>""")
+    zos.close()
+    xlsx
+  }
+
+  test("stageByName: exact name wins over position, Sheet1 falls back, neither fails listing sheets") {
+    // target sheet is SECOND — positional read would get "first-sheet"
+    val byName = twoSheetWorkbook("Facturas")
+    assert(XlsxIngress.readRowsByName(byName, "Facturas") == Seq(Seq("second-sheet")))
+    assert(XlsxIngress.stageByName(spark, byName, "Facturas")
+      .orderBy("_row_num").collect().map(_.getSeq[String](1).head).toSeq
+      == Seq("second-sheet"))
+    // absent name + a "Sheet1" present → the reference's fallback
+    val withSheet1 = twoSheetWorkbook("Sheet1")
+    assert(XlsxIngress.readRowsByName(withSheet1, "NoExiste") == Seq(Seq("second-sheet")))
+    // absent name, no Sheet1 → fail loud, listing what exists
+    val ex = intercept[IllegalArgumentException] {
+      XlsxIngress.readRowsByName(byName, "NoExiste")
+    }
+    assert(ex.getMessage.contains("NoExiste"))
+    assert(ex.getMessage.contains("Resumen") && ex.getMessage.contains("Facturas"))
+  }
+
+  test("inline rich-text cell: multiple <t> runs concatenate") {
+    // XlsxEgress writes single-run inline strings only; hand-roll a cell
+    // whose <is> carries one <t> per format span (bold half + plain half)
+    val xlsx = tmpFile(".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(xlsx)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml", """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml", """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><r><rPr><b/></rPr><t>Transportes</t></r><r><t xml:space="preserve"> Chile Ltda</t></r></is></c><c r="B1" t="inlineStr"><is><t>plain</t></is></c></row></sheetData></worksheet>""")
+    zos.close()
+    val rows = XlsxIngress.readRows(xlsx)
+    assert(rows == Seq(Seq("Transportes Chile Ltda", "plain")))
+  }
+
+  test("oversized egress view fails fast with the row-limit message, not an OOM") {
+    import spark.implicits._
+    val df = (1 to 5).toDF("n")
+    val ex = intercept[IllegalArgumentException] {
+      XlsxEgress.writeDataFrame(tmpFile(".xlsx"), df, Map.empty, maxRows = 3)
+    }
+    assert(ex.getMessage.contains("excede el límite de 3 filas"))
+    // at the limit exactly: succeeds
+    val ok = tmpFile(".xlsx")
+    XlsxEgress.writeDataFrame(ok, df.orderBy("n").limit(3), Map.empty, maxRows = 3)
+    assert(XlsxIngress.readRows(ok).length == 4) // header + 3
+  }
+
+  test("append into a namespace-prefixed <x:sheetData> sheet fails loud, not silently") {
+    val xlsx = tmpFile(".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(xlsx)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml", """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml", """<?xml version="1.0"?><x:worksheet xmlns:x="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><x:sheetData><x:row r="1"><x:c r="A1" t="inlineStr"><x:is><x:t>hdr</x:t></x:is></x:c></x:row></x:sheetData></x:worksheet>""")
+    zos.close()
+    val before = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(xlsx)).toSeq
+    val ex = intercept[IllegalArgumentException] {
+      XlsxEgress.append(xlsx, Seq("hdr"), Seq(Seq[Any]("new")))
+    }
+    assert(ex.getMessage.contains("sheetData no reconocido"))
+    // empty-rows append against the same sheet is a no-op, not a failure
+    XlsxEgress.append(xlsx, Seq("hdr"), Seq.empty)
+    assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(xlsx)).nonEmpty)
+    assert(before.nonEmpty)
+  }
+
   test("shared strings, r-less rows and numeric normalization parse correctly") {
     // hand-rolled workbook exercising the parts XlsxEgress never writes:
     // sharedStrings.xml (t="s") and rows/cells without r= attributes
