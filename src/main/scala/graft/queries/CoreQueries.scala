@@ -948,6 +948,45 @@ object CoreQueries {
       |ORDER BY hour_bucket, event_type
       |""".stripMargin))
 
+  /** E2 — batch sessionization (gaps-and-islands): per-user sessions split
+    * at >30 min of inactivity, each rolled up to (start, end, event
+    * count). This is the batch-equivalent of the streaming
+    * `flatMapGroupsWithState` sessionize
+    * ([[graft.streaming.EventWindows.sessionize]]) — the streamed≡batch
+    * agreement spec lives in EventWindowsSpec; this entry puts the
+    * semantics under the driver's DuckDB oracle gate. The time axis is
+    * MICROS longs on both sides: DuckDB reads the parquet TIMESTAMP(NANOS)
+    * truncated to micro precision, so nano-resolution outputs can never
+    * hash-match — `ts DIV 1000` (floor, exact on longs) is the same
+    * truncation. DIV, not `/`: epochs exceed 2^53 (see e1).
+    */
+  val e2Sessionize = QueryDef("e2_sessionize",
+    (s, dir) => graft.streaming.EventWindows.sessionizeBatch(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts DIV 1000").as("ts_us"), col("event_id")),
+        "user_id", "ts_us", "event_id",
+        gap = 1800000000L) // 30 min in micros
+      .orderBy(col("user_id"), col("session_id")),
+    Some(s"""
+      |WITH o AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |             PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |           <= 1800000000 THEN 0 ELSE 1 END AS new_s
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, tus,
+      |         SUM(new_s) OVER (PARTITION BY user_id
+      |           ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM o
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       MIN(tus) AS session_start, MAX(tus) AS session_end,
+      |       COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id
+      |""".stripMargin))
+
   /** W1 — ranking window: top-3 events per user by value (deterministic
     * event_id tiebreak). The reference has no window functions; the engine
     * supports them as first-class.
@@ -1120,6 +1159,6 @@ object CoreQueries {
     j6AsofJoin,
     a1DecimalSum, a2Reconcile, a3ActionCounters,
     o3TopErrors, u1Union, u2Except,
-    p8Egress, e1EventWindow, w1TopEventsPerUser, w3Pivot,
+    p8Egress, e1EventWindow, e2Sessionize, w1TopEventsPerUser, w3Pivot,
     k1SaltedAgg, k2SaltedJoin, k3RangeJoin, q8Rollup)
 }

@@ -42,6 +42,35 @@ object EventWindows {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Batch sessionization — the gaps-and-islands equivalent of
+    * [[sessionize]]: split each user's event history into sessions at any
+    * inactivity longer than `gap` (same unit as `tsCol`). A new-session
+    * flag (`ts - lag(ts) > gap`, first event = new) summed over an
+    * event-ordered running window numbers the sessions; one aggregate
+    * rolls them up to (start, end, count).
+    *
+    * ONE shuffle on `userCol`; per-user work is a linear scan. `tieCol`
+    * breaks event-time ties so the row order — and therefore the result —
+    * is total and engine-independent. A pathologically hot user serializes
+    * into one task, the same caveat as [[graft.operators.AsofJoin]]; at
+    * that point sessionize incrementally with the streaming form instead.
+    */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events.select(col(userCol), col(tsCol), col(tieCol))
+      // null lag (first event) compares null <= gap → null → otherwise(1)
+      .withColumn("__new_s",
+        when(col(tsCol) - lag(col(tsCol), 1).over(w) <= gap, 0L).otherwise(1L))
+      .withColumn("session_id", sum(col("__new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   final case class SessionEvent(user_id: Long, event_time_us: Long)
   final case class SessionState(start_us: Long, last_us: Long, events: Long)
   final case class Session(user_id: Long, start_us: Long, end_us: Long,

@@ -117,6 +117,57 @@ class EventWindowsSpec extends SparkSpec {
     assert(b == a, s"split B diverged from split A:\nA=$a\nB=$b")
   }
 
+  test("streaming sessionize agrees with the batch gaps-and-islands form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hour = 3600L * 1000 * 1000
+    val min = 60L * 1000 * 1000
+    val main = Seq(
+      EventWindows.SessionEvent(1L, hour + 0 * min),
+      EventWindows.SessionEvent(2L, hour + 1 * min),
+      EventWindows.SessionEvent(1L, hour + 5 * min),
+      EventWindows.SessionEvent(1L, hour + 30 * min),
+      EventWindows.SessionEvent(1L, hour + 32 * min),
+      EventWindows.SessionEvent(2L, hour + 45 * min))
+    // sentinels march the watermark far enough that every main session
+    // closes; sentinel2's own session stays open at end-of-stream
+    val sentinel1 = EventWindows.SessionEvent(99L, hour + 240 * min)
+    val sentinel2 = EventWindows.SessionEvent(99L, hour + 480 * min)
+
+    val base = Files.createTempDirectory("graft-sess-agree")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventWindows.SessionEvent]
+    val q = EventWindows.sessionize(ms.toDS(), gapMinutes = 10)
+      .writeStream.format("memory").queryName("sess_agree")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    Seq(main :+ sentinel1, Seq(sentinel2)).foreach { b =>
+      ms.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sess_agree").as[EventWindows.Session]
+      .collect().map(s => (s.user_id, s.start_us, s.end_us, s.events)).toSet
+
+    // batch form over the SAME events (tie-break on a synthetic event id);
+    // it emits every session including ones still open on the stream, so
+    // drop sessions that the final watermark (sentinel2 - gap) hasn't
+    // closed yet — the agreement claim is on everything closable
+    val all = (main ++ Seq(sentinel1, sentinel2)).zipWithIndex
+      .map { case (e, i) => (e.user_id, e.event_time_us, i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val gapUs = 10L * 60 * 1000 * 1000
+    val watermark = sentinel2.event_time_us - gapUs
+    val batch = EventWindows.sessionizeBatch(all, "user_id", "ts", "event_id", gapUs)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
+      .filter { case (_, _, end, _) => end + gapUs < watermark }
+      .toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed=$streamed\nbatch(closable)=$batch")
+  }
+
   test("stream-static enrichment: windowed counts per dim attribute match batch") {
     val base = Files.createTempDirectory("graft-enrich")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
