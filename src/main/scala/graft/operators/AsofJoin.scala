@@ -63,4 +63,84 @@ object AsofJoin {
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
         rightCols.map(c => col(s"__carried_$c").as(s"asof_$c")): _*)
   }
+
+  /** [[asofJoin]] for SKEWED keys: identical semantics, but the row-level
+    * LOCF partitions on (keys, time bucket) instead of keys alone, so one
+    * pathologically hot key (a single user with a billion events) spreads
+    * over `#buckets` tasks instead of serializing into one.
+    *
+    * Shape: times bucket by `bucketWidth` (same unit as the time columns);
+    * within each (keys, bucket) partition the union-LOCF runs as in
+    * [[asofJoin]], seeded with a CARRY-IN row — the last right row from
+    * any earlier bucket. Carry-ins come from a bucket-LEVEL window over
+    * one summary row per (keys, bucket): that window still serializes per
+    * key, but over O(time-range / bucketWidth) rows, not O(events).
+    *
+    * Same contract as [[asofJoin]]: right unique per (keys, rightTime);
+    * both time columns must be non-negative integral (epochs).
+    */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightCols: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val leftCols = left.columns.toSeq
+    def bucketOf(t: org.apache.spark.sql.Column) =
+      (t - pmod(t, lit(bucketWidth))).divide(lit(bucketWidth)).cast("long")
+
+    // last right row per (keys, bucket) — shuffles on the SALTED key
+    val rightB = right.withColumn("__bucket", bucketOf(col(rightTime)))
+    val wLast = Window.partitionBy((keys :+ "__bucket").map(col): _*)
+      .orderBy(col(rightTime).desc)
+    val lastPerBucket = rightB.withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select((keys.map(col) :+ col("__bucket") :+ col(rightTime).as("__rt")) ++
+        rightCols.map(c => col(c).as(s"__last_$c")): _*)
+
+    // bucket-level carry: for every bucket present on either side, the
+    // last right row of any STRICTLY EARLIER bucket (window over one row
+    // per bucket — tiny even for the hottest key)
+    val allBuckets = left
+      .select(keys.map(col) :+ bucketOf(col(leftTime)).as("__bucket"): _*)
+      .distinct()
+      .unionByName(lastPerBucket.select((keys :+ "__bucket").map(col): _*))
+      .distinct()
+    val wCarry = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = allBuckets
+      .join(lastPerBucket, keys :+ "__bucket", "left")
+      .select((keys.map(col) :+ col("__bucket")) ++
+        rightCols.map(c =>
+          last(col(s"__last_$c"), ignoreNulls = true).over(wCarry)
+            .as(s"asof_$c")): _*)
+
+    // per-bucket union-LOCF: carry-in sorts before every real row in the
+    // bucket (bucket start - 1 is outside the bucket's time range)
+    val taggedCarry = carryIn.select(
+      (keys.map(col) :+ col("__bucket") :+
+        (col("__bucket") * bucketWidth - 1).as("__t") :+ lit(0).as("__side")) ++
+        rightCols.map(c => col(s"asof_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(s"__l_$c")): _*)
+    val taggedRight = rightB.select(
+      (keys.map(col) :+ col("__bucket") :+ col(rightTime).as("__t") :+
+        lit(0).as("__side")) ++
+        rightCols.map(c => col(c).as(s"asof_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(s"__l_$c")): _*)
+    val taggedLeft = left.select(
+      (keys.map(col) :+ bucketOf(col(leftTime)).as("__bucket") :+
+        col(leftTime).as("__t") :+ lit(1).as("__side")) ++
+        rightCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
+    val w = Window.partitionBy((keys :+ "__bucket").map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = taggedCarry.unionByName(taggedRight).unionByName(taggedLeft)
+      .select(col("*") +: rightCols.map(c =>
+        last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"__carried_$c")): _*)
+    carried.filter(col("__side") === 1)
+      .select(keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
+        rightCols.map(c => col(s"__carried_$c").as(s"asof_$c")): _*)
+  }
 }

@@ -29,6 +29,62 @@ class AsofJoinSpec extends SparkSpec {
     assert(d.toSeq == Seq((10L, 9L), (20L, 1L)))
   }
 
+  test("salted as-of == unsalted on mixed data incl. nulls-before-first and cross-bucket carry") {
+    // hot key 1 dominates; carry-in must cross empty buckets (right rows
+    // only early, left rows much later) and produce nulls before the
+    // first right row
+    val left = (1 to 500).map { i =>
+      (if (i % 11 == 0) 2L else 1L, (i * 13L) % 997, s"p$i")
+    }.toDF("k", "t", "name")
+    val right = AsofJoin.dedupeRight(
+      (1 to 120).map { i =>
+        (if (i % 7 == 0) 2L else 1L, (i * 29L) % 331, s"q$i")
+      }.toDF("k", "t", "quote"),
+      Seq("k"), "t", "quote")
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("t"),
+        r.getAs[String]("name"), r.getAs[String]("asof_quote")))
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+
+    val plain = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("quote"))
+    val salted = AsofJoin.asofJoinSalted(left, right, Seq("k"), "t", "t",
+      Seq("quote"), bucketWidth = 50)
+    assert(norm(salted) == norm(plain))
+    // bucket width larger than the whole time range: degenerates to one
+    // bucket per key and must still agree
+    val oneBucket = AsofJoin.asofJoinSalted(left, right, Seq("k"), "t", "t",
+      Seq("quote"), bucketWidth = 1000000)
+    assert(norm(oneBucket) == norm(plain))
+  }
+
+  test("salted as-of spreads a hot key over many (key, bucket) partitions") {
+    // ONE key carries every row — the unsalted operator would serialize
+    // all 10k events into a single task
+    val left = spark.range(10000).select(lit(1L).as("k"), col("id").as("t"),
+      col("id").cast("string").as("name"))
+    val right = spark.range(100).select(lit(1L).as("k"), (col("id") * 100).as("t"),
+      concat(lit("q"), col("id")).as("v"))
+    val salted = AsofJoin.asofJoinSalted(left, right, Seq("k"), "t", "t",
+      Seq("v"), bucketWidth = 1000)
+    // row-level LOCF window partitions on (k, __bucket): the hot key's
+    // work splits into one unit per bucket (10 here), not one
+    val windowSpecs = salted.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.sql).mkString(",")
+    }
+    assert(windowSpecs.exists(_.contains("__bucket")),
+      s"row-level window must partition on the bucket: $windowSpecs")
+    val hotKeyUnits = left.select((col("t") - pmod(col("t"), lit(1000L)))
+      .divide(lit(1000L)).cast("long")).distinct().count()
+    assert(hotKeyUnits == 10)
+    // and the semantics still hold at the edges
+    val got = salted.filter(col("t").isin(0L, 99L, 100L, 9999L))
+      .collect().map(r => (r.getAs[Long]("t"), r.getAs[String]("asof_v"))).toMap
+    assert(got(0L) == "q0" && got(99L) == "q0" && got(100L) == "q1"
+      && got(9999L) == "q99")
+  }
+
   test("one shuffle: the plan has no range/cartesian join") {
     val left = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("t"))
     val right = spark.range(100).select(col("id").as("k"), (col("id") * 7).as("t"),
