@@ -150,6 +150,80 @@ object Report {
     renderTemplate(loadTemplate(templateFor(r.status)),
       toTemplateVars(r, consolidatedLink, timestamp))
 
+  // ------------------------------------------------------------ S9 envelope
+
+  /** status → template-map key for the YAML `email.templates` section
+    * (consolidate_invoices.py TEMPLATE_MAP).
+    */
+  def templateKey(status: String): String = status match {
+    case "SUCCESS"  => "success"
+    case "PARTIAL"  => "partial"
+    case "NO_FILES" => "empty"
+    case _          => "error"
+  }
+
+  final case class Attachment(fileName: String, bytes: Array[Byte])
+
+  /** The full notification message as DATA — the reference notifier's
+    * MIME contract (oauth_gmail_notifier.py:72-111: From/To/Subject plus
+    * Cc/Bcc only when present; a text/plain fallback alternative beside
+    * the HTML body; base64 attachments named by file). The engine renders
+    * the envelope and leaves transport to a connector.
+    */
+  final case class Envelope(
+      from: String, to: Seq[String], cc: Seq[String], bcc: Seq[String],
+      subject: String, htmlBody: String, textBody: String,
+      attachments: Seq[Attachment]) {
+
+    /** Message headers in the reference's order; Cc/Bcc appear only when
+      * non-empty, recipient lists join with ", ".
+      */
+    def headers: Seq[(String, String)] =
+      Seq("From" -> from, "To" -> to.mkString(", "), "Subject" -> subject) ++
+        (if (cc.nonEmpty) Seq("Cc" -> cc.mkString(", ")) else Nil) ++
+        (if (bcc.nonEmpty) Seq("Bcc" -> bcc.mkString(", ")) else Nil)
+
+    /** Serialized artifact: headers, both body parts, and each attachment
+      * base64-encoded under its filename — everything a transport
+      * connector needs to build the real MIME message, reviewable as text.
+      */
+    def renderArtifact: String = {
+      val h = headers.map { case (k, v) => s"$k: $v" }.mkString("\n")
+      val atts = attachments.map { a =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(a.bytes)
+        s"--- attachment: ${a.fileName} (${a.bytes.length} bytes) ---\n$b64"
+      }
+      (Seq(h, "--- text/plain ---", textBody, "--- text/html ---", htmlBody)
+        ++ atts).mkString("\n\n")
+    }
+  }
+
+  /** Build the run notification envelope from the YAML email config
+    * (consolidate_invoices.py:642-663 + oauth_gmail_notifier.py:72-111):
+    * subject = `<prefix> - <status label>`; template = the config map at
+    * [[templateKey]] with the reference's literal fallback to the Error
+    * template (an unconfigured `templates:` section renders every status
+    * through `ETL_Consolidacion_Error.html` — the reference's behavior,
+    * kept as-is); attachment paths that don't exist skip silently
+    * (oauth_gmail_notifier.py:102-103).
+    */
+  def envelope(email: AppConfig.Email, r: ExecutionReport,
+      consolidatedLink: String = "", timestamp: String = "",
+      attachmentPaths: Seq[java.nio.file.Path] = Nil): Envelope = {
+    val templateName = email.templates.getOrElse(
+      templateKey(r.status), "ETL_Consolidacion_Error.html")
+    val html = renderTemplate(loadTemplate(templateName),
+      toTemplateVars(r, consolidatedLink, timestamp))
+    Envelope(
+      from = email.sender, to = email.to, cc = email.cc, bcc = email.bcc,
+      subject = s"${email.subjectPrefix} - ${statusLabel(r.status)}",
+      htmlBody = html, textBody = htmlToPlain(html),
+      attachments = attachmentPaths
+        .filter(java.nio.file.Files.exists(_))
+        .map(p => Attachment(p.getFileName.toString,
+          java.nio.file.Files.readAllBytes(p))))
+  }
+
   /** Plain-text run summary (the notification body's data). */
   def summary(r: ExecutionReport): String = {
     val lines = Seq(

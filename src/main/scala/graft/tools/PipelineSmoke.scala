@@ -114,6 +114,13 @@ object PipelineSmoke {
         |  source_path: "landing"
         |email:
         |  sender: bot@example.com
+        |  to: "ops@example.com, fin@example.com"
+        |  cc: "jefe@example.com"
+        |  templates:
+        |    success: "ETL_Consolidacion_Exito.html"
+        |    partial: "ETL_Consolidacion_Parcial.html"
+        |    error: "ETL_Consolidacion_Error.html"
+        |    empty: "ETL_Consolidacion_Vacio.html"
         |""".stripMargin)
     val app = graft.pipeline.AppConfig.load(s"$yBase/configuration.yaml")
     val pc = app.toPipelineConfig(yBase.toString)
@@ -121,10 +128,14 @@ object PipelineSmoke {
     Files.writeString(Paths.get(pc.landingDir, "f1.csv"), csv)
     val yReport = ConsolidationPipeline.run(spark, pc)
     val notif = Files.list(Paths.get(s"${pc.auditDir}/notifications")).count()
+    // S9 envelope: the full message as data from the YAML email config
+    val env = graft.pipeline.Report.envelope(app.email, yReport,
+      consolidatedLink = pc.consolidatedPath)
+    Files.writeString(Paths.get(s"$yBase/envelope.txt"), env.renderArtifact)
     val partsBefore = graft.pipeline.StoreMaintenance.partFileCount(pc.consolidatedPath)
     val partsAfter = graft.pipeline.StoreMaintenance.compact(spark, pc.consolidatedPath)
     println(s"[smoke] yaml: status=${yReport.status} notifications=$notif " +
-      s"compact=$partsBefore->$partsAfter")
+      s"envelopeTo=${env.to.size} compact=$partsBefore->$partsAfter")
     spark.stop()
   }
 

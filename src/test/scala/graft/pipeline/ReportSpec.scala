@@ -81,4 +81,83 @@ class ReportSpec extends AnyFunSuite {
     val html = Report.renderHtml(report("NO_FILES"))
     assert(html.contains("sin archivos nuevos"))
   }
+
+  test("envelope: full reference contract — headers, alternative bodies, attachments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-env")
+    val att = dir.resolve("consolidado.xlsx")
+    java.nio.file.Files.write(att, Array[Byte](1, 2, 3, 4))
+    val email = AppConfig.Email(
+      sender = "etl@example.test",
+      to = Seq("ops@example.test", "finanzas@example.test"),
+      cc = Seq("jefatura@example.test"),
+      bcc = Nil,
+      templates = Map(
+        "success" -> "ETL_Consolidacion_Exito.html",
+        "partial" -> "ETL_Consolidacion_Parcial.html",
+        "error" -> "ETL_Consolidacion_Error.html",
+        "empty" -> "ETL_Consolidacion_Vacio.html"))
+    val env = Report.envelope(email, report("SUCCESS"),
+      consolidatedLink = "file:///c.parquet", timestamp = "2026-08-12",
+      attachmentPaths = Seq(att, dir.resolve("no-existe.pdf")))
+
+    // headers in the reference's shape: comma-joined To, Cc present,
+    // Bcc ABSENT when empty (oauth_gmail_notifier.py:88-94)
+    assert(env.headers.contains("From" -> "etl@example.test"))
+    assert(env.headers.contains("To" -> "ops@example.test, finanzas@example.test"))
+    assert(env.headers.contains("Cc" -> "jefatura@example.test"))
+    assert(!env.headers.exists(_._1 == "Bcc"))
+    assert(env.subject == "[Smartbots ETL] - EXITOSO")
+    // both body parts; text is the html's plain fallback
+    assert(env.htmlBody.contains("exitosamente") && env.htmlBody.contains("run-123"))
+    assert(env.textBody.contains("run-123") && !env.textBody.contains("<"))
+    // existing attachment read; missing path skipped silently
+    assert(env.attachments.map(_.fileName) == Seq("consolidado.xlsx"))
+    assert(env.attachments.head.bytes.toSeq == Seq[Byte](1, 2, 3, 4))
+    // artifact render carries everything a transport connector needs
+    val art = env.renderArtifact
+    assert(art.contains("To: ops@example.test, finanzas@example.test"))
+    assert(art.contains("--- text/plain ---") && art.contains("--- text/html ---"))
+    assert(art.contains("attachment: consolidado.xlsx (4 bytes)"))
+    assert(art.contains(java.util.Base64.getEncoder.encodeToString(
+      Array[Byte](1, 2, 3, 4))))
+  }
+
+  test("envelope: template resolves via config map with the reference's error fallback") {
+    val email = AppConfig.Email(sender = "etl@example.test", to = Seq("a@b.c"))
+    // unconfigured templates section → the reference's literal fallback
+    // (consolidate_invoices.py:651-653): Error template even for SUCCESS
+    val env = Report.envelope(email, report("SUCCESS"))
+    assert(env.htmlBody.contains("terminó con <span class=\"bad\">errores</span>"))
+    assert(env.subject.endsWith("- EXITOSO")) // label still from status
+    // configured map routes by status key
+    val cfg = email.copy(templates = Map("empty" -> "ETL_Consolidacion_Vacio.html"))
+    assert(Report.envelope(cfg, report("NO_FILES")).htmlBody
+      .contains("sin archivos nuevos"))
+  }
+
+  test("Envio_* template family renders with CSS braces preserved") {
+    val asuntos = Seq("OE-1001 Nave Austral", "OE-1002 Nave Pacífico")
+      .map(a => s"<li>$a</li>").mkString("\n")
+    val informe = Report.renderTemplate(Report.loadTemplate("Envio_Informe.html"),
+      Map("asuntos_exitosos" -> asuntos))
+    assert(informe.contains("<li>OE-1001 Nave Austral</li>"))
+    assert(informe.contains("envío de correos a Recibidores"))
+    assert(informe.contains("line-height: 1.55; }")) // CSS braces survive
+    assert(!informe.contains("{asuntos_exitosos}"))
+
+    val v0 = Report.renderTemplate(Report.loadTemplate("Envio_Informe_v0.html"),
+      Map("Ordenes_Embarque" -> "<li>OE-7</li>"))
+    assert(v0.contains("<li>OE-7</li>") && v0.contains("Agentes de Aduana"))
+    assert(!v0.contains("{Ordenes_Embarque}"))
+
+    val recibidor = Report.renderTemplate(Report.loadTemplate("Envio_Recibidor.html"),
+      Map("cuerpo" -> "<p>Estimado recibidor, se adjunta la orden.</p>"))
+    assert(recibidor.contains("se adjunta la orden"))
+    assert(!recibidor.contains("{cuerpo}"))
+
+    val vacio = Report.loadTemplate("Envio_Vacio.html")
+    assert(vacio.contains("no se han identificado registros"))
+    // static template: no {word} placeholders (CSS braces don't count)
+    assert("\\{\\w+\\}".r.findFirstIn(vacio).isEmpty)
+  }
 }
