@@ -46,7 +46,12 @@ object ConsolidationPipeline {
         * before each store mutation. Production default is a no-op; specs
         * use it to exercise the rollback path without filesystem tricks.
         */
-      beforeStoreWrite: String => Unit = _ => ())
+      beforeStoreWrite: String => Unit = _ => (),
+      /** Compact the audit tables every N runs (0 = never). The audit
+        * trail appends small files every run; without a cadence the J4
+        * probe's read eventually pays a listing of years of part files.
+        */
+      auditCompactEveryRuns: Int = 0)
 
   /** A store mutation failed and the pre-run backup was restored. The
     * restore rolls back EVERY file merged in this run, so this aborts the
@@ -189,6 +194,13 @@ object ConsolidationPipeline {
         Report.renderHtml(report,
           consolidatedLink = cfg.consolidatedPath,
           timestamp = startedAt.toInstant.toString))
+    } catch { case NonFatal(_) => () }
+    // audit small-files cadence: every Nth run rewrites the three audit
+    // tables in place (swap-safe, append semantics preserved). Counted on
+    // execution_runs, which this run just appended to. Never fails the run.
+    if (cfg.auditCompactEveryRuns > 0) try {
+      if (tracker.runs.count() % cfg.auditCompactEveryRuns == 0)
+        StoreMaintenance.compactAudit(spark, cfg.auditDir)
     } catch { case NonFatal(_) => () }
     report
   }

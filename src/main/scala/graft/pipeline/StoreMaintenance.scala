@@ -64,6 +64,21 @@ object StoreMaintenance {
     partFileCount(path)
   }
 
+  /** Compact the three audit tables. The audit trail appends one tiny
+    * part file per run (execution_runs, file_log) and per processed file
+    * (record_log) — after a year of daily runs the AUDIT dir has the same
+    * small-files problem as the store, and every J4 idempotence probe
+    * lists all of it. Same swap-safety as [[compact]]; append-only
+    * semantics are preserved (compaction rewrites history, it never
+    * drops or merges rows). Returns per-table new part counts (-1 for a
+    * table that doesn't exist yet).
+    */
+  def compactAudit(spark: SparkSession, auditDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Map[String, Long] =
+    Seq("execution_runs", "file_log", "record_log").map { t =>
+      t -> compact(spark, s"$auditDir/$t", targetBytes)
+    }.toMap
+
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)

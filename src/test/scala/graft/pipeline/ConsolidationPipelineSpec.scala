@@ -234,6 +234,53 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(ConsolidationPipeline.run(spark, c).inserted == 1)
   }
 
+  test("audit compaction cadence: part files shrink, audit queries and J4 probe unchanged") {
+    val base = tmp()
+    // compaction fires on the 4th run (cadence 4); runs 1-3 accumulate
+    // one part per table append
+    val c = cfg(base).copy(auditCompactEveryRuns = 4)
+    for (i <- 1 to 3) {
+      val rI = Seq(s"FAC-20$i", s"REF-20$i", "Carrier D",
+        "15-01-2026", "x", "1000", "190", "1190", "CLP")
+      writeSimpleWorkbook(s"$base/landing", s"g$i.csv", Seq(rI))
+      assert(ConsolidationPipeline.run(spark, c).status == "SUCCESS")
+    }
+    val tracker = new Audit.Tracker(spark, c.auditDir)
+    def auditSnapshot() = (
+      tracker.runs.select("run_uuid", "status", "inserted").collect().toSet,
+      tracker.files.select("file_name", "status").collect().toSet,
+      tracker.records.select("invoice_number", "action").collect().toSet)
+    val before = auditSnapshot()
+    def parts(t: String) = StoreMaintenance.partFileCount(s"${c.auditDir}/$t")
+    assert(parts("file_log") >= 3, s"expected ≥3 file_log parts, got ${parts("file_log")}")
+
+    // 4th run triggers the cadence inside the pipeline itself
+    writeSimpleWorkbook(s"$base/landing", "g4.csv", Seq(r1))
+    assert(ConsolidationPipeline.run(spark, c).status == "SUCCESS")
+    assert(parts("execution_runs") == 1 && parts("file_log") == 1
+      && parts("record_log") == 1,
+      s"audit tables not compacted: runs=${parts("execution_runs")} " +
+        s"files=${parts("file_log")} records=${parts("record_log")}")
+
+    // every pre-compaction audit row survived (run 4's rows are extra)
+    val after = auditSnapshot()
+    assert(before._1.subsetOf(after._1) && before._2.subsetOf(after._2)
+      && before._3.subsetOf(after._3))
+    // the rollback-aware J4 probe still sees pre-compaction completions:
+    // re-landing g1.csv with its archived mtime skips as idempotent
+    val archived = Files.walk(Paths.get(c.lifecycleDir)).iterator()
+    var found: Option[Path] = None
+    while (archived.hasNext) {
+      val p = archived.next()
+      if (p.getFileName.toString == "g1.csv" && Files.isRegularFile(p)) found = Some(p)
+    }
+    val dst = Paths.get(c.landingDir, "g1.csv")
+    Files.copy(found.get, dst)
+    Files.setLastModifiedTime(dst, Files.getLastModifiedTime(found.get))
+    val rep = ConsolidationPipeline.run(spark, c)
+    assert(rep.inserted == 0, s"compaction must not forget completions: $rep")
+  }
+
   test("every run leaves a rendered HTML notification artifact (S9)") {
     val base = tmp()
     writeSimpleWorkbook(s"$base/landing", "f1.csv", Seq(r1))
