@@ -1149,6 +1149,229 @@ object CoreQueries {
       |ORDER BY l_returnflag, l_linestatus
       |""".stripMargin))
 
+  /** Discounted line revenue, exact decimal on both engines: money
+    * columns go through the cents-rounding m2 view (double products are
+    * bit-identical; see InvoiceView.m2), the product widens to
+    * DECIMAL(18,4), and SUMs round back to cents at the boundary
+    * (Spark's decimal cast rounds HALF_UP; DuckDB's truncates — ROUND
+    * first, then cast, matches them).
+    */
+  private def revenue =
+    (InvoiceView.m2(col("l_extendedprice")) *
+      (lit(1).cast(money) - InvoiceView.m2(col("l_discount"))))
+      .cast(DecimalType(18, 4))
+  private val revenueSql =
+    s"CAST(${InvoiceView.m2Sql("l_extendedprice")} * " +
+      s"(1 - ${InvoiceView.m2Sql("l_discount")}) AS DECIMAL(18,4))"
+  private val sumRevenueSql =
+    s"CAST(CAST(ROUND(SUM($revenueSql), 2) AS DECIMAL(18,2)) AS DOUBLE)"
+
+  /** Q7 shape — bidirectional volume between two nations by ship year:
+    * the same dimension (nation) joins twice under different roles, the
+    * filter is a disjunction across the two roles, and the group key mixes
+    * both. Both nation copies broadcast; the fact-fact join shuffles once
+    * on orderkey.
+    */
+  val q7NationVolume = QueryDef("q7_nation_volume",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("date")).as("l_year"))
+        .agg(sum(revenue).cast(money).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some(s"""
+      |SELECT supp_nation, cust_nation, l_year, $sumRevenueSql AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+      |         l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |)
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year
+      |""".stripMargin))
+
+  /** Q9 shape — profit by (nation, year) through a part-filtered fact:
+    * two broadcast dims (part filter prunes before the join) + one
+    * shuffled dim-free aggregate. The synthetic schema has no partsupp,
+    * so profit is discounted revenue.
+    */
+  val q9ProfitByNation = QueryDef("q9_profit_by_nation",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("l_shipdate").cast("date")).as("o_year"))
+        .agg(sum(revenue).cast(money).as("profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    Some(s"""
+      |SELECT n_name, CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS o_year,
+      |       $sumRevenueSql AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_type = 'STANDARD'
+      |GROUP BY n_name, CAST(year(CAST(l_shipdate AS DATE)) AS INT)
+      |ORDER BY n_name, o_year DESC
+      |""".stripMargin))
+
+  /** Q10 shape — top returned-revenue customers: selective fact filter
+    * (returnflag), customer attributes in the group key, top-N on the
+    * aggregate.
+    */
+  val q10ReturnedItems = QueryDef("q10_returned_items",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(revenue).cast(money).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""
+      |SELECT c_custkey, c_name, n_name, $sumRevenueSql AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20
+      |""".stripMargin))
+
+  /** Q12 shape — conditional counting: late-shipped lines (>30 days after
+    * order date) split into high/low order priority per line status. The
+    * synthetic schema has no shipmode/commitdate; the CASE-inside-SUM
+    * pattern is the point.
+    */
+  val q12LateLines = QueryDef("q12_late_lines",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 30)
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_priority_lines"),
+          sum(when(high, 0L).otherwise(1L)).as("low_priority_lines"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""
+      |SELECT l_linestatus,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE date_diff('day', CAST(o_orderdate AS DATE),
+      |                CAST(l_shipdate AS DATE)) > 30
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus
+      |""".stripMargin))
+
+  /** Q14 shape — promo revenue share as EXACT parts-per-million: both
+    * sums reduce to integer cents, and ppm = promo_cents * 1e6 DIV
+    * total_cents (integer division — exact on both engines, where a
+    * float ratio could round differently).
+    */
+  val q14PromoShare = QueryDef("q14_promo_share",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val joined = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast(money).as("promo"),
+          sum(revenue).cast(money).as("total"))
+      joined.select(
+        (col("promo") * 100).cast("long").as("promo_cents"),
+        (col("total") * 100).cast("long").as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          expr("promo_cents * 1000000L DIV total_cents").as("promo_ppm"))
+    },
+    Some(s"""
+      |WITH sums AS (
+      |  SELECT
+      |    CAST(CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+      |         ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS promo_cents,
+      |    CAST(CAST(ROUND(SUM($revenueSql), 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |)
+      |SELECT promo_cents, total_cents,
+      |       promo_cents * 1000000 // total_cents AS promo_ppm
+      |FROM sums
+      |""".stripMargin))
+
+  /** Q18 shape — large-volume orders: aggregate-then-join (the HAVING
+    * subquery reduces lineitem BEFORE touching orders/customer — at scale
+    * the join sees thousands of rows, not the fact table).
+    */
+  val q18LargeOrders = QueryDef("q18_large_orders",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""
+      |SELECT c_custkey, c_name, o_orderkey,
+      |       CAST(o_orderdate AS DATE) AS o_orderdate, total_qty
+      |FROM (
+      |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+      |)
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 20
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -1160,5 +1383,7 @@ object CoreQueries {
     a1DecimalSum, a2Reconcile, a3ActionCounters,
     o3TopErrors, u1Union, u2Except,
     p8Egress, e1EventWindow, e2Sessionize, w1TopEventsPerUser, w3Pivot,
-    k1SaltedAgg, k2SaltedJoin, k3RangeJoin, q8Rollup)
+    k1SaltedAgg, k2SaltedJoin, k3RangeJoin, q8Rollup,
+    q7NationVolume, q9ProfitByNation, q10ReturnedItems, q12LateLines,
+    q14PromoShare, q18LargeOrders)
 }

@@ -69,4 +69,44 @@ class PlanAuditSpec extends SparkSpec {
   test("o3 top-errors uses TakeOrderedAndProject, not a full sort") {
     assert(plan("o3_top_errors").contains("TakeOrderedAndProject"))
   }
+
+  test("q7/q9/q10: dimensions broadcast, selective filters push to the scan") {
+    val q7 = plan("q7_nation_volume")
+    assert(q7.contains("BroadcastHashJoin") && !q7.contains("CartesianProduct"))
+    val q9 = plan("q9_profit_by_nation")
+    assert(q9.contains("BroadcastHashJoin"))
+    assert(q9.contains("EqualTo(p_type,STANDARD)"),
+      "part-type filter must push to the part scan")
+    val q10 = plan("q10_returned_items")
+    assert(q10.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter must push to the lineitem scan")
+    assert(q10.contains("TakeOrderedAndProject"), "top-20 must not full-sort")
+  }
+
+  test("q18: lineitem aggregates BEFORE joining orders/customer") {
+    // the order of physical operators in the formatted plan reflects the
+    // tree: the quantity aggregate must appear as a join child, i.e. the
+    // join must consume an aggregated (order-count-sized) side, not raw
+    // lineitem. Assert no join sits below the aggregate on its input.
+    val df = SparkEntry.queries("q18_large_orders")(spark, sfDir)
+    val agg = df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.sql.contains("l_quantity")) => a
+    }
+    assert(agg.isDefined, "quantity aggregate missing from the plan")
+    val joinsBelowAgg = agg.get.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joinsBelowAgg.isEmpty,
+      "the HAVING aggregate must reduce lineitem before any join")
+  }
+
+  test("q14: one pass over the joined fact — a single aggregate computes both sums") {
+    val df = SparkEntry.queries("q14_promo_share")(spark, sfDir)
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected one aggregate, got ${aggs.size}")
+    assert(plan("q14_promo_share").contains("BroadcastHashJoin"))
+  }
 }
