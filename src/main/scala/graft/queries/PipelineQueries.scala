@@ -228,6 +228,93 @@ object PipelineQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  /** D7 — duplicate clusters: transitive closure of the n-gram Jaccard
+    * pair graph ([[graft.dedup.DupClusters.connectedComponents]] — min-
+    * label propagation + pointer jumping). The oracle computes the same
+    * closure with a recursive CTE: every node labeled with the minimum
+    * id reachable through the symmetric edge list.
+    */
+  val d7DupClusters = QueryDef("d7_dup_clusters",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .jaccardPairs(docs, "doc_id", "text", 3, Seq("lang", "source"))
+        .select(col("id1"), col("id2"))
+      graft.dedup.DupClusters.connectedComponents(pairs, "id1", "id2")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH RECURSIVE $tokSql,
+      |$shSql,
+      |pr AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pr
+      |  UNION
+      |  SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      |SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY node
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** D8 — canonical-document election after clustering: one keeper per
+    * duplicate cluster (most tokens, ties to the smallest id) plus the
+    * cluster size — the keep-one policy a dedup pass applies downstream
+    * of D7. Spark side is a single struct-argmax hash aggregate (no
+    * window sort); the oracle mirrors with a deterministic row_number.
+    */
+  val d8CanonicalDocs = QueryDef("d8_canonical_docs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup
+        .jaccardPairs(docs, "doc_id", "text", 3, Seq("lang", "source"))
+        .select(col("id1"), col("id2"))
+      val members =
+        graft.dedup.DupClusters.connectedComponents(pairs, "id1", "id2")
+      graft.dedup.DupClusters
+        .canonicalPerCluster(members, docs, "doc_id", "text")
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      |WITH RECURSIVE $tokSql,
+      |$shSql,
+      |pr AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pr
+      |  UNION
+      |  SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (
+      |  SELECT node AS id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+      |ranked AS (
+      |  SELECT c.cluster_id,
+      |         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+      |         t.doc_id AS keep_id,
+      |         CAST(len(t.tk) AS INT) AS keep_tokens,
+      |         row_number() OVER (PARTITION BY c.cluster_id
+      |           ORDER BY len(t.tk) DESC, t.doc_id ASC) AS rn
+      |  FROM comp c JOIN toks t ON t.doc_id = c.id)
+      |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+      |       keep_id, keep_tokens
+      |FROM ranked WHERE rn = 1
+      |ORDER BY cluster_id
+      |""".stripMargin))
+
   /** D3 — MinHash(16)+LSH(4×4) candidate pairs with exact signature-match
     * counts. The banding join is the only shuffle; signatures are per-row
     * expressions.
@@ -649,7 +736,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
-    d5CosineNearDup, d6SharedWindows,
+    d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
     m1MediaMeta, m2MediaAnn)
 }

@@ -1,0 +1,62 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Connected-components duplicate clustering ([[DupClusters]]). */
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)], maxIter: Int = 20) =
+    DupClusters.connectedComponents(
+      pairs.toDF("id1", "id2"), "id1", "id2", maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("two components resolve to their minimum ids") {
+    // {1,2,3} via 1-2, 2-3 and {10,11}
+    val got = cc(Seq((1L, 2L), (2L, 3L), (11L, 10L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("transitive closure: A~B, B~C clusters A,B,C even if A,C never paired") {
+    val got = cc(Seq((5L, 9L), (9L, 2L)))
+    assert(got.values.toSet == Set(2L))
+    assert(got.keySet == Set(2L, 5L, 9L))
+  }
+
+  test("duplicate and self edges are tolerated; star converges in one round") {
+    val got = cc(Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 3L), (1L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("pointer jumping: a 30-node path converges within 8 rounds") {
+    // plain min-propagation needs 29 rounds on a path; the shortcut step
+    // makes depth collapse geometrically, so 8 rounds must suffice
+    val path = (1L until 30L).map(i => (i, i + 1))
+    val got = cc(path, maxIter = 8)
+    assert(got.size == 30 && got.values.toSet == Set(1L))
+  }
+
+  test("empty pair list yields empty membership") {
+    val got = cc(Seq.empty[(Long, Long)])
+    assert(got.isEmpty)
+  }
+
+  test("canonical election: most tokens wins, ties break to smallest id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val docs = Seq(
+      (1L, "a b c"),        // 3 tokens
+      (2L, "a b c d e"),    // 5 tokens -> keeper of cluster 1
+      (3L, "a"),
+      (10L, "x y"),         // tie on 2 tokens with 11 -> 10 keeps (min id)
+      (11L, "p q")
+    ).toDF("doc_id", "text")
+    val members = DupClusters.connectedComponents(pairs, "id1", "id2")
+    val got = DupClusters
+      .canonicalPerCluster(members, docs, "doc_id", "text")
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 5), (10L, 2L, 10L, 2)))
+  }
+}
