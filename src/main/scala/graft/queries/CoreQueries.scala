@@ -1372,6 +1372,211 @@ object CoreQueries {
       |LIMIT 20
       |""".stripMargin))
 
+  /** Q15 shape — top supplier by quarterly revenue: an aggregated view
+    * compared against its own MAX (scalar-subquery shape). The max rides
+    * a 1-row broadcast, so the "HAVING = (SELECT MAX...)" never
+    * re-shuffles the view; ties surface as extra rows, deterministically
+    * ordered by key.
+    */
+  val q15TopSupplier = QueryDef("q15_top_supplier",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val rev = li
+        .filter(col("l_shipdate").cast("date")
+          .between("1995-01-01", "1995-03-31"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue).cast(money).as("total_revenue"))
+      rev
+        .join(broadcast(rev.agg(max(col("total_revenue")).as("mr"))),
+          col("total_revenue") === col("mr"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some(s"""
+      |WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(ROUND(SUM($revenueSql), 2) AS DECIMAL(18,2)) AS total_revenue
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS DATE)
+      |        BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey
+      |""".stripMargin))
+
+  /** Q17 shape — small-quantity revenue for one brand: the correlated
+    * "below a fifth of this part's average quantity" subquery becomes a
+    * per-part aggregate joined back to the fact rows. The brand filter
+    * semi-joins lineitem FIRST (broadcast of the brand's parts), so the
+    * per-part stats aggregate only the brand's lines, never the whole
+    * fact table. The avg comparison stays in integers
+    * (`5·qty·cnt < sum`) — exact on both engines, no float ratio.
+    */
+  val q17SmallQty = QueryDef("q17_small_qty_revenue",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val brand = p.filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val lb = t(s, dir, "lineitem")
+        .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("ql"),
+          col("l_extendedprice"))
+      val stats = lb.groupBy(col("l_partkey"))
+        .agg(sum(col("ql")).as("sum_ql"), count(lit(1)).as("cnt"))
+      lb.join(stats, "l_partkey")
+        .filter(col("ql") * 5 * col("cnt") < col("sum_ql"))
+        .agg(
+          sum(InvoiceView.m2(col("l_extendedprice"))).cast(money)
+            .as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      |WITH lb AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS ql, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |st AS (
+      |  SELECT l_partkey, SUM(ql) AS sum_ql, COUNT(*) AS cnt
+      |  FROM lb GROUP BY l_partkey)
+      |SELECT CAST(CAST(ROUND(SUM(${InvoiceView.m2Sql("l_extendedprice")}), 2)
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS small_qty_revenue,
+      |       COUNT(*) AS n_lines
+      |FROM lb JOIN st USING (l_partkey)
+      |WHERE ql * 5 * cnt < sum_ql
+      |""".stripMargin))
+
+  /** Q19 shape — disjunctive join predicate: three OR'd brand/size/
+    * quantity conjunctions. Catalyst's CNF conversion pushes the common
+    * per-side implications down to each scan (brand∈{...} to part,
+    * quantity∈[1,30] to lineitem) before the broadcast join evaluates
+    * the full disjunction.
+    */
+  val q19DisjunctRevenue = QueryDef("q19_disjunct_revenue",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      // quantity bounds compare the raw double column (values are
+      // integral) — a cast-to-long here would block predicate pushdown
+      // into the lineitem scan
+      val disj =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(disj)
+        .agg(sum(revenue).cast(money).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""
+      |SELECT CAST(CAST(ROUND(SUM($revenueSql), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |         AS revenue,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)
+      |""".stripMargin))
+
+  /** Q21 shape (adapted: no commit/receipt dates in the test schema —
+    * "late" is shipping >60 days after the order date): suppliers who
+    * were the ONLY late supplier on a multi-supplier finalized order.
+    * The EXISTS leg is a left-semi self-join on the order key, the NOT
+    * EXISTS leg a left-anti — all three legs shuffle on the same
+    * l_orderkey, so the two self-joins co-partition with no extra
+    * exchange.
+    */
+  val q21LateSuppliers = QueryDef("q21_late_suppliers",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val sup = t(s, dir, "supplier")
+      val late = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate").cast("date") >
+          date_add(col("o_orderdate").cast("date"), 60))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val hasOther = late.join(
+        li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+        col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      val onlyLate = hasOther.join(
+        late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+        col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      onlyLate
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""
+      |WITH late AS (
+      |  SELECT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |    AND CAST(l_shipdate AS DATE) >
+      |        CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20
+      |""".stripMargin))
+
+  /** Q22 shape (adapted: market segment stands in for the phone country
+    * code) — customers with above-average positive balance and no orders
+    * at all: a 1-row broadcast scalar aggregate feeds the inequality,
+    * and the "no orders" leg is a left-anti join. The avg comparison is
+    * exact integer math on cents (`bal·n > sum`), never a float ratio.
+    */
+  val q22IdleRich = QueryDef("q22_idle_rich_customers",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        (InvoiceView.m2(col("c_acctbal")) * 100).cast("long").as("bal_cents"))
+      val st = cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("sum_c"), count(lit(1)).as("n_c"))
+      cust
+        .join(broadcast(st), col("bal_cents") * col("n_c") > col("sum_c"))
+        .join(t(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("total_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""
+      |WITH cust AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(${InvoiceView.m2Sql("c_acctbal")} * 100 AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |st AS (
+      |  SELECT SUM(bal_cents) AS sum_c, COUNT(*) AS n_c
+      |  FROM cust WHERE bal_cents > 0)
+      |SELECT c_mktsegment, COUNT(*) AS numcust, SUM(bal_cents) AS total_cents
+      |FROM cust, st
+      |WHERE bal_cents * n_c > sum_c
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -1385,5 +1590,7 @@ object CoreQueries {
     p8Egress, e1EventWindow, e2Sessionize, w1TopEventsPerUser, w3Pivot,
     k1SaltedAgg, k2SaltedJoin, k3RangeJoin, q8Rollup,
     q7NationVolume, q9ProfitByNation, q10ReturnedItems, q12LateLines,
-    q14PromoShare, q18LargeOrders)
+    q14PromoShare, q18LargeOrders,
+    q15TopSupplier, q17SmallQty, q19DisjunctRevenue, q21LateSuppliers,
+    q22IdleRich)
 }

@@ -109,4 +109,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs.size == 1, s"expected one aggregate, got ${aggs.size}")
     assert(plan("q14_promo_share").contains("BroadcastHashJoin"))
   }
+
+  test("q15/q22: the scalar-aggregate side broadcasts (1-row comparisons)") {
+    for (q <- Seq("q15_top_supplier", "q22_idle_rich_customers")) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"$q scalar side must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("q17: per-part stats aggregate only the brand's lines, not raw lineitem") {
+    // the brand semi-join must sit BELOW the stats aggregate: at scale
+    // the aggregate sees one brand's lines (~1/25 of the fact), never
+    // the whole table
+    val df = SparkEntry.queries("q17_small_qty_revenue")(spark, sfDir)
+    val statsAgg = df.queryExecution.optimizedPlan.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.sql.contains("l_partkey")) => a
+    }
+    assert(statsAgg.isDefined, "per-part stats aggregate missing")
+    val joinsBelow = statsAgg.get.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joinsBelow.nonEmpty,
+      "brand filter join must reduce lineitem before the stats aggregate")
+  }
+
+  test("q19: disjunction implies pushable per-scan filters") {
+    val p = plan("q19_disjunct_revenue")
+    // CNF extraction must push the brand/size disjunction into the part
+    // scan and the quantity envelope into the lineitem scan
+    assert(p.contains("EqualTo(p_brand,Brand#12)"),
+      "brand disjunction must push to the part scan")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      "quantity envelope must push to the lineitem scan")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q21: both self-join legs are semi/anti on the order key, no cartesian") {
+    val p = plan("q21_late_suppliers")
+    assert(p.contains("LeftSemi"), "EXISTS leg must plan as a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS leg must plan as an anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d7: edge building stays key-joined — no cartesian in the closure loop") {
+    val p = plan("d7_dup_clusters")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
