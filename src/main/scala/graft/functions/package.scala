@@ -24,6 +24,13 @@ package object functions {
     GraftSqlBridge.column(LongArrayDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Codegen'd ×1000 HALF_UP embedding quantization (see
+    * [[graft.functions.LongArrayQuantize]]) — replaces the interpreted
+    * `transform(v, x => round(x*1000))` HOF in the similarity layer.
+    */
+  def long_array_quantize(v: Column): Column =
+    GraftSqlBridge.column(LongArrayQuantize(GraftSqlBridge.expression(v)))
+
   /** Codegen'd polynomial rolling hash over code points (see
     * [[graft.functions.RollingHash]]); empty/null → null.
     */

@@ -22,7 +22,22 @@ object Similarity {
     * from zero — engine-agreeing, see InvoiceView.m2's rationale).
     */
   def quantize(v: Column): Column =
-    transform(v, x => round(x.cast("double") * 1000, 0).cast("long"))
+    graft.functions.long_array_quantize(v)
+
+  /** Materialize a quantized `(id, qv, …)` projection — the ANN index
+    * build. Whole-stage codegen evaluates join-side projected columns
+    * lazily per OUTPUT row, so an un-materialized quantization re-runs
+    * once per CANDIDATE PAIR instead of once per vector (measured 10×
+    * on s3_ann_ivf at sf0.1: 2.3 s → 24 s without this barrier). One
+    * pass computes and stores the longs; every pair-scoring dot then
+    * reads stored arrays. Lazy (`eager = false`): the build lands in
+    * the first action, so bench numbers stay honest. At cluster scale
+    * this is the index materialization a production ANN system persists
+    * anyway — O(corpus × dims) longs, far smaller than the pair space
+    * it prevents recomputing over.
+    */
+  private def index(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
 
   /** Exact integer dot product of two quantized vectors — a codegen'd
     * native expression ([[graft.functions.LongArrayDot]]); the
@@ -91,8 +106,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       quantize(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantize(col(vecCol)).as("cv"))
+    val c = index(corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -112,8 +127,9 @@ object Similarity {
     */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int, bits: Int = 8): DataFrame = {
-    val q = df.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
-      .withColumn("bucket", signBucket(col("qv"), bits))
+    val q = index(df
+      .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("bucket", signBucket(col("qv"), bits)))
     val c = q.select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
       col("bucket"))
     val scored = q.join(c, "bucket")
@@ -250,13 +266,13 @@ object Similarity {
   def ivfTopKProbeWith(df: DataFrame, idCol: String, vecCol: String, k: Int,
       cents: Seq[(Int, Seq[Long])], nprobe: Int = 4,
       queryFilter: Column = lit(true)): DataFrame = {
-    val q = ivfAssignProbe(
+    val q = index(ivfAssignProbe(
       df.filter(queryFilter)
         .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
-      "query_id", "qv", cents, nprobe)
-    val c = ivfAssign(
+      "query_id", "qv", cents, nprobe))
+    val c = index(ivfAssign(
       df.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
-      "neighbor_id", "cv", cents)
+      "neighbor_id", "cv", cents))
     val scored = q.join(c, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -303,9 +319,9 @@ object Similarity {
     */
   def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String, k: Int,
       cents: Seq[(Int, Seq[Long])]): DataFrame = {
-    val q = ivfAssign(
+    val q = index(ivfAssign(
       df.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
-      "query_id", "qv", cents)
+      "query_id", "qv", cents))
     val c = q.select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
       col("centroid_id"))
     val scored = q.join(c, "centroid_id")
@@ -327,8 +343,9 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       thresholdPpm: Long, bits: Int = 8): DataFrame = {
-    val q = df.select(col(idCol).as("id1"), quantize(col(vecCol)).as("v1"))
-      .withColumn("bucket", signBucket(col("v1"), bits))
+    val q = index(df
+      .select(col(idCol).as("id1"), quantize(col(vecCol)).as("v1"))
+      .withColumn("bucket", signBucket(col("v1"), bits)))
     val c = q.select(col("id1").as("id2"), col("v1").as("v2"), col("bucket"))
     val dot = dotQ(col("v1"), col("v2"))
     // dot ≤ 64·525² < 2^25, so dot² < 2^50; scale by ppm² via decimal to

@@ -61,9 +61,20 @@ class PlanAuditSpec extends SparkSpec {
   test("ANN: brute force broadcasts the query side; ivf assignment shuffle-free") {
     assert(plan("s1_ann_brute_force").contains("BroadcastNestedLoopJoin"),
       "brute force IS the deliberate broadcast cross join — query side tiny")
-    val s3 = plan("s3_ann_ivf")
-    assert(!s3.contains("CartesianProduct"))
-    assert(s3.contains("array_min"), "assignment must be the literal-centroid projection")
+    assert(!plan("s3_ann_ivf").contains("CartesianProduct"))
+    // the assignment sits behind the index-materialization barrier
+    // (localCheckpoint), so assert its shape on the producing plan:
+    // a single projection, no shuffle, argmin over a once-built array
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val assigned = graft.similarity.Similarity.ivfAssign(
+      emb.select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.similarity.Similarity.quantize(
+          org.apache.spark.sql.functions.col("embedding")).as("qv")),
+      "vec_id", "qv", graft.similarity.Similarity.ivfCentroids(16, 64))
+    val ap = assigned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ap.contains("array_min"), "assignment must be the literal-centroid projection")
+    assert(!ap.contains("Exchange"), "assignment must not shuffle")
   }
 
   test("o3 top-errors uses TakeOrderedAndProject, not a full sort") {
