@@ -1577,6 +1577,142 @@ object CoreQueries {
       |ORDER BY c_mktsegment
       |""".stripMargin))
 
+  /** A6 — covariance/correlation from EXACT integer sums: one pass
+    * accumulates n/Σx/Σy/Σx²/Σy²/Σxy (decimal(38) where a long would
+    * overflow), and the final projection derives cov/corr in a handful
+    * of IEEE double ops on those exact values — both engines perform the
+    * identical op sequence, so the doubles are bit-equal. The portable
+    * alternative to float-accumulating `covar_pop/corr` (whose result
+    * depends on partition/merge order).
+    */
+  val a6Stats = QueryDef("a6_qty_price_stats",
+    (s, dir) => {
+      val d38 = DecimalType(38, 0)
+      val base = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        (InvoiceView.m2(col("l_extendedprice")) * 100).cast("long").as("y"))
+      val agg = base.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("y").cast(d38) * col("y")).as("syy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"))
+      val num = (col("n").cast(d38) * col("sxy") -
+        col("sx").cast(d38) * col("sy")).cast("double")
+      val dx = (col("n").cast(d38) * col("sxx") -
+        col("sx").cast(d38) * col("sx")).cast("double")
+      val dy = (col("n").cast(d38) * col("syy") -
+        col("sy").cast(d38) * col("sy")).cast("double")
+      agg.select(col("n"), col("sx").as("sum_x"), col("sy").as("sum_y"),
+        (num / (col("n") * col("n")).cast("double")).as("covariance"),
+        (num / (sqrt(dx) * sqrt(dy))).as("correlation"))
+    },
+    Some(s"""
+      |WITH b AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |         CAST(${InvoiceView.m2Sql("l_extendedprice")} * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |  FROM b)
+      |SELECT n, CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+      |       CAST(CAST(n AS DECIMAL(38,0)) * sxy
+      |            - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+      |         / CAST(n * n AS DOUBLE) AS covariance,
+      |       CAST(CAST(n AS DECIMAL(38,0)) * sxy
+      |            - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+      |         / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+      |                      - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+      |            * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy
+      |                        - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)))
+      |         AS correlation
+      |FROM a
+      |""".stripMargin))
+
+  /** U3 — INTERSECT (distinct set intersection): customers holding both
+    * an open ('O') and a finalized ('F') order. Catalyst rewrites
+    * IntersectDistinct into a left-semi join + distinct aggregate — no
+    * full materialization of either set.
+    */
+  val u3Intersect = QueryDef("u3_intersect",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(
+          o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey
+      |""".stripMargin))
+
+  /** Q16 shape (adapted to the lineitem-as-part-supplier relation):
+    * distinct supplier count per brand, excluding low-balance suppliers
+    * via NOT IN → anti join. The distinct aggregate plans two-phase
+    * (partial distinct per partition, then merge) — no row explosion.
+    */
+  val q16SupplierDist = QueryDef("q16_supplier_dist",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val lowBal = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 1000).select(col("s_suppkey"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(lowBal, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"))
+    },
+    Some("""
+      |SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN
+      |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      |GROUP BY p_brand
+      |ORDER BY supplier_cnt DESC, p_brand
+      |""".stripMargin))
+
+  /** E3 — per-user inter-arrival gap profile: lag over the event-time
+    * axis (micros — see e2 for why never nanos), then exact integer gap
+    * aggregates. The analytic-window + aggregate composition every
+    * behavioral pipeline needs; one shuffle on user_id serves both the
+    * window sort and the final groupBy.
+    */
+  val e3Interarrival = QueryDef("e3_interarrival",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts DIV 1000").as("tus"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      ev.withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sum_gap_us"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      |WITH g AS (
+      |  SELECT user_id,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_gaps,
+      |       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+      |       MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -1592,5 +1728,6 @@ object CoreQueries {
     q7NationVolume, q9ProfitByNation, q10ReturnedItems, q12LateLines,
     q14PromoShare, q18LargeOrders,
     q15TopSupplier, q17SmallQty, q19DisjunctRevenue, q21LateSuppliers,
-    q22IdleRich)
+    q22IdleRich,
+    a6Stats, u3Intersect, q16SupplierDist, e3Interarrival)
 }

@@ -228,22 +228,90 @@ object PipelineQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  /** T5 — token-length histogram per language (fixed 16-token buckets):
+    * the corpus length profile every training-data pipeline plots. One
+    * hash aggregate; buckets are exact integer floor-division.
+    */
+  val t5TokenHistogram = QueryDef("t5_token_histogram",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"),
+          (TextAnalysis.tokenCount(col("text")).cast("long") / 16)
+            .cast("long").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+    Some(s"""
+      |WITH $tokSql
+      |SELECT lang, CAST(len(tk) // 16 AS BIGINT) AS bucket,
+      |       COUNT(*) AS n_docs
+      |FROM toks
+      |GROUP BY lang, bucket
+      |ORDER BY lang, bucket
+      |""".stripMargin))
+
+  /** T6 — exact interpolated token-length quantiles per language:
+    * `percentile` (exact, sort-based) rather than `approx_percentile`
+    * (whose sketch is merge-order-dependent — nondeterministic across
+    * partitionings). DuckDB's `quantile_cont` implements the same
+    * linear-interpolation definition, and the interpolated halves of
+    * small integers are exact doubles — bit-identical on both engines.
+    */
+  val t6LengthQuantiles = QueryDef("t6_length_quantiles",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D, 0.9D))")
+          .as("q_arr"))
+        .select(col("lang"),
+          element_at(col("q_arr"), 1).cast("double").as("p25"),
+          element_at(col("q_arr"), 2).cast("double").as("p50"),
+          element_at(col("q_arr"), 3).cast("double").as("p75"),
+          element_at(col("q_arr"), 4).cast("double").as("p90"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH $tokSql
+      |SELECT lang,
+      |       CAST(quantile_cont(len(tk), 0.25) AS DOUBLE) AS p25,
+      |       CAST(quantile_cont(len(tk), 0.50) AS DOUBLE) AS p50,
+      |       CAST(quantile_cont(len(tk), 0.75) AS DOUBLE) AS p75,
+      |       CAST(quantile_cont(len(tk), 0.90) AS DOUBLE) AS p90
+      |FROM toks
+      |GROUP BY lang
+      |ORDER BY lang
+      |""".stripMargin))
+
   /** D7 — duplicate clusters: transitive closure of the n-gram Jaccard
     * pair graph ([[graft.dedup.DupClusters.connectedComponents]] — min-
     * label propagation + pointer jumping). The oracle computes the same
     * closure with a recursive CTE: every node labeled with the minimum
     * id reachable through the symmetric edge list.
     */
-  val d7DupClusters = QueryDef("d7_dup_clusters",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
+  /** Session-memoized cluster membership of the Jaccard pair graph: d7
+    * reports it and d8 elects keepers from it — the closure (iterative,
+    * already checkpointed per round) runs once per (session, table), not
+    * once per query. The memo holds a checkpointed frame of
+    * O(paired docs) rows — index-sized, not corpus-sized.
+    */
+  private val ccMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def dupMembers(s: SparkSession, dir: String): DataFrame =
+    ccMemo.getOrElseUpdate(System.identityHashCode(s) + "|" + dir, {
       val pairs = Dedup
-        .jaccardPairs(docs, "doc_id", "text", 3, Seq("lang", "source"))
+        .jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3,
+          Seq("lang", "source"))
         .select(col("id1"), col("id2"))
       graft.dedup.DupClusters.connectedComponents(pairs, "id1", "id2")
-        .select(col("id").as("doc_id"), col("cluster_id"))
-        .orderBy(col("doc_id"))
-    },
+    })
+
+  val d7DupClusters = QueryDef("d7_dup_clusters",
+    (s, dir) => dupMembers(s, dir)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id")),
     Some(s"""
       |WITH RECURSIVE $tokSql,
       |$shSql,
@@ -272,17 +340,10 @@ object PipelineQueries {
     * window sort); the oracle mirrors with a deterministic row_number.
     */
   val d8CanonicalDocs = QueryDef("d8_canonical_docs",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup
-        .jaccardPairs(docs, "doc_id", "text", 3, Seq("lang", "source"))
-        .select(col("id1"), col("id2"))
-      val members =
-        graft.dedup.DupClusters.connectedComponents(pairs, "id1", "id2")
-      graft.dedup.DupClusters
-        .canonicalPerCluster(members, docs, "doc_id", "text")
-        .orderBy(col("cluster_id"))
-    },
+    (s, dir) => graft.dedup.DupClusters
+      .canonicalPerCluster(dupMembers(s, dir), t(s, dir, "documents"),
+        "doc_id", "text")
+      .orderBy(col("cluster_id")),
     Some(s"""
       |WITH RECURSIVE $tokSql,
       |$shSql,
@@ -735,6 +796,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
+    t5TokenHistogram, t6LengthQuantiles,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
