@@ -1713,6 +1713,37 @@ object CoreQueries {
       |ORDER BY user_id
       |""".stripMargin))
 
+  /** E4 — click→purchase attribution (the batch form of the watermarked
+    * stream-stream join [[graft.streaming.EventWindows.attributionJoin]];
+    * the streamed≡batch agreement spec lives in EventWindowsSpec). The
+    * time-range predicate rides the user_id equi-join — one shuffle, no
+    * range explosion. Output times on the micros axis (see e2).
+    */
+  val e4Attribution = QueryDef("e4_attribution",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventWindows.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("click_time")).as("click_us"),
+          unix_micros(col("purchase_time")).as("purchase_us"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    Some("""
+      |WITH c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id AS user_id, click_id, purchase_id,
+      |       cus AS click_us, pus AS purchase_us
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND pus >= cus AND pus <= cus + 1800000000
+      |ORDER BY c.user_id, click_id, purchase_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -1729,5 +1760,5 @@ object CoreQueries {
     q14PromoShare, q18LargeOrders,
     q15TopSupplier, q17SmallQty, q19DisjunctRevenue, q21LateSuppliers,
     q22IdleRich,
-    a6Stats, u3Intersect, q16SupplierDist, e3Interarrival)
+    a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution)
 }

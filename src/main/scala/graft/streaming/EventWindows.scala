@@ -42,6 +42,39 @@ object EventWindows {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Watermarked stream-stream inner join — click→purchase attribution
+    * within a bounded window: each purchase matches the same user's
+    * clicks from the preceding `attribution` interval. The time-range
+    * predicate plus BOTH-side watermarks is what lets Structured
+    * Streaming expire join state: a buffered click can only match
+    * purchases inside `[click_time, click_time + attribution]`, so once
+    * the purchase watermark passes that bound the click is dropped from
+    * the state store. Without the range condition (or with only one
+    * watermark) both sides buffer forever — the unbounded-state trap of
+    * stream-stream joins at 100 TB.
+    *
+    * Works identically as a batch join (the agreement spec runs both).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      attribution: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = withEventTime(clicks)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermark)
+    val p = withEventTime(purchases)
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", watermark)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr(s"INTERVAL $attribution"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_time"), col("purchase_time"))
+  }
+
   /** Batch sessionization — the gaps-and-islands equivalent of
     * [[sessionize]]: split each user's event history into sessions at any
     * inactivity longer than `gap` (same unit as `tsCol`). A new-session

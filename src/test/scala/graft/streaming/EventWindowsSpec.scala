@@ -196,4 +196,36 @@ class EventWindowsSpec extends SparkSpec {
     // cohort-prefixed types prove the dim columns flowed through the stream
     assert(got.exists(_._2.startsWith("0:")) && got.exists(_._2.startsWith("2:")))
   }
+
+  test("stream-stream attribution join matches the batch join") {
+    val base = Files.createTempDirectory("graft-ssj")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val clicks = events.filter(col("event_type") === "click")
+    val purchases = events.filter(col("event_type") === "purchase")
+    clicks.write.parquet(s"$base/clicks/p1")
+    purchases.write.parquet(s"$base/purch/p1")
+
+    def cStream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/clicks/*")
+    def pStream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/purch/*")
+
+    val q = EventWindows.attributionJoin(cStream, pStream)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt").start()
+    q.awaitTermination()
+
+    val got = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = EventWindows.attributionJoin(clicks, purchases).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // inner stream-stream join with AvailableNow emits every match whose
+    // state survived to the batch it arrived in; end-of-stream flush
+    // emits the rest — the full inner join must stream out
+    assert(want.nonEmpty, "fixture must produce at least one attribution")
+    assert(got == want,
+      s"streamed join must equal batch join (missing=${(want -- got).size}, extra=${(got -- want).size})")
+  }
 }
