@@ -83,6 +83,64 @@ object Merge {
       inserted = merged.filter(col("status") === RecordStatus.New))
   }
 
+  final case class Scd2Result(result: DataFrame, closed: DataFrame,
+      opened: DataFrame)
+
+  /** J7 — SCD2 (type-2 slowly-changing) upsert: the history-PRESERVING
+    * extension of [[fullUpsert]]. Where J3 overwrites a changed row, J7
+    * closes the current version (`valid_to = batchTs`) and opens a new
+    * one (`valid_from = batchTs`, `valid_to` open/null) — the standard
+    * warehouse pattern when an audit of past states must stay queryable.
+    * The reference keeps its entity-level change machinery
+    * (entities.py:101-111 `has_changes_vs`) but discards old values on
+    * update in the alternate mode; SCD2 is what that machinery supports
+    * once history retention is required.
+    *
+    * Store schema = data columns + `validFrom`/`validTo` (longs on the
+    * caller's time axis; open version = null `validTo`). One full-outer
+    * join on the PK against the CURRENT slice; closed history rows pass
+    * through untouched. Re-applying the same batch is a no-op (all
+    * matches compare unchanged) — idempotence under redelivery, spec'd.
+    */
+  def scd2Upsert(store: DataFrame, incoming: DataFrame, pk: Seq[String],
+      changeFields: Seq[String], batchTs: Long,
+      validFrom: String = "valid_from", validTo: String = "valid_to",
+      ordinalCol: Option[String] = Some("row_index")): Scd2Result = {
+    val dataCols = store.columns
+      .filterNot(c => c == validFrom || c == validTo).toSeq
+    val history = store.filter(col(validTo).isNotNull)
+    val current = store.filter(col(validTo).isNull)
+    val in = dedupFirstWins(incoming, pk, ordinalCol)
+      .select(dataCols.map(col): _*)
+    val ex = current.select(dataCols.map(col) :+ col(validFrom): _*)
+
+    val joined = ex.as("e").join(in.as("i"),
+      pk.map(k => col(s"e.$k") <=> col(s"i.$k")).reduce(_ && _), "full_outer")
+    val ePresent = pk.map(k => col(s"e.$k").isNotNull).reduce(_ && _)
+    val iPresent = pk.map(k => col(s"i.$k").isNotNull).reduce(_ && _)
+    val changed = changeFields
+      .map(f => !(col(s"e.$f") <=> col(s"i.$f"))).reduce(_ || _)
+
+    val closed = joined.filter(ePresent && iPresent && changed)
+      .select(dataCols.map(c => col(s"e.$c").as(c)) :+
+        col(s"e.$validFrom").as(validFrom) :+
+        lit(batchTs).as(validTo): _*)
+    val opened = joined.filter(iPresent && (!ePresent || changed))
+      .select(dataCols.map(c => col(s"i.$c").as(c)) :+
+        lit(batchTs).as(validFrom) :+
+        lit(null).cast("long").as(validTo): _*)
+    val kept = joined.filter(ePresent && (!iPresent || !changed))
+      .select(dataCols.map(c => col(s"e.$c").as(c)) :+
+        col(s"e.$validFrom").as(validFrom) :+
+        lit(null).cast("long").as(validTo): _*)
+
+    val cols = dataCols :+ validFrom :+ validTo
+    Scd2Result(
+      result = history.select(cols.map(col): _*)
+        .unionByName(kept).unionByName(closed).unionByName(opened),
+      closed = closed, opened = opened)
+  }
+
   /** J2 — action-attribution join for the audit trail: label each incoming
     * row by what the merge did to its PK (consolidate_invoices.py:517-548).
     * Missing status (PK vanished, cannot happen post-reconcile) → INSERT,

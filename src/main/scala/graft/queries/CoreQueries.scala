@@ -1713,6 +1713,58 @@ object CoreQueries {
       |ORDER BY user_id
       |""".stripMargin))
 
+  /** J7 — SCD2 history-preserving upsert ([[Merge.scd2Upsert]]): the
+    * type-2 alternative to j3's overwrite — a changed PK closes its
+    * current version at the batch timestamp and opens a new one; history
+    * rows pass through untouched. Open versions render `valid_to = -1`
+    * (a NULL bigint renders engine-differently — the same sentinel rule
+    * as the as-of join).
+    */
+  val j7Scd2 = QueryDef("j7_scd2_history",
+    (s, dir) => {
+      val store = existingInv(s, dir)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val m = Merge.scd2Upsert(store, incomingUpsert(s, dir),
+        InvoiceRecord.pk, Seq("carrier_name", "total_amount"),
+        batchTs = 1000L)
+      m.result.select(col("invoice_number"), col("reference_number"),
+          col("carrier_name"), col("total_amount"), col("valid_from"),
+          coalesce(col("valid_to"), lit(-1L)).as("valid_to"))
+        .orderBy(col("invoice_number"), col("reference_number"),
+          col("valid_from"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql,
+      |$incomingUpsertSql,
+      |j AS (
+      |  SELECT e.invoice_number AS einv, e.reference_number AS eref,
+      |         e.carrier_name AS ec, e.total_amount AS et,
+      |         i.invoice_number AS iinv, i.reference_number AS iref,
+      |         i.carrier_name AS ic, i.total_amount AS it,
+      |         (e.carrier_name IS DISTINCT FROM i.carrier_name OR
+      |          e.total_amount IS DISTINCT FROM i.total_amount) AS chg
+      |  FROM existing e FULL OUTER JOIN incoming i
+      |    ON e.invoice_number = i.invoice_number
+      |   AND e.reference_number = i.reference_number)
+      |SELECT * FROM (
+      |  SELECT einv AS invoice_number, eref AS reference_number,
+      |         ec AS carrier_name, CAST(et AS DOUBLE) AS total_amount,
+      |         CAST(0 AS BIGINT) AS valid_from, CAST(-1 AS BIGINT) AS valid_to
+      |  FROM j WHERE einv IS NOT NULL AND (iinv IS NULL OR NOT chg)
+      |  UNION ALL
+      |  SELECT einv, eref, ec, CAST(et AS DOUBLE),
+      |         CAST(0 AS BIGINT), CAST(1000 AS BIGINT)
+      |  FROM j WHERE einv IS NOT NULL AND iinv IS NOT NULL AND chg
+      |  UNION ALL
+      |  SELECT iinv, iref, ic, CAST(it AS DOUBLE),
+      |         CAST(1000 AS BIGINT), CAST(-1 AS BIGINT)
+      |  FROM j WHERE iinv IS NOT NULL AND (einv IS NULL OR chg))
+      |ORDER BY invoice_number, reference_number, valid_from
+      |""".stripMargin))
+
   /** E4 — click→purchase attribution (the batch form of the watermarked
     * stream-stream join [[graft.streaming.EventWindows.attributionJoin]];
     * the streamed≡batch agreement spec lives in EventWindowsSpec). The
@@ -1751,7 +1803,7 @@ object CoreQueries {
     p6ValidRows, p6ErrorChannel,
     f3ParseMoney, f4ParseDate, f6StripPrefix, f7TotalOverride, f9InvoiceInt,
     j1InsertOnly, j1InsertedSlice, j3FullUpsert, j2Attribution, j4Idempotence,
-    j6AsofJoin,
+    j6AsofJoin, j7Scd2,
     a1DecimalSum, a2Reconcile, a3ActionCounters,
     o3TopErrors, u1Union, u2Except,
     p8Egress, e1EventWindow, e2Sessionize, w1TopEventsPerUser, w3Pivot,

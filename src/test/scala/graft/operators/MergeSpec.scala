@@ -87,4 +87,50 @@ class MergeSpec extends SparkSpec {
     assert(Reconcile.rollUp(3, 1) == "PARTIAL")
     assert(Reconcile.rollUp(3, 3) == "ERROR")
   }
+
+  private def scd2Store(rows: (String, String, String, Long, Option[Long])*) =
+    rows.map { case (i, r, c, f, t) => (i, r, c, f, t.map(Long.box).orNull) }
+      .toDF("invoice_number", "reference_number", "carrier_name",
+        "valid_from", "valid_to")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+
+  test("J7 SCD2: change closes the current version and opens a new one") {
+    val store = scd2Store(
+      ("1", "A", "carrier-v1", 0L, None),        // will change
+      ("2", "B", "steady", 0L, None),            // unchanged redelivery
+      ("3", "C", "store-only", 0L, None),        // absent from batch
+      ("1", "A", "carrier-v0", -5L, Some(0L)))   // closed history row
+    val incoming = inv(
+      ("1", "A", "carrier-v2", 1),
+      ("2", "B", "steady", 2),
+      ("4", "D", "brand-new", 3))
+    val m = Merge.scd2Upsert(store, incoming, pk, Seq("carrier_name"), 100L)
+
+    val closed = m.closed.collect().map(r =>
+      (r.getString(0), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(closed.toSeq == Seq(("1", "carrier-v1", 0L, 100L)))
+    val opened = m.opened.orderBy("invoice_number").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+    assert(opened.toSeq == Seq(("1", "carrier-v2", 100L), ("4", "brand-new", 100L)))
+
+    val all = m.result.orderBy("invoice_number", "valid_from").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(all.toSeq == Seq(
+      ("1", "carrier-v0", -5L, Some(0L)),   // history untouched
+      ("1", "carrier-v1", 0L, Some(100L)),  // closed at the batch
+      ("1", "carrier-v2", 100L, None),      // new current
+      ("2", "steady", 0L, None),            // unchanged stays current
+      ("3", "store-only", 0L, None),        // absent PK stays current
+      ("4", "brand-new", 100L, None)))      // new PK opens
+  }
+
+  test("J7 SCD2: redelivering the same batch is a no-op (idempotent)") {
+    val store = scd2Store(("1", "A", "v1", 0L, None))
+    val batch = inv(("1", "A", "v2", 1), ("2", "B", "n", 2))
+    val once = Merge.scd2Upsert(store, batch, pk, Seq("carrier_name"), 10L)
+    val twice = Merge.scd2Upsert(once.result, batch, pk, Seq("carrier_name"), 20L)
+    assert(twice.closed.isEmpty && twice.opened.isEmpty)
+    assert(twice.result.count() == once.result.count())
+  }
 }
