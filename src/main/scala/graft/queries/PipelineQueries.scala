@@ -285,6 +285,40 @@ object PipelineQueries {
       |ORDER BY lang
       |""".stripMargin))
 
+  /** T7 — per-group KMV distinct estimate via the typed
+    * [[graft.sketch.Sketch.KmvAggregator]] UDAF: the group-by form of
+    * t4. Map-side partial aggregation ships ≤ k longs per (partition,
+    * group); the oracle recomputes the identical k-minima per group
+    * with a window — the estimator is a pure function of the data.
+    */
+  val t7KmvByGroup = QueryDef("t7_kmv_by_group",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sketch.Sketch.kmvEstimateByGroup(
+          docs.select(col("lang"),
+            graft.sketch.Sketch.hash40(col("text")).as("h")),
+          Seq("lang"), "h", 64)
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH h AS (
+      |  SELECT DISTINCT lang,
+      |         CAST('0x' || substr(md5(text), 1, 10) AS BIGINT) AS hh
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, hh,
+      |         row_number() OVER (PARTITION BY lang ORDER BY hh) AS rn
+      |  FROM h),
+      |topk AS (SELECT lang, hh, rn FROM r WHERE rn <= 64)
+      |SELECT lang,
+      |       CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+      |            ELSE ${63L * graft.sketch.Sketch.HashSpace} // MAX(hh) END
+      |       AS BIGINT) AS distinct_estimate,
+      |       COUNT(*) AS sketch_size
+      |FROM topk GROUP BY lang
+      |ORDER BY lang
+      |""".stripMargin))
+
   /** D7 — duplicate clusters: transitive closure of the n-gram Jaccard
     * pair graph ([[graft.dedup.DupClusters.connectedComponents]] — min-
     * label propagation + pointer jumping). The oracle computes the same
@@ -796,7 +830,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
-    t5TokenHistogram, t6LengthQuantiles,
+    t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,

@@ -52,4 +52,48 @@ object Sketch {
           .cast("long").as("distinct_estimate"),
         col("n").cast("long").as("sketch_size"))
   }
+
+  /** Typed `Aggregator` building a KMV sketch PER GROUP: the buffer is
+    * the ascending k-minima of the distinct hashes seen so far, so
+    * partial (map-side) aggregation and shuffle-merge both apply — each
+    * partition ships at most k longs per group, never the distinct set.
+    * The per-group form approx_count_distinct can't give us: engine-
+    * portable (pure function of the data) and therefore oracle-checkable.
+    */
+  final case class KmvAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.empty
+    override def reduce(b: Array[Long], h: Long): Array[Long] =
+      if (b.length == k && h >= b(k - 1)) b // above the k-th min: no-op
+      else if (java.util.Arrays.binarySearch(b, h) >= 0) b // dup hash
+      else {
+        val nb = (b :+ h).sorted
+        if (nb.length > k) nb.take(k) else nb
+      }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      (b1 ++ b2).distinct.sorted.take(k)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-group distinct-count estimates from [[KmvAggregator]]: one hash
+    * aggregate keyed on `groupCols`, the same Bar-Yossef estimator per
+    * group. `hashCol` must already be a [[hash40]] column.
+    */
+  def kmvEstimateByGroup(df: DataFrame, groupCols: Seq[String],
+      hashCol: String, k: Int): DataFrame = {
+    val sketch = udaf(KmvAggregator(k))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sketch(col(hashCol)).as("sk"))
+      .select(groupCols.map(col) ++ Seq(
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(
+            s"${(k - 1).toLong * HashSpace}L DIV element_at(sk, $k)"))
+          .as("distinct_estimate"),
+        size(col("sk")).cast("long").as("sketch_size")): _*)
+  }
 }

@@ -32,4 +32,31 @@ class SketchSpec extends SparkSpec {
     val direct = Sketch.kmvSketch(a.unionAll(b), "s", k).as[Long].collect().toSeq
     assert(merged == direct)
   }
+
+  test("per-group KMV UDAF: one group agrees with the global sketch path") {
+    val df = spark.range(0, 5000)
+      .select(lit("g").as("g"), concat(lit("v"), col("id")).as("s"))
+    val grouped = Sketch.kmvEstimateByGroup(
+      df.select(col("g"), Sketch.hash40(col("s")).as("h")), Seq("g"), "h", 64)
+      .collect().head
+    val global = Sketch.kmvEstimate(df, "s", 64).collect().head
+    assert(grouped.getLong(1) == global.getLong(0),
+      "single-group UDAF estimate must equal the global KMV estimate")
+    assert(grouped.getLong(2) == global.getLong(1))
+  }
+
+  test("per-group KMV UDAF: partition-independent; exact below k per group") {
+    val df = spark.range(0, 1000).select(
+      (col("id") % 3).cast("string").as("g"),
+      concat(lit("v"), (col("id") % 40).cast("string"),
+        lit("-"), (col("id") % 3).cast("string")).as("s"))
+    def run(d: org.apache.spark.sql.DataFrame) = Sketch.kmvEstimateByGroup(
+      d.select(col("g"), Sketch.hash40(col("s")).as("h")), Seq("g"), "h", 64)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(df)
+    // 40 distinct values per group, below k=64 → exact
+    assert(got.forall { case (_, est, sz) => est == 40 && sz == 40 })
+    assert(run(df.repartition(17)) == got, "UDAF must be partition-independent")
+  }
 }
