@@ -828,11 +828,43 @@ object PipelineQueries {
       |ORDER BY query_id, rank
       |""".stripMargin))
 
+  /** M3 — multimodal resize → frame-sample composition: binary media
+    * (md5-byte blobs) resized to 8×8 (64 bytes, stub codec cycles the
+    * source pattern) then exploded to 4 frames per item — all inside
+    * `mapPartitions`, no shuffle. The oracle re-derives each frame's
+    * length and first byte from the md5 hex arithmetic, proving the
+    * Dataset plumbing (schema, batching, flatMap explosion) end to end.
+    */
+  val m3MediaFrames = QueryDef("m3_media_frames",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 25 === 0)
+      val media = graft.multimodal.Multimodal.synthesizeFromDocs(docs)
+      val resized = graft.multimodal.Multimodal.resize(media, 8, 8)
+      graft.multimodal.Multimodal.sampleFrames(resized, 4).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).as("frame_len"),
+          conv(hex(substring(col("frame"), 1, 1)), 16, 10)
+            .cast("int").as("first_byte"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some("""
+      |WITH m AS (
+      |  SELECT doc_id AS media_id, md5(text) AS h
+      |  FROM documents WHERE doc_id % 25 = 0),
+      |f AS (SELECT unnest(range(4)) AS fi)
+      |SELECT media_id, CAST(fi AS INT) AS frame_idx,
+      |       CAST(64 - fi AS INT) AS frame_len,
+      |       CAST('0x' || substr(h, CAST(fi AS INT) * 2 + 1, 2)
+      |            AS INT) AS first_byte
+      |FROM m CROSS JOIN f
+      |ORDER BY media_id, frame_idx
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
-    m1MediaMeta, m2MediaAnn)
+    m1MediaMeta, m2MediaAnn, m3MediaFrames)
 }
