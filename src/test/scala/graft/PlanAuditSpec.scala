@@ -169,4 +169,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("declarative joins are runtime-bloom-filter eligible at scale") {
+    // at 100 TB a selective dim filter should prune the fact scan via an
+    // injected bloom filter (spark.sql.optimizer.runtime.bloomFilter.*,
+    // on by default); the size thresholds don't trip at test scale, so
+    // lower them and assert Catalyst injects might_contain into OUR plan
+    // shape — proof the plans stay declarative enough to qualify
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus")).count()
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter must inject on the fact side:\n${p.take(1200)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
