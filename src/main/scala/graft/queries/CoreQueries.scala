@@ -1765,6 +1765,41 @@ object CoreQueries {
       |ORDER BY invoice_number, reference_number, valid_from
       |""".stripMargin))
 
+  /** Q20 shape — nested-aggregate semi-join: suppliers qualify through
+    * an IN-subquery whose body is itself a HAVING-filtered aggregate
+    * (volume of "small *" parts shipped). The aggregate reduces lineitem
+    * to supplier grain BEFORE the semi-join probes it, and the `LIKE
+    * 'small%'` prefix pushes to the part scan as StringStartsWith.
+    */
+  val q20VolumeSuppliers = QueryDef("q20_volume_suppliers",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_name").startsWith("small"))
+      val sup = t(s, dir, "supplier")
+      val eligible = li
+        .join(broadcast(p.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("small_qty"))
+        .filter(col("small_qty") > 300)
+      sup.join(eligible, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"),
+          InvoiceView.m2(col("s_acctbal")).as("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some(s"""
+      |SELECT s_suppkey, s_name,
+      |       CAST(${InvoiceView.m2Sql("s_acctbal")} AS DOUBLE) AS s_acctbal
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%'
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+      |ORDER BY s_suppkey
+      |""".stripMargin))
+
   /** E4 — click→purchase attribution (the batch form of the watermarked
     * stream-stream join [[graft.streaming.EventWindows.attributionJoin]];
     * the streamed≡batch agreement spec lives in EventWindowsSpec). The
@@ -1812,5 +1847,6 @@ object CoreQueries {
     q14PromoShare, q18LargeOrders,
     q15TopSupplier, q17SmallQty, q19DisjunctRevenue, q21LateSuppliers,
     q22IdleRich,
-    a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution)
+    a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution,
+    q20VolumeSuppliers)
 }
