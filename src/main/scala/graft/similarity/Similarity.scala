@@ -336,6 +336,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "centroid_id", "cosine")
   }
 
+  /** Persist the IVF index: the quantized corpus written to parquet
+    * PARTITIONED BY its coarse list (`centroid_id=<c>/` directories).
+    * This is the durable form of the [[index]] barrier — at 100 TB the
+    * assigned corpus is built once and every probe afterward reads only
+    * its lists' partitions (directory-level pruning, no full scan, no
+    * assignment recompute). Pair with [[ivfTopKFromIndex]].
+    */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, cents: Seq[(Int, Seq[Long])]): Unit =
+    ivfAssign(
+      df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv")),
+      "vec_id", "qv", cents)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** Multi-probe top-k against a persisted index: queries assign to
+    * their `nprobe` nearest lists and the corpus side is the INDEX SCAN
+    * — the `centroid_id` join key is a partition column, so after the
+    * probe join only the probed directories are read (plan shows
+    * PartitionFilters once the probe set is a literal list; with a
+    * dynamic probe side, runtime DPP/bloom filtering applies). Results
+    * are identical to [[ivfTopKProbeWith]] on the same centroids.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String, indexPath: String,
+      k: Int, cents: Seq[(Int, Seq[Long])], nprobe: Int = 4): DataFrame = {
+    val q = index(ivfAssignProbe(
+      queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
+      "query_id", "qv", cents, nprobe))
+    val c = spark.read.parquet(indexPath)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("cv"),
+        col("centroid_id"))
+    val scored = q.join(c, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFromQ(dotQ(col("qv"), col("cv")),
+          normSqQ(col("qv")), normSqQ(col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs: id1 < id2 with cosine above
     * `thresholdPpm/1e6`, decided in EXACT integer arithmetic:
     * `dot > 0 && dot^2 * 10^12 >= t^2 * |a|^2 * |b|^2` — no float boundary.

@@ -4,6 +4,47 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** Persisted IVF index: layout, pruning, and agreement with the
+  * in-memory probe path.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("persisted index: partition layout prunes; results equal in-memory probe") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfidx")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(16, 64)
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", s"$base/idx", cents)
+
+    // layout: one directory per non-empty coarse list
+    val dirs = new java.io.File(s"$base/idx").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf(
+      (0 until 16).map(c => s"centroid_id=$c").toSet))
+
+    // pruning: a list-filtered scan carries a PartitionFilters entry on
+    // centroid_id — the directory-level skip that makes a probe touch
+    // only its lists at 100 TB
+    val pruned = spark.read.parquet(s"$base/idx")
+      .filter(col("centroid_id") === 3)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("centroid_id"), plan.take(800))
+
+    // agreement: index-backed probe == in-memory probe on the same centroids
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fromIndex = key(Similarity.ivfTopKFromIndex(
+      spark, queries, "vec_id", "embedding", s"$base/idx", 3, cents))
+    val inMemory = key(Similarity.ivfTopKProbeWith(
+      emb, "vec_id", "embedding", 3, cents,
+      queryFilter = col("vec_id") % 25 === 0))
+    assert(fromIndex == inMemory)
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
