@@ -101,4 +101,57 @@ object ConsolidationStream {
     if (Files.exists(Paths.get(path))) spark.read.parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], InvoiceRecord.schema)
+
+  /** SCD2 streaming host: each micro-batch applies the history-preserving
+    * upsert ([[Merge.scd2Upsert]], `batchTs = batchId`) to the store —
+    * the streaming form of a warehouse dimension load. The store is
+    * OVERWRITTEN each batch (versions change in place), so the result
+    * materializes via `localCheckpoint()` BEFORE the write — the
+    * overwrite-while-reading hazard the batch pipeline documents.
+    * Checkpoint + AvailableNow give exactly-once file handling across
+    * restarts, and J7's redelivery-no-op semantics make even a replayed
+    * batch harmless.
+    */
+  def runScd2AvailableNow(spark: SparkSession, cfg: Config,
+      changeFields: Seq[String]): Long = {
+    var batches = 0L
+    val source = spark.readStream
+      .schema(stagedSchema)
+      .option("header", "true")
+      .csv(cfg.landingDir)
+    val query = source.writeStream
+      .queryName("scd2-consolidation")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batches += 1
+          val s = batch.sparkSession
+          val pinned = batch
+            .withColumn("row_index", monotonically_increasing_id())
+            .localCheckpoint()
+          val valid = Validate.split(pinned).valid
+          val store = readScd2Store(s, cfg.consolidatedPath, valid.schema)
+          val m = Merge.scd2Upsert(store, valid, InvoiceRecord.pk,
+            changeFields, batchTs = batchId + 1)
+          val out = m.result.localCheckpoint() // store is overwritten next
+          out.write.mode(SaveMode.Overwrite).parquet(cfg.consolidatedPath)
+        }
+      }
+      .start()
+    query.awaitTermination()
+    batches
+  }
+
+  private def readScd2Store(spark: SparkSession, path: String,
+      dataSchema: StructType): DataFrame =
+    if (Files.exists(Paths.get(path))) spark.read.parquet(path)
+    else {
+      val schema = StructType(dataSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("valid_from",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("valid_to",
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
 }

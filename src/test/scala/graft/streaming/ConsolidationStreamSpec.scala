@@ -63,4 +63,38 @@ class ConsolidationStreamSpec extends SparkSpec {
     assert(errs.count() == 1)
     assert(errs.head().getAs[String]("error").contains("invoice_number"))
   }
+
+  test("SCD2 streaming host: changes version the store; restart is a no-op") {
+    val base = Files.createTempDirectory("graft-scd2-stream")
+    val c = cfg(base)
+    writeStaged(c.landingDir, "b1.csv", Seq(
+      ("F1", "R1", "Carrier A", "2026-01-15", "100", "0", "100"),
+      ("F2", "R2", "Carrier B", "2026-01-16", "200", "0", "200")))
+    ConsolidationStream.runScd2AvailableNow(spark, c, Seq("carrier_name"))
+
+    val s1 = spark.read.parquet(c.consolidatedPath)
+    assert(s1.count() == 2 && s1.filter(col("valid_to").isNotNull).isEmpty)
+
+    // F1 changes carrier, F3 is new, F2 redelivered unchanged
+    writeStaged(c.landingDir, "b2.csv", Seq(
+      ("F1", "R1", "Carrier A2", "2026-01-15", "100", "0", "100"),
+      ("F2", "R2", "Carrier B", "2026-01-16", "200", "0", "200"),
+      ("F3", "R3", "Carrier C", "2026-01-17", "300", "0", "300")))
+    ConsolidationStream.runScd2AvailableNow(spark, c, Seq("carrier_name"))
+
+    val s2 = spark.read.parquet(c.consolidatedPath)
+    assert(s2.count() == 4, "F1 v1+v2, F2, F3")
+    val f1 = s2.filter(col("invoice_number") === "F1")
+      .orderBy("valid_from").collect()
+      .map(r => (r.getAs[String]("carrier_name"),
+        Option(r.getAs[java.lang.Long]("valid_to")).isDefined))
+    assert(f1.toSeq == Seq(("Carrier A", true), ("Carrier A2", false)),
+      "old version closed, new version open")
+    assert(s2.filter(col("invoice_number") === "F2").count() == 1,
+      "unchanged redelivery must not version")
+
+    // restart with no new files: checkpoint skips, store byte-stable
+    ConsolidationStream.runScd2AvailableNow(spark, c, Seq("carrier_name"))
+    assert(spark.read.parquet(c.consolidatedPath).count() == 4)
+  }
 }
