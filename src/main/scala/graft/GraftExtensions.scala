@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{LongArrayDot, ParseClpMoney, RollingHash}
+import graft.functions.{LongArrayDot, LongArrayQuantize, ParseClpMoney, RollingHash}
 
 /** Session extensions exposing the engine's functions to SQL users:
   * `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "long_array_dot takes exactly two arguments")
         LongArrayDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("long_array_quantize"),
+      new ExpressionInfo(classOf[LongArrayQuantize].getName, "long_array_quantize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "long_array_quantize takes exactly one argument")
+        LongArrayQuantize(children.head)
       }))
   }
 }
@@ -131,6 +138,8 @@ object GraftExtensions {
       ch => RollingHash(ch.head))
     GraftSqlBridge.registerFunction(spark, "long_array_dot",
       ch => LongArrayDot(ch.head, ch(1)))
+    GraftSqlBridge.registerFunction(spark, "long_array_quantize",
+      ch => LongArrayQuantize(ch.head))
     sqlFunctions.foreach(spark.sql(_))
   }
 }

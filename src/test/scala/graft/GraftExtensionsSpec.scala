@@ -45,6 +45,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getAs[Long]("s60") != 0L)
     assert(row.getSeq[Long](row.fieldIndex("qv")) == Seq(500L, -250L))
     assert(row.getAs[Double]("cos") == 1.0)
+    // the NATIVE quantize expression agrees with the SQL-level form
+    val nq = spark.sql(
+      "SELECT long_array_quantize(array(0.5D, -0.25D, 0.0015D)) AS v")
+      .collect().head.getSeq[Long](0)
+    assert(nq == Seq(500L, -250L, 2L), s"native quantize: $nq")
     // SQL-function results agree with the Scala API on real data
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
