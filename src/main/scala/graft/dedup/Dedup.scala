@@ -322,6 +322,36 @@ object Dedup {
       .filter(col("shared_windows") >= minShared)
   }
 
+  /** Benchmark decontamination: per corpus document, the count of
+    * `n`-token windows it shares with ANY benchmark document, plus how
+    * many benchmark docs it collides with — the standard pre-training
+    * hygiene check (a training document that reproduces a test item's
+    * windows leaks the benchmark). Cross-table variant of
+    * [[sharedWindowPairs]]: both sides explode to distinct windows and
+    * meet in an inverted-index join on the window string — linear in
+    * collisions, never |corpus| × |benchmark|. The df-cap applies to the
+    * BENCHMARK postings (a window ubiquitous across the benchmark is
+    * boilerplate, not leakage).
+    *
+    * Returns (idCol, contaminated_windows, benchmark_docs) for corpus
+    * docs with ≥ `minShared` shared windows.
+    */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, minShared: Long,
+      maxDf: Long = 1000): DataFrame = {
+    val c = shingleRows(corpus, idCol, textCol, n)
+      .select(col(idCol).as("corpus_id"), col("s"))
+    val b = capDf(
+      shingleRows(benchmark, idCol, textCol, n)
+        .select(col(idCol).as("bench_id"), col("s")),
+      Seq("s"), maxDf)
+    c.join(b, "s")
+      .groupBy(col("corpus_id").as(idCol))
+      .agg(count(lit(1)).as("contaminated_windows"),
+        countDistinct(col("bench_id")).as("benchmark_docs"))
+      .filter(col("contaminated_windows") >= minShared)
+  }
+
   /** Nonzero n-gram Jaccard pairs within blocking groups, id1 < id2, via a
     * shingle-inverted-index join: explode shingles, join on
     * (block, shingle), count co-occurrences per pair, then

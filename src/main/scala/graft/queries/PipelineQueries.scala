@@ -410,6 +410,41 @@ object PipelineQueries {
       |ORDER BY cluster_id
       |""".stripMargin))
 
+  /** D9 — benchmark decontamination ([[Dedup.contaminationCheck]]):
+    * treat source `src0` as the held-out benchmark and flag every other
+    * document sharing ≥2 eight-token windows with it. The pre-training
+    * hygiene pass that keeps test items out of the training corpus;
+    * inverted-index join, linear in collisions.
+    */
+  val d9Contamination = QueryDef("d9_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationCheck(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", 8, minShared = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                     x -> x <> '') AS tk
+      |  FROM documents),
+      |w8 AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(
+      |           range(1, GREATEST(len(tk) - 7, 0) + 1),
+      |           i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 7), ' '))) AS w
+      |  FROM toks),
+      |c AS (SELECT doc_id, unnest(w) AS s FROM w8 WHERE source <> 'src0'),
+      |b AS (SELECT doc_id AS bench_id, unnest(w) AS s FROM w8 WHERE source = 'src0')
+      |SELECT c.doc_id AS doc_id, COUNT(*) AS contaminated_windows,
+      |       COUNT(DISTINCT bench_id) AS benchmark_docs
+      |FROM c JOIN b USING (s)
+      |GROUP BY c.doc_id HAVING COUNT(*) >= 2
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   /** D3 — MinHash(16)+LSH(4×4) candidate pairs with exact signature-match
     * counts. The banding join is the only shuffle; signatures are per-row
     * expressions.
@@ -865,6 +900,7 @@ object PipelineQueries {
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
+    d9Contamination,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
     m1MediaMeta, m2MediaAnn, m3MediaFrames)
 }

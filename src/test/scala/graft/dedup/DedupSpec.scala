@@ -173,4 +173,19 @@ class DedupSpec extends SparkSpec {
     // zero-intersection pairs never materialize (inverted-index semantics)
     assert(!pairs.exists(p => p._2 == 3L))
   }
+
+  test("contamination check flags corpus docs reproducing benchmark windows") {
+    val bench = Seq((100L, "q r s t u v w x y z")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro q r s t u v w x y z outro"), // contains 3 bench 8-windows
+      (2L, "totally different text with no overlap at all here"),
+      (3L, "q r s t u v w x")                  // exactly 1 shared window
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationCheck(corpus, bench, "doc_id", "text",
+        8, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: windows q..x, r..y, s..z all appear in the benchmark
+    assert(got == Seq((1L, 3L, 1L)),
+      s"only doc 1 crosses the 2-window threshold: $got")
+  }
 }
