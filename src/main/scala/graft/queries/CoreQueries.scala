@@ -1130,15 +1130,24 @@ object CoreQueries {
     * must align, so grouping columns coalesce to sentinels.
     */
   val q8Rollup = QueryDef("q8_rollup",
-    (s, dir) => t(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"),
-        sum(InvoiceView.m2(col("l_extendedprice"))).cast(InvoiceRecord.money)
-          .as("total"))
-      .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
-        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
-        col("n"), col("total"))
-      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    (s, dir) => {
+      // pre-aggregate at the finest grain FIRST: rollup's Expand
+      // replicates its input ×(grouping sets), so rolling up the raw
+      // fact table triples the scan (and the per-row decimal math) —
+      // rolling up the 6-row partial costs nothing. Sums of sums and
+      // sums of counts are exact, so results are identical.
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n0"),
+          sum(InvoiceView.m2(col("l_extendedprice"))).as("t0"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("n0")).as("n"),
+          sum(col("t0")).cast(InvoiceRecord.money).as("total"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("n"), col("total"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
     Some(s"""
       |SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
       |       COALESCE(l_linestatus, '<all>') AS l_linestatus,
