@@ -1840,6 +1840,102 @@ object CoreQueries {
       |ORDER BY c.user_id, click_id, purchase_id
       |""".stripMargin))
 
+  /** U4 — EXCEPT ALL (multiset difference, multiplicity-preserving):
+    * Catalyst rewrites it into a count-balancing aggregate + generate —
+    * no row-at-a-time bag semantics. Contrast with u2's EXCEPT
+    * (distinct).
+    */
+  val u4ExceptAll = QueryDef("u4_except_all",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") =!= "F").select(col("o_custkey"))
+        .exceptAll(
+          o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      |SELECT o_custkey, COUNT(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey
+      |""".stripMargin))
+
+  /** W4 — dense_rank + lag in one window pass: price-tier ranking of
+    * orders per priority class. Both analytics share one
+    * (partition, order) spec, so Catalyst plans ONE Window operator —
+    * one shuffle + one sort serve both columns.
+    */
+  val w4DenseRank = QueryDef("w4_dense_rank",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_clp").desc, col("o_orderkey"))
+      o.select(col("o_orderkey"), col("o_orderpriority"),
+          InvoiceView.m2(col("o_totalprice")).as("price_clp"))
+        .withColumn("tier", dense_rank().over(w))
+        .withColumn("prev_price", lag(col("price_clp"), 1).over(w))
+        .filter(col("tier") <= 3)
+        .orderBy(col("o_orderpriority"), col("tier"), col("o_orderkey"))
+    },
+    Some(s"""
+      |WITH p AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         ${InvoiceView.m2Sql("o_totalprice")} AS price_clp
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |         CAST(price_clp AS DOUBLE) AS price_clp,
+      |         dense_rank() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY price_clp DESC, o_orderkey) AS tier,
+      |         CAST(lag(price_clp) OVER (PARTITION BY o_orderpriority
+      |           ORDER BY price_clp DESC, o_orderkey) AS DOUBLE) AS prev_price
+      |  FROM p)
+      |SELECT o_orderkey, o_orderpriority, price_clp,
+      |       CAST(tier AS INT) AS tier, prev_price
+      |FROM r WHERE tier <= 3
+      |ORDER BY o_orderpriority, tier, o_orderkey
+      |""".stripMargin))
+
+  /** Q2 shape (adapted: lineitem stands in for partsupp) — cheapest
+    * supplier per part: the correlated "price = MIN(price) for this
+    * part" subquery becomes a per-part min joined back to the detail.
+    * Same aggregate-join-back family as q17 but keyed on the join
+    * column itself.
+    */
+  val q2CheapestSupplier = QueryDef("q2_cheapest_supplier",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") <= 200)
+        .select(col("l_partkey"),
+          col("l_suppkey"), (InvoiceView.m2(col("l_extendedprice")) * 100)
+            .cast("long").as("price_cents"))
+      val minP = li.groupBy(col("l_partkey"))
+        .agg(min(col("price_cents")).as("min_cents"))
+      li.join(minP, "l_partkey")
+        .filter(col("price_cents") === col("min_cents"))
+        .groupBy(col("l_partkey"), col("price_cents"))
+        .agg(min(col("l_suppkey")).as("cheapest_suppkey"))
+        .orderBy(col("l_partkey"))
+    },
+    Some(s"""
+      |WITH li AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(${InvoiceView.m2Sql("l_extendedprice")} * 100 AS BIGINT)
+      |           AS price_cents
+      |  FROM lineitem WHERE l_partkey <= 200),
+      |mn AS (SELECT l_partkey, MIN(price_cents) AS min_cents
+      |       FROM li GROUP BY l_partkey)
+      |SELECT li.l_partkey AS l_partkey, price_cents,
+      |       MIN(l_suppkey) AS cheapest_suppkey
+      |FROM li JOIN mn ON li.l_partkey = mn.l_partkey
+      |WHERE price_cents = min_cents
+      |GROUP BY li.l_partkey, price_cents
+      |ORDER BY l_partkey
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -1857,5 +1953,5 @@ object CoreQueries {
     q15TopSupplier, q17SmallQty, q19DisjunctRevenue, q21LateSuppliers,
     q22IdleRich,
     a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution,
-    q20VolumeSuppliers)
+    q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier)
 }
