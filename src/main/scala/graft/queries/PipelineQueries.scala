@@ -285,6 +285,34 @@ object PipelineQueries {
       |ORDER BY lang
       |""".stripMargin))
 
+  /** T8 — length-weighted deterministic sampling
+    * ([[graft.sampling.Sampling.weightedSample]]): each document keeps
+    * with probability proportional to its token count (capped at 1) —
+    * the curation move that tilts a training mix toward substantial
+    * documents without a second pass. Same md5 uniforms as t3, so the
+    * oracle replays the exact decisions.
+    */
+  val t8WeightedSample = QueryDef("t8_weighted_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sampling.Sampling.weightedSample(docs, "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long") * 5000L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH u AS (
+      |  SELECT doc_id, lang,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 15) AS BIGINT)
+      |           % 1000000 AS ppm,
+      |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                         x -> x <> '')) AS n_tok
+      |  FROM documents)
+      |SELECT doc_id, lang FROM u
+      |WHERE ppm < LEAST(1000000, GREATEST(0, n_tok * 5000))
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   /** T7 — per-group KMV distinct estimate via the typed
     * [[graft.sketch.Sketch.KmvAggregator]] UDAF: the group-by form of
     * t4. Map-side partial aggregation ships ≤ k longs per (partition,
@@ -897,7 +925,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
-    t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup,
+    t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination,

@@ -31,6 +31,19 @@ object Sampling {
       salt: String = "sample"): DataFrame =
     df.filter(hashUniformPpm(col(keyCol), salt) < fractionPpm)
 
+  /** Weighted Bernoulli sample: each row keeps with ITS OWN probability
+    * `weightPpm/1e6` (clamped to [0, 1e6]) — the quality-weighted
+    * curation primitive: up-sample high-quality documents, down-sample
+    * boilerplate, in one deterministic scan. Same md5 uniform as
+    * [[hashSample]], so the decision is reproducible on any engine and
+    * independent of partitioning; a row's fate changes only if its
+    * weight does.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightPpm: Column,
+      salt: String = "wsample"): DataFrame =
+    df.filter(hashUniformPpm(col(keyCol), salt) <
+      least(lit(1000000L), greatest(lit(0L), weightPpm)))
+
   /** Per-stratum quota sample: the `quota` rows of each stratum with the
     * smallest (uniform, key) — deterministic, order-free, and exactly
     * `min(quota, |stratum|)` rows per stratum (language-balanced corpus

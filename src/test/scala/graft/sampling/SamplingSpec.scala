@@ -49,4 +49,24 @@ class SamplingSpec extends SparkSpec {
     assert(u.forall(x => x >= 0 && x < 1000000))
     assert(u.distinct.length > 950, "uniforms must spread (few collisions)")
   }
+
+  test("weighted sample: 0 keeps nothing, 1e6 keeps all, monotone in weight") {
+    val df = Seq.tabulate(500)(i => (i.toLong, i % 7)).toDF("k", "w7")
+    def ids(weight: org.apache.spark.sql.Column) =
+      Sampling.weightedSample(df, "k", weight).select("k")
+        .as[Long].collect().toSet
+    assert(ids(lit(0L)).isEmpty)
+    assert(ids(lit(1000000L)).size == 500)
+    assert(ids(lit(2000000L)).size == 500, "over-1 weights clamp to always")
+    val lo = ids(lit(200000L)); val hi = ids(lit(600000L))
+    assert(lo.subsetOf(hi), "same salt: higher weight keeps a superset")
+    assert(lo.size < hi.size && hi.size < 500)
+    // per-row weights: a row's fate depends only on ITS weight
+    val perRow = ids(col("w7") * 200000L)
+    assert(perRow == ids(lit(1200000L)).intersect(perRow) -- Set.empty,
+      "sanity: per-row weighted set is well-defined")
+    assert(Sampling.weightedSample(df.repartition(13), "k",
+      col("w7") * 200000L).select("k").as[Long].collect().toSet == perRow,
+      "partition-independent")
+  }
 }
