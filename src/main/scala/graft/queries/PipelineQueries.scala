@@ -313,6 +313,30 @@ object PipelineQueries {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** T9 — corpus-wide top tokens: explode → hash-aggregate (map-side
+    * combine collapses per-partition repeats) → `TakeOrderedAndProject`
+    * for the top 25 (never a full sort). Vocabulary/stopword analysis
+    * over the whole corpus in one shuffle on the token key.
+    */
+  val t9TopTokens = QueryDef("t9_top_tokens",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(25)
+    },
+    Some("""
+      |SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(list_filter(
+      |        regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 25
+      |""".stripMargin))
+
   /** T7 — per-group KMV distinct estimate via the typed
     * [[graft.sketch.Sketch.KmvAggregator]] UDAF: the group-by form of
     * t4. Map-side partial aggregation ships ≤ k longs per (partition,
@@ -926,6 +950,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
+    t9TopTokens,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination,

@@ -77,8 +77,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ap.contains("Exchange"), "assignment must not shuffle")
   }
 
-  test("o3 top-errors uses TakeOrderedAndProject, not a full sort") {
+  test("o3 top-errors / t9 top-tokens use TakeOrderedAndProject, not a full sort") {
     assert(plan("o3_top_errors").contains("TakeOrderedAndProject"))
+    assert(plan("t9_top_tokens").contains("TakeOrderedAndProject"))
   }
 
   test("q7/q9/q10: dimensions broadcast, selective filters push to the scan") {
