@@ -313,6 +313,34 @@ object PipelineQueries {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** T10 — deterministic train/val/test split (90/5/5): the same
+    * md5-uniform machinery as t3/t8 assigns every document a split
+    * label that is a pure function of its id — stable across runs,
+    * partitionings, and engines, so a row can never leak between
+    * splits when the corpus is rebuilt.
+    */
+  val t10SplitAssignment = QueryDef("t10_split_assignment",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val u = graft.sampling.Sampling.hashUniformPpm(col("doc_id"), "split")
+      docs.select(col("doc_id"),
+          when(u < 900000L, "train").when(u < 950000L, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |SELECT doc_id,
+      |       CASE WHEN ppm < 900000 THEN 'train'
+      |            WHEN ppm < 950000 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT)
+      |           % 1000000 AS ppm
+      |  FROM documents)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   /** T9 — corpus-wide top tokens: explode → hash-aggregate (map-side
     * combine collapses per-partition repeats) → `TakeOrderedAndProject`
     * for the top 25 (never a full sort). Vocabulary/stopword analysis
@@ -540,6 +568,74 @@ object PipelineQueries {
       |FROM cand c
       |JOIN sig s1 ON s1.doc_id = c.id1
       |JOIN sig s2 ON s2.doc_id = c.id2
+      |ORDER BY id1, id2
+      |""".stripMargin))
+
+  /** D10 — sketch calibration: for every LSH candidate pair, the
+    * MinHash-ESTIMATED similarity (matching signature positions / k)
+    * next to the EXACT n-gram Jaccard — the measurement that tells a
+    * pipeline whether its banding threshold is honest before trusting
+    * it at full scale. Exact sets join in only for the candidate pairs
+    * (never all-pairs), so the diagnostic costs O(candidates).
+    */
+  val d10SketchCalibration = QueryDef("d10_sketch_calibration",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+        .localCheckpoint()
+      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", 4, 4)
+      val sets = Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
+      cands
+        .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(sets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .withColumn("inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        .select(col("id1"), col("id2"), col("est_matches"),
+          expr("est_matches * 1000000L DIV 16").as("est_ppm"),
+          floor(col("inter") * 1000000L /
+            (size(col("sh1")) + size(col("sh2")) - col("inter")))
+            .as("exact_ppm"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           i -> coalesce(list_min(list_transform(hs,
+      |                  h -> (h * (i * 2 + 3) + 7919 * i) % 1000003)), 1000003)) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_idx,
+      |         array_to_string(sig[b.b*4+1:b.b*4+4], '-') AS band_sig
+      |  FROM sig, (SELECT unnest(range(4)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+      |  FROM bands b1 JOIN bands b2
+      |    ON b1.band_idx = b2.band_idx AND b1.band_sig = b2.band_sig
+      |   AND b1.doc_id < b2.doc_id),
+      |est AS (
+      |  SELECT c.id1, c.id2,
+      |         CAST(list_sum(list_transform(range(0, 16),
+      |                i -> CASE WHEN s1.sig[CAST(i AS INT)+1] = s2.sig[CAST(i AS INT)+1]
+      |                          THEN 1 ELSE 0 END)) AS INT) AS est_matches
+      |  FROM cand c
+      |  JOIN sig s1 ON s1.doc_id = c.id1
+      |  JOIN sig s2 ON s2.doc_id = c.id2)
+      |SELECT e.id1, e.id2, est_matches,
+      |       est_matches * 1000000 // 16 AS est_ppm,
+      |       CAST(FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+      |                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+      |            AS BIGINT) AS exact_ppm
+      |FROM est e
+      |JOIN sh a ON a.doc_id = e.id1
+      |JOIN sh b ON b.doc_id = e.id2
       |ORDER BY id1, id2
       |""".stripMargin))
 
@@ -950,7 +1046,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
-    t9TopTokens,
+    t9TopTokens, t10SplitAssignment, d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination,
