@@ -976,7 +976,10 @@ object PipelineQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val media = graft.multimodal.Multimodal.synthesizeFromDocs(docs)
-      val feats = graft.multimodal.Multimodal.extractFeatures(media, 16).toDF()
+      // both join sides derive from the same synthesize+extract pass —
+      // materialize it once (lazy) instead of decoding per side
+      val feats = graft.multimodal.Multimodal.extractFeatures(media, 16)
+        .toDF().localCheckpoint(eager = false)
       Similarity.bruteForceTopK(
           feats.filter(col("media_id") % 25 === 0), feats,
           "media_id", "features", 3)
