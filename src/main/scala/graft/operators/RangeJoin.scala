@@ -35,4 +35,30 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join (no equi key at all): both sides explode to
+    * fixed-width bins, candidates meet on the bin id, the exact overlap
+    * test filters, and each overlapping pair is kept ONLY in the bin
+    * containing `max(lo1, lo2)` — that bin lies inside both intervals,
+    * so every pair emits exactly once with no `distinct()` pass. Same
+    * linear cost model as [[binned]]; the naive form is a
+    * nested-loop cross product.
+    *
+    * Inclusive interval ends; output = left columns + right columns.
+    */
+  def overlapBinned(left: DataFrame, right: DataFrame,
+      lo1: String, hi1: String, lo2: String, hi2: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def explodeBins(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    explodeBins(left, lo1, hi1)
+      .join(explodeBins(right, lo2, hi2), "__bin")
+      .filter(col(lo1) <= col(hi2) && col(lo2) <= col(hi1))
+      .filter(col("__bin") ===
+        floor(greatest(col(lo1), col(lo2)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

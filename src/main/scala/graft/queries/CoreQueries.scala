@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.domain.InvoiceRecord
 import graft.functions._
-import graft.operators.{Canonicalize, Merge, Validate}
+import graft.operators.{Canonicalize, Merge, RangeJoin, Validate}
 
 /** Oracle-checked queries covering SURVEY.md §2's operator inventory over
   * the driver's scale tables. Each query pairs an idiomatic Spark plan with
@@ -1936,6 +1936,45 @@ object CoreQueries {
       |ORDER BY l_partkey
       |""".stripMargin))
 
+  /** K4 — interval-OVERLAP join with NO equi key
+    * ([[RangeJoin.overlapBinned]]): 30-minute activity windows around a
+    * sparse event subset, all overlapping pairs across ALL users. The
+    * naive form is a cross product; the binned form explodes each
+    * window into its time bins, equi-joins on the bin, and emits each
+    * pair exactly once (in the bin of `max(lo1, lo2)`). The oracle
+    * computes the naive form — bin blocking is semantically invisible.
+    */
+  val k4IntervalOverlap = QueryDef("k4_interval_overlap",
+    (s, dir) => {
+      val win = 1800000000L // 30 min in micros
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") % 199 === 0)
+        .select(col("event_id"), expr("ts DIV 1000").as("lo"),
+          (expr("ts DIV 1000") + win).as("hi"))
+      val a = ev.select(col("event_id").as("id1"), col("lo").as("lo1"),
+        col("hi").as("hi1"))
+      val b = ev.select(col("event_id").as("id2"), col("lo").as("lo2"),
+        col("hi").as("hi2"))
+      RangeJoin.overlapBinned(a, b, "lo1", "hi1", "lo2", "hi2", win)
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          (least(col("hi1"), col("hi2")) -
+            greatest(col("lo1"), col("lo2"))).as("overlap_us"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS lo,
+      |         epoch_us(ts) + 1800000000 AS hi
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id % 199 = 0)
+      |SELECT a.event_id AS id1, b.event_id AS id2,
+      |       LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS overlap_us
+      |FROM e a JOIN e b
+      |  ON a.event_id < b.event_id AND a.lo <= b.hi AND b.lo <= a.hi
+      |ORDER BY id1, id2
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -1953,5 +1992,6 @@ object CoreQueries {
     q15TopSupplier, q17SmallQty, q19DisjunctRevenue, q21LateSuppliers,
     q22IdleRich,
     a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution,
-    q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier)
+    q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
+    k4IntervalOverlap)
 }

@@ -171,6 +171,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("j7 SCD2 is single-pass: exactly one join in the whole plan") {
+    // the closed/opened/kept branches ride one explode over one
+    // full-outer join — a second join would mean the union re-executes it
+    val df = SparkEntry.queries("j7_scd2_history")(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected 1 join, got ${joins.size}")
+  }
+
   test("declarative joins are runtime-bloom-filter eligible at scale") {
     // at 100 TB a selective dim filter should prune the fact scan via an
     // injected bloom filter (spark.sql.optimizer.runtime.bloomFilter.*,

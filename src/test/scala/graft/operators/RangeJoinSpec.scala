@@ -30,4 +30,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       "binned form must be an equi-join")
   }
+
+  test("overlap join == naive cross filter; multi-bin pairs emit exactly once") {
+    val a = Seq((1L, 0L, 1000L), (2L, 500L, 600L), (3L, 5000L, 5100L))
+      .toDF("aid", "lo1", "hi1")
+    val b = Seq((10L, 900L, 2000L),  // overlaps 1 only
+      (11L, 0L, 550L),               // overlaps 1 and 2
+      (12L, 9000L, 9100L))           // overlaps nothing
+      .toDF("bid", "lo2", "hi2")
+    // binWidth 100 makes every overlap span MANY shared bins — the
+    // emit-once rule must still yield one row per pair
+    val got = RangeJoin.overlapBinned(a, b, "lo1", "hi1", "lo2", "hi2", 100L)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.length == got.distinct.length, s"duplicate pair rows: $got")
+    val naive = a.crossJoin(b)
+      .filter(col("lo1") <= col("hi2") && col("lo2") <= col("hi1"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == naive && naive == Set((1L, 10L), (1L, 11L), (2L, 11L)))
+
+    val plan = RangeJoin.overlapBinned(a, b, "lo1", "hi1", "lo2", "hi2", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "overlap form must be an equi-join on the bin")
+  }
 }
