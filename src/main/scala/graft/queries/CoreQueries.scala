@@ -1936,6 +1936,32 @@ object CoreQueries {
       |ORDER BY l_partkey
       |""".stripMargin))
 
+  /** O4 — error-rule histogram over the validation channel: which rule
+    * rejects how many rows (the triage view a pipeline operator reads
+    * before the per-row error list). Rule identity is the error
+    * message's stable prefix, so the count survives message
+    * parameterization.
+    */
+  val o4ErrorHistogram = QueryDef("o4_error_histogram",
+    (s, dir) => {
+      val split = Validate.split(canonicalInvoices(s, dir))
+      split.errors
+        .select(substring(col("error"), 1, 12).as("rule"))
+        .groupBy(col("rule")).agg(count(lit(1)).as("n"))
+        .orderBy(col("rule"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql}
+      |SELECT substr(CASE WHEN l_orderkey % 7 = 0 THEN 'invoice_number no puede estar vacío'
+      |            WHEN l_orderkey % 13 = 0 THEN 'Formato de fecha no reconocido'
+      |            WHEN l_orderkey % 11 = 0 THEN 'total_amount (' END, 1, 12) AS rule,
+      |       COUNT(*) AS n
+      |FROM uniq
+      |WHERE $errCondSql
+      |GROUP BY rule
+      |ORDER BY rule
+      |""".stripMargin))
+
   /** K4 — interval-OVERLAP join with NO equi key
     * ([[RangeJoin.overlapBinned]]): 30-minute activity windows around a
     * sparse event subset, all overlapping pairs across ALL users. The
@@ -1993,5 +2019,5 @@ object CoreQueries {
     q22IdleRich,
     a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution,
     q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
-    k4IntervalOverlap)
+    k4IntervalOverlap, o4ErrorHistogram)
 }
