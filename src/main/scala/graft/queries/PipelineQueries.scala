@@ -341,6 +341,35 @@ object PipelineQueries {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** T11 — context-window chunking ([[TextAnalysis.chunkRows]]): 64-token
+    * chunks with 16 tokens of overlap (step 48). Chunk text rides as an
+    * md5 so the output stays narrow; the oracle re-derives every chunk
+    * with the same slice arithmetic.
+    */
+  val t11Chunking = QueryDef("t11_chunking",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.chunkRows(docs, "doc_id", "text", 64, 16)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |st AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+      |ch AS (
+      |  SELECT doc_id,
+      |         unnest(range(0, (n + 47) // 48)) AS chunk_idx,
+      |         tk, n
+      |  FROM st)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |       CAST(LEAST(64, n - chunk_idx * 48) AS INT) AS chunk_tokens,
+      |       md5(array_to_string(
+      |         tk[CAST(chunk_idx * 48 + 1 AS INT):CAST(chunk_idx * 48 + 64 AS INT)], ' ')) AS chunk_hash
+      |FROM ch
+      |ORDER BY doc_id, chunk_idx
+      |""".stripMargin))
+
   /** T9 — corpus-wide top tokens: explode → hash-aggregate (map-side
     * combine collapses per-partition repeats) → `TakeOrderedAndProject`
     * for the top 25 (never a full sort). Vocabulary/stopword analysis
@@ -1049,7 +1078,7 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
-    t9TopTokens, t10SplitAssignment, d10SketchCalibration,
+    t9TopTokens, t10SplitAssignment, t11Chunking, d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination,

@@ -24,6 +24,37 @@ object TextAnalysis {
   /** T-token-count — whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Context-window chunking: one row per `(doc, chunk)` where chunk
+    * `i` covers tokens `[i·step, i·step + chunkTokens)` and
+    * `step = chunkTokens − overlap` — the pre-tokenization op that fits
+    * long documents to a model's context length with lookback overlap.
+    * Chunk starts explode per document (no shuffle; row explosion stays
+    * inside the scan stage) and the slice/concat run codegen'd.
+    * Zero-token documents produce no chunks; a document shorter than
+    * one chunk produces exactly one.
+    *
+    * Returns (idCol, chunk_idx, chunk_tokens, chunk_text).
+    */
+  def chunkRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, overlap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      "need chunkTokens > overlap >= 0")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("__t")) - 1, lit(step)))
+          .as(Seq("chunk_idx", "__start")),
+        col("__t"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__t"), col("__start") + 1, lit(chunkTokens)).as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__c")).as("chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   /** BPE-ish subword count: letter runs count 1 per 4 chars (ceil), digits
     * and punctuation 1 each — a cheap, deterministic stand-in for a BPE
     * tokenizer's token count (regex-only, codegen'd).

@@ -64,4 +64,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == 1 + 0 + 0) // "!!!": 1 token, all punct
     assert(got(3) > 200) // real prose with stopwords scores high
   }
+
+  test("chunking: overlap lookback, short docs one chunk, empty docs none") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                     // shorter than a chunk
+      (3L, "   ")                                      // no tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkRows(docs, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1: step 2, starts 0,2,4,6,8 → 5 chunks; chunk 1 repeats t3 t4
+    assert(got.count(_._1 == 1L) == 5)
+    assert(got(0) == (1L, 0, 4, "t1 t2 t3 t4"))
+    assert(got(1) == (1L, 1, 4, "t3 t4 t5 t6"), "2-token lookback overlap")
+    assert(got.last == (1L, 4, 2, "t9 t10") || got.exists(_ == (2L, 0, 2, "a b")))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
+    assert(!got.exists(_._1 == 3L), "empty docs chunk to nothing")
+  }
 }
