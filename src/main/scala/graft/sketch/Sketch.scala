@@ -80,6 +80,46 @@ object Sketch {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Misra–Gries heavy-hitters sketch as a typed Aggregator: at most
+    * `k` (token → lower-bound count) counters per buffer, so map-side
+    * partials ship k entries per partition regardless of vocabulary
+    * size — where an exact top-k ([[graft.queries]] t9's explode +
+    * groupBy) shuffles one key per distinct token, a non-starter at a
+    * 100 TB vocabulary. Guarantees: every item with true frequency
+    * > N/(k+1) survives, and each reported count undercounts by at most
+    * the total decrement. Deterministic given the data (merge order
+    * affects only which sub-threshold stragglers remain, so callers
+    * threshold the output; in the exact regime — fewer than k distinct
+    * items — counts are exact and partition-independent).
+    */
+  final case class MisraGriesAggregator(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      if (b.contains(x)) b.updated(x, b(x) + 1L)
+      else if (b.size < k) b.updated(x, 1L)
+      else { // decrement-all; drop zeros (the classic MG step)
+        val dec = b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+        dec
+      }
+    override def merge(b1: Map[String, Long], b2: Map[String, Long])
+        : Map[String, Long] = {
+      val sum = (b1.keySet ++ b2.keySet).iterator
+        .map(t => t -> (b1.getOrElse(t, 0L) + b2.getOrElse(t, 0L))).toMap
+      if (sum.size <= k) sum
+      else { // keep top-k after subtracting the (k+1)-th largest count
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** Per-group distinct-count estimates from [[KmvAggregator]]: one hash
     * aggregate keyed on `groupCols`, the same Bar-Yossef estimator per
     * group. `hashCol` must already be a [[hash40]] column.

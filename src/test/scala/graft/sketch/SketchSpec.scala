@@ -45,6 +45,28 @@ class SketchSpec extends SparkSpec {
     assert(grouped.getLong(2) == global.getLong(1))
   }
 
+  test("Misra-Gries: exact below k; heavy hitters survive above k") {
+    import org.apache.spark.sql.functions.udaf
+    val mg = udaf(Sketch.MisraGriesAggregator(8))
+    // exact regime: 5 distinct < k=8 → exact counts, any partitioning
+    val small = Seq.tabulate(100)(i => s"t${i % 5}").toDF("t")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.agg(mg(col("t")).as("m")).collect().head
+        .getMap[String, Long](0).toMap
+    assert(run(small) == (0 until 5).map(i => s"t$i" -> 20L).toMap)
+    assert(run(small.repartition(7)) == run(small))
+
+    // heavy-hitter regime: one token at 40% of a 1000-item stream with
+    // 100 distinct tail tokens MUST survive (freq > N/(k+1))
+    val heavy = (Seq.fill(400)("HOT") ++
+      Seq.tabulate(600)(i => s"tail${i % 100}")).toDF("t")
+    val got = run(heavy.repartition(5))
+    assert(got.contains("HOT"), s"heavy hitter lost: ${got.keySet}")
+    // reported count is a lower bound, never an overcount
+    assert(got("HOT") <= 400L && got("HOT") > 0L)
+    assert(got.size <= 8)
+  }
+
   test("per-group KMV UDAF: partition-independent; exact below k per group") {
     val df = spark.range(0, 1000).select(
       (col("id") % 3).cast("string").as("g"),
