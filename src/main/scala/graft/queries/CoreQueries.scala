@@ -2001,6 +2001,41 @@ object CoreQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  /** TPC-H Q11 shape (important-stock HAVING against a scalar subquery),
+    * re-expressed over `lineitem` since the driver tables carry no
+    * partsupp: parts whose total extended value exceeds 1000× the
+    * corpus-average share. The global total re-aggregates the SAME
+    * per-part exchange the group-by produces, so Catalyst's ReuseExchange
+    * runs ONE fact scan + ONE shuffle for both sides; the 1-row total then
+    * broadcasts into the filter. The threshold compares exact decimals
+    * (`pv * 1000 > tv`) — no double rounding on either engine.
+    */
+  val q11ImportantParts = QueryDef("q11_important_parts",
+    (s, dir) => {
+      import InvoiceView.m2
+      val byPart = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(m2(col("l_extendedprice"))).cast(DecimalType(38, 2))
+          .as("pv"))
+      val total = byPart
+        .agg(sum(col("pv")).cast(DecimalType(38, 2)).as("tv"))
+      byPart.join(broadcast(total), col("pv") * 1000 > col("tv"))
+        .select(col("l_partkey"), col("pv").cast(money).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+    Some(s"""
+      |WITH bp AS (
+      |  SELECT l_partkey,
+      |         CAST(SUM(${InvoiceView.m2Sql("l_extendedprice")})
+      |              AS DECIMAL(38,2)) AS pv
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (SELECT CAST(SUM(pv) AS DECIMAL(38,2)) AS tv FROM bp)
+      |SELECT l_partkey,
+      |       CAST(CAST(pv AS DECIMAL(18,2)) AS DOUBLE) AS part_value
+      |FROM bp, tot WHERE pv * 1000 > tv
+      |ORDER BY part_value DESC, l_partkey
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -2019,5 +2054,5 @@ object CoreQueries {
     q22IdleRich,
     a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution,
     q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
-    k4IntervalOverlap, o4ErrorHistogram)
+    k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts)
 }

@@ -394,6 +394,30 @@ object PipelineQueries {
       |LIMIT 25
       |""".stripMargin))
 
+  /** T12 — Misra–Gries heavy hitters
+    * ([[graft.sketch.Sketch.MisraGriesAggregator]]) run in its exact
+    * regime: capacity 64 far exceeds the event-type vocabulary, so no
+    * decrement ever fires and the sketch's lower-bound counts equal the
+    * true counts — which is what makes the sketch oracle-checkable
+    * against a plain GROUP BY. The plan ships ≤ 64 (string, long)
+    * counters per map partition instead of one key per distinct value,
+    * the property that matters when the vocabulary is 100 TB-scale.
+    */
+  val t12HeavyHitters = QueryDef("t12_heavy_hitters",
+    (s, dir) => {
+      val mg = udaf(graft.sketch.Sketch.MisraGriesAggregator(64))
+      t(s, dir, "events")
+        .agg(mg(col("event_type")).as("mg"))
+        .select(explode(col("mg")).as(Seq("event_type", "cnt")))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      |SELECT event_type, COUNT(*) AS cnt
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type
+      |""".stripMargin))
+
   /** T7 — per-group KMV distinct estimate via the typed
     * [[graft.sketch.Sketch.KmvAggregator]] UDAF: the group-by form of
     * t4. Map-side partial aggregation ships ≤ k longs per (partition,
@@ -1078,7 +1102,8 @@ object PipelineQueries {
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
-    t9TopTokens, t10SplitAssignment, t11Chunking, d10SketchCalibration,
+    t9TopTokens, t10SplitAssignment, t11Chunking, t12HeavyHitters,
+    d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination,
