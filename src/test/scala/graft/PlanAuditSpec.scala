@@ -181,6 +181,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins.size == 1, s"expected 1 join, got ${joins.size}")
   }
 
+  test("q11: global total reuses the per-part exchange — one lineitem scan") {
+    // the scalar-subquery side re-aggregates the SAME groupBy(l_partkey)
+    // exchange; without ReuseExchange the fact table is scanned and
+    // shuffled twice, which doubles the dominant cost at 100 TB. AQE
+    // resolves reuse at runtime (the static adaptive explain prints both
+    // subtrees unreused), so assert on the non-adaptive physical plan.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = SparkEntry.queries("q11_important_parts")(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("ReusedExchange"),
+        s"total must reuse the per-part aggregate exchange:\n${p.take(1500)}")
+      // formatted mode prints each node twice (tree + details); count
+      // unique node-id headers
+      val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+      assert(scans == 1, s"expected exactly one lineitem scan, saw $scans")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("t12 heavy hitters: single object-agg, no per-token shuffle key") {
+    // the whole point of Misra-Gries over t9's exact explode+groupBy is
+    // that the shuffle ships <=k counters per partition, not one row per
+    // distinct token: the plan must be a global (no-key) aggregate with
+    // a single-partition exchange, never an expanded per-token exchange
+    val p = plan("t12_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed Aggregator must plan as an object aggregate:\n${p.take(1200)}")
+    // the only Generate is the FINAL explode of the <=k-entry result map
+    // (a parent of the aggregate, printed above it in the tree); an
+    // explode feeding the aggregate would be a per-token expansion
+    assert(p.indexOf("Generate") < p.indexOf("ObjectHashAggregate"),
+      s"explode must sit above the aggregate, not feed it:\n${p.take(1200)}")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1)
+  }
+
   test("declarative joins are runtime-bloom-filter eligible at scale") {
     // at 100 TB a selective dim filter should prune the fact scan via an
     // injected bloom filter (spark.sql.optimizer.runtime.bloomFilter.*,
