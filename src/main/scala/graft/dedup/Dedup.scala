@@ -28,6 +28,61 @@ object Dedup {
     df.groupBy(TextAnalysis.contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dupe_count"))
 
+  /** Incremental dedup with a bloom prefilter: the rows of `incoming`
+    * whose `keyCol` does NOT appear in `corpus` — exact anti-join
+    * semantics, reached the 100 TB way. A shuffled anti-join of the full
+    * incoming batch against the full corpus moves both sides; instead:
+    *
+    *   1. aggregate the corpus keys into ONE bloom filter (Spark's native
+    *      `BloomFilterAggregate` over `xxhash64(key)` — mergeable
+    *      map-side partials, a few MB on the driver, the same machinery
+    *      the optimizer's runtime join filters use);
+    *   2. scan-stage-filter incoming with codegen'd
+    *      `BloomFilterMightContain`: keys the bloom rejects are
+    *      DEFINITELY new — emitted with no join and no shuffle;
+    *   3. only `might_contain` survivors (true dups + an fpp-sized
+    *      sliver of false positives) pay the exact anti-join.
+    *
+    * The union is exactly `incoming ∖ corpus` — the bloom can only
+    * divert rows from the join to the free branch, never change the
+    * result. At fpp=0.03 the anti-join's left side shrinks to the dup
+    * fraction of the batch; the corpus side still streams through the
+    * join but builds no driver state beyond the bloom.
+    *
+    * `expectedCorpusKeys` sizes the filter; pass the store's footer row
+    * count ([[graft.queries.Tables.rowCount]]), never a `count()`.
+    */
+  def bloomNewRows(corpus: DataFrame, incoming: DataFrame, keyCol: String,
+      expectedCorpusKeys: Long, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val n = math.max(expectedCorpusKeys, 1L)
+    // standard bloom sizing: m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val hashed = (df: DataFrame) =>
+      column(new XxHash64(Seq(expression(col(keyCol))), 42L))
+    val bloomBytes = corpus
+      .agg(column(new BloomFilterAggregate(
+        expression(hashed(corpus)),
+        Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // an empty corpus aggregates to a NULL bloom; might_contain(null, x)
+    // is null, which a filter would treat as FALSE on both branches and
+    // silently drop the whole batch — the correct answer is "all new"
+    if (bloomBytes == null) return incoming
+    val mightContain = column(new BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      expression(hashed(incoming))))
+    val definitelyNew = incoming.filter(!mightContain)
+    val candidates = incoming.filter(mightContain)
+    val confirmedNew = candidates.join(
+      corpus.select(col(keyCol)), Seq(keyCol), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct, order unspecified) of whitespace

@@ -394,6 +394,36 @@ object PipelineQueries {
       |LIMIT 25
       |""".stripMargin))
 
+  /** D11 — incremental dedup through [[Dedup.bloomNewRows]]: incoming
+    * batch minus the corpus, with the bloom prefilter deciding which
+    * incoming rows pay the exact anti-join. The oracle is the plain
+    * NOT IN — the bloom is an execution strategy, not a semantics
+    * change, and this query proves it (any false-negative in the bloom
+    * path would hash-mismatch). Corpus bloom sized from parquet footer
+    * counts, not a count() job.
+    */
+  val d11BloomNewDocs = QueryDef("d11_bloom_new_docs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = TextAnalysis.contentHash(col("text")).as("content_hash")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0).select(key)
+      val incoming = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), key)
+      Dedup.bloomNewRows(corpus, incoming, "content_hash",
+          Tables.rowCount(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH corpus AS (
+      |  SELECT md5(text) AS content_hash FROM documents WHERE doc_id % 3 <> 0),
+      |inc AS (
+      |  SELECT doc_id, md5(text) AS content_hash FROM documents
+      |  WHERE doc_id % 2 = 0)
+      |SELECT doc_id, content_hash FROM inc
+      |WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   /** T12 — Misra–Gries heavy hitters
     * ([[graft.sketch.Sketch.MisraGriesAggregator]]) run in its exact
     * regime: capacity 64 far exceeds the event-type vocabulary, so no
@@ -1106,7 +1136,7 @@ object PipelineQueries {
     d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
-    d9Contamination,
+    d9Contamination, d11BloomNewDocs,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
     m1MediaMeta, m2MediaAnn, m3MediaFrames)
 }

@@ -188,4 +188,45 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 1L)),
       s"only doc 1 crosses the 2-window threshold: $got")
   }
+
+  test("bloom prefilter dedup == exact anti-join; empty corpus → all new") {
+    val corpus = (1 to 400).map(i => s"key-${i * 3}").toDF("k")
+    // incoming overlaps corpus on multiples of 3, plus genuinely new keys
+    val incoming = (1 to 500).map(i => (i.toLong, s"key-$i")).toDF("id", "k")
+    val got = Dedup.bloomNewRows(corpus, incoming, "k",
+        expectedCorpusKeys = 400)
+      .select("id").as[Long].collect().sorted
+    val want = incoming.join(corpus, Seq("k"), "left_anti")
+      .select("id").as[Long].collect().sorted
+    assert(got.sameElements(want), s"got ${got.length}, want ${want.length}")
+    assert(want.length == 500 - 166) // multiples of 3 in 1..500 are dups
+
+    // tiny fpp → bloom diverts nearly all new keys around the join; the
+    // result is STILL exact regardless (this pins the union semantics)
+    val tight = Dedup.bloomNewRows(corpus, incoming, "k", 400, fpp = 0.001)
+      .select("id").as[Long].collect().sorted
+    assert(tight.sameElements(want))
+
+    // empty corpus: BloomFilterAggregate yields a NULL bloom — the guard
+    // must return the whole batch, not silently drop it
+    val none = Dedup.bloomNewRows(corpus.limit(0), incoming, "k", 1)
+    assert(none.count() == 500)
+  }
+
+  test("bloom prefilter plan: codegen'd might_contain, anti-join only") {
+    // file-backed inputs: over a LocalRelation the optimizer evaluates
+    // the might_contain filters at plan time and they vanish
+    val base = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    (1 to 50).map(i => s"c$i").toDF("k")
+      .write.mode("overwrite").parquet(s"$base/corpus")
+    (1 to 80).map(i => (i, s"c$i")).toDF("id", "k")
+      .write.mode("overwrite").parquet(s"$base/incoming")
+    val corpus = spark.read.parquet(s"$base/corpus")
+    val incoming = spark.read.parquet(s"$base/incoming")
+    val plan = Dedup.bloomNewRows(corpus, incoming, "k", 50)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(!plan.contains("Inner"), "no inner join anywhere in the plan")
+  }
 }
