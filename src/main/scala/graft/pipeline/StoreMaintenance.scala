@@ -37,7 +37,43 @@ object StoreMaintenance {
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil): Long =
+    swapRewrite(spark, path, targetBytes) { (df, nFiles, tmp) =>
+      val writer = df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+       else writer).parquet(tmp)
+    }
+
+  /** Range-clustered compaction: like [[compact]], but each output file
+    * owns a DISJOINT range of `clusterBy` — `repartitionByRange` (one
+    * range-exchange driven by a sampled boundary sketch) then
+    * `sortWithinPartitions`. Parquet then records tight per-file and
+    * per-row-group min/max stats on the cluster keys, so a later
+    * key-range or point-lookup scan skips every non-overlapping file
+    * instead of reading the whole store — THE data-layout lever for a
+    * store that is written once and range-queried for years. Rows are
+    * bit-identical to the input (a layout change, never a data change).
+    */
+  def compactClustered(spark: SparkSession, path: String,
+      clusterBy: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(clusterBy.nonEmpty, "compactClustered needs cluster keys")
+    swapRewrite(spark, path, targetBytes) { (df, nFiles, tmp) =>
+      import org.apache.spark.sql.functions.col
+      val keys = clusterBy.map(col)
+      df.repartitionByRange(nFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+  }
+
+  /** Shared rewrite-then-swap: build the new layout in a sibling temp
+    * dir (never overwrite-while-reading), move the old store aside,
+    * swap the temp in, delete the aside only once the swap held.
+    */
+  private def swapRewrite(spark: SparkSession, path: String,
+      targetBytes: Long)(
+      build: (org.apache.spark.sql.DataFrame, Int, String) => Unit): Long = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return -1L
     val bytes = Files.walk(p).iterator().asScala
@@ -48,10 +84,7 @@ object StoreMaintenance {
     val aside = p.resolveSibling(p.getFileName.toString + "__compact_old")
     deleteRecursive(tmp); deleteRecursive(aside)
 
-    val df = spark.read.parquet(path).repartition(nFiles)
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(tmp.toString)
+    build(spark.read.parquet(path), nFiles, tmp.toString)
 
     Files.move(p, aside, StandardCopyOption.ATOMIC_MOVE)
     try Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)

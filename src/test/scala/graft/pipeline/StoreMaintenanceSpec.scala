@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import graft.SparkSpec
+
+/** Range-clustered compaction must be a pure LAYOUT change: same rows,
+  * but each output file owning a disjoint range of the cluster key so
+  * parquet footer stats let a range scan skip non-overlapping files'
+  * row groups entirely.
+  */
+class StoreMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compactClustered: disjoint per-file key ranges, rows unchanged") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-cluster").toString + "/store"
+    // 6 appends of interleaved keys: every file spans nearly the whole
+    // key domain, so before compaction NO file is range-skippable
+    for (r <- 0 until 6)
+      (0 until 200).map(i => (i * 6 + r, s"v$r-$i")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(store)
+
+    val before = spark.read.parquet(store)
+      .collect().map(_.toString).sorted
+
+    // tiny target size forces multiple output files at this data volume
+    val n = StoreMaintenance.compactClustered(
+      spark, store, Seq("id"), targetBytes = 8 * 1024)
+    assert(n >= 2, s"need >=2 files to prove disjointness, got $n")
+
+    val after = spark.read.parquet(store)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before), "clustering must not change rows")
+
+    // per-file (min, max) of id from the parquet footers: ranges must be
+    // pairwise disjoint — that disjointness IS the file-skipping property
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ranges = new java.io.File(store).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf))
+        try {
+          val stats = r.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .filter(_.getPath.toDotString == "id").map(_.getStatistics)
+          }
+          (stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+        } finally r.close()
+      }.sortBy(_._1)
+    assert(ranges.length == n)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+}
