@@ -83,6 +83,27 @@ object Dedup {
     definitelyNew.unionByName(confirmedNew)
   }
 
+  /** Within-document repetition ratio — the training-data quality signal
+    * that catches boilerplate and degenerate generations: of a doc's
+    * `n`-token windows, how many are duplicates of an earlier window,
+    * in ppm. Pure per-row scan-stage expressions (tokens → window count
+    * vs distinct-shingle count), no shuffle, no explode. Integer
+    * arithmetic end-to-end so any engine agrees exactly.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val windows = greatest(
+      size(TextAnalysis.tokens(col(textCol))) - (n - 1), lit(0))
+      .cast("long")
+    val distinctW = size(shingles(col(textCol), n)).cast("long")
+    df.select(col(idCol), windows.as("windows"),
+        distinctW.as("distinct_windows"))
+      .withColumn("repetition_ppm",
+        when(col("windows") > 0,
+          expr("(windows - distinct_windows) * 1000000 div windows"))
+          .otherwise(0L))
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct, order unspecified) of whitespace

@@ -424,6 +424,34 @@ object PipelineQueries {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** T13 — within-doc repetition ratio ([[Dedup.repetitionStats]]):
+    * boilerplate/degenerate-text detection. All scan-stage expression
+    * work — the oracle recomputes the identical integer ppm.
+    */
+  val t13Repetition = QueryDef("t13_repetition",
+    (s, dir) => {
+      Dedup.repetitionStats(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                             x -> x <> '') AS tk
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |         CAST(GREATEST(len(tk) - 2, 0) AS BIGINT) AS windows,
+      |         CAST(len(list_distinct(list_transform(
+      |           range(1, GREATEST(len(tk) - 2, 0) + 1),
+      |           i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 2), ' ')))) AS BIGINT) AS distinct_windows
+      |  FROM toks)
+      |SELECT doc_id, windows, distinct_windows,
+      |       CAST(CASE WHEN windows > 0
+      |                 THEN ((windows - distinct_windows) * 1000000) // windows
+      |                 ELSE 0 END AS BIGINT) AS repetition_ppm
+      |FROM w ORDER BY doc_id
+      |""".stripMargin))
+
   /** T12 — Misra–Gries heavy hitters
     * ([[graft.sketch.Sketch.MisraGriesAggregator]]) run in its exact
     * regime: capacity 64 far exceeds the event-type vocabulary, so no
@@ -1133,7 +1161,7 @@ object PipelineQueries {
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
     t9TopTokens, t10SplitAssignment, t11Chunking, t12HeavyHitters,
-    d10SketchCalibration,
+    t13Repetition, d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs,

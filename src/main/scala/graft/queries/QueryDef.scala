@@ -71,6 +71,13 @@ object Tables {
     rowCounts.getOrElseUpdate(path, footerRowCount(spark, path))
   }
 
+  /** Uncached footer row count for an arbitrary parquet path — for
+    * MUTABLE stores (streaming ingest, compaction targets) where the
+    * per-path cache behind [[rowCount]] would go stale.
+    */
+  def rowCountAt(spark: SparkSession, path: String): Long =
+    footerRowCount(spark, path)
+
   private def footerRowCount(spark: SparkSession, path: String): Long = {
     import org.apache.hadoop.fs.{FileSystem, Path}
     import org.apache.parquet.hadoop.ParquetFileReader

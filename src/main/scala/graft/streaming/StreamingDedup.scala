@@ -32,4 +32,42 @@ object StreamingDedup {
       .withColumn("content_hash", TextAnalysis.contentHash(col(textCol)))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Store-backed streaming ingest dedup: each micro-batch keeps only
+    * rows whose `keyCol` is NOT already in the parquet store at
+    * `storePath`, then appends them — so duplicates are suppressed
+    * across the WHOLE corpus lifetime, not a watermark horizon, and the
+    * "state" is the store itself (restart-safe with zero stream state;
+    * the checkpoint only tracks source progress).
+    *
+    * Per batch the membership probe is
+    * [[graft.dedup.Dedup.bloomNewRows]]: one bloom build over the store
+    * keys + an anti-join only for might-contain survivors. Batches also
+    * self-dedup on `keyCol` first (first occurrence by `orderCols` min)
+    * so a key arriving twice IN one batch inserts once.
+    *
+    * Exactly-once caveat, same as the reference's audit-probe pattern: a
+    * crash between the store append and the checkpoint commit replays
+    * the batch, and the store probe then filters the replayed rows out —
+    * idempotent, because the probe reads what the failed attempt wrote.
+    */
+  def storeDedupSink(storePath: String, keyCol: String,
+      orderCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val inBatch = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val isFirst = !new java.io.File(storePath).exists()
+    val fresh =
+      if (isFirst) inBatch
+      else {
+        val store = spark.read.parquet(storePath).select(col(keyCol))
+        // footer count, uncached — the store grows every batch
+        val est = graft.queries.Tables.rowCountAt(spark, storePath)
+        graft.dedup.Dedup.bloomNewRows(store, inBatch, keyCol,
+          math.max(est, 1L))
+      }
+    fresh.write.mode("append").parquet(storePath)
+  }
 }

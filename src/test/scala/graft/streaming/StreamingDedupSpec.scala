@@ -55,4 +55,43 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ingested == docs.count() + 20)
     assert(got.count() < ingested)
   }
+
+  test("store-backed dedup ingest: corpus-lifetime suppression, restart-safe") {
+    val base = Files.createTempDirectory("graft-storededup")
+    val store = s"$base/store"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+
+    // pass 1: first 300 docs land (one file)
+    docs.filter(col("doc_id") < 300).write.parquet(s"$base/landing/p1")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/landing/*")
+        .writeStream
+        .foreachBatch(StreamingDedup.storeDedupSink(
+          store, "content_hash", Seq("doc_id")) _)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterP1 = spark.read.parquet(store).count()
+
+    // pass 2 (a RESTART — new query, same checkpoint): 100 re-delivered
+    // docs + 200 new ones; only the new content may append
+    docs.filter(col("doc_id") >= 200).write.parquet(s"$base/landing/p2")
+    runOnce()
+    val result = spark.read.parquet(store)
+    val want = docs.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id")).count()
+    assert(result.count() == want,
+      s"store has ${result.count()}, want $want distinct contents")
+    assert(result.groupBy("content_hash").count()
+      .filter(col("count") > 1).count() == 0,
+      "a content hash was inserted twice across batches")
+    assert(afterP1 < want, "second pass must have added the new docs")
+  }
 }
