@@ -101,6 +101,12 @@ object GraftExtensions {
       |         sequence(1, size(graft_tokens(t)) - n + 1),
       |         i -> concat_ws(' ', slice(graft_tokens(t), i, n))))
       |  ELSE CAST(array() AS ARRAY<STRING>) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION repetition_ppm(t STRING, n INT)
+      |RETURNS BIGINT
+      |RETURN CASE WHEN size(graft_tokens(t)) - n + 1 > 0
+      |  THEN ((size(graft_tokens(t)) - n + 1) - size(shingles(t, n)))
+      |         * 1000000L div (size(graft_tokens(t)) - n + 1)
+      |  ELSE 0L END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION jaccard_ppm(a ARRAY<STRING>, b ARRAY<STRING>)
       |RETURNS BIGINT
       |RETURN CASE WHEN size(array_union(a, b)) > 0

@@ -63,6 +63,17 @@ class GraftExtensionsSpec extends SparkSpec {
         graft.dedup.Dedup.simhash(col("text")))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
     assert(viaSql == viaApi)
+    // repetition_ppm: 'a b a b' has 3 bigram windows, 2 distinct → 333333
+    assert(spark.sql("SELECT repetition_ppm('a b a b', 2) r")
+      .collect().head.getLong(0) == 333333L)
+    val repSql = spark.sql(
+      "SELECT doc_id, repetition_ppm(text, 3) r FROM ext_docs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val repApi = graft.dedup.Dedup
+      .repetitionStats(docs, "doc_id", "text", 3)
+      .select("doc_id", "repetition_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repSql == repApi)
   }
 
   test("GraftExtensions builder produces the expression for one argument") {
