@@ -2001,6 +2001,64 @@ object CoreQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  /** E5 — semi-structured extraction: events carry a JSON `props` string;
+    * `get_json_object` is a codegen'd scan-stage path extraction (no UDF,
+    * no parse-to-struct materialization), aggregated per event type.
+    * Exact long arithmetic end-to-end.
+    */
+  val e5JsonProps = QueryDef("e5_json_props",
+    (s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"),
+          min(k).as("min_k"), max(k).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      |SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type
+      |""".stripMargin))
+
+  /** W5 — unpivot (melt): wide metric columns → long (metric, value)
+    * rows via Spark 4's native `unpivot` (an Expand node — one scan, no
+    * join, no shuffle before the aggregate's own exchange). Money goes
+    * through [[InvoiceView.m2]] BEFORE the melt so both engines sum
+    * exact decimals; the oracle states the relational equivalent
+    * (UNION ALL of one projection per metric).
+    */
+  val w5Unpivot = QueryDef("w5_unpivot",
+    (s, dir) => {
+      import InvoiceView.m2
+      val ev = t(s, dir, "events")
+        .select(
+          m2(col("value")).as("value"),
+          get_json_object(col("props"), "$.k").cast("long")
+            .cast(DecimalType(18, 2)).as("k"))
+      ev.unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("value"), col("k")), "metric", "mv")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("mv")).cast(money).as("sum_val"))
+        .orderBy(col("metric"))
+    },
+    Some(s"""
+      |WITH m AS (
+      |  SELECT 'value' AS metric, ${InvoiceView.m2Sql("value")} AS mv
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'k', CAST(CAST(props->>'$$.k' AS BIGINT) AS DECIMAL(18,2))
+      |  FROM events)
+      |SELECT metric, COUNT(*) AS n,
+      |       CAST(CAST(SUM(mv) AS DECIMAL(18,2)) AS DOUBLE) AS sum_val
+      |FROM m GROUP BY metric ORDER BY metric
+      |""".stripMargin))
+
   /** TPC-H Q11 shape (important-stock HAVING against a scalar subquery),
     * re-expressed over `lineitem` since the driver tables carry no
     * partsupp: parts whose total extended value exceeds 1000× the
@@ -2054,5 +2112,6 @@ object CoreQueries {
     q22IdleRich,
     a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution,
     q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
-    k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts)
+    k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
+    e5JsonProps, w5Unpivot)
 }
