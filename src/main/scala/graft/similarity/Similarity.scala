@@ -344,11 +344,45 @@ object Similarity {
     * assignment recompute). Pair with [[ivfTopKFromIndex]].
     */
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
-      path: String, cents: Seq[(Int, Seq[Long])]): Unit =
+      path: String, cents: Seq[(Int, Seq[Long])]): Unit = {
     ivfAssign(
       df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv")),
       "vec_id", "qv", cents)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    // self-describing index: persist the coarse centroids in an
+    // underscore-prefixed subdir (parquet readers skip `_*` paths, so
+    // scanning the index never picks these up as data). Appends and
+    // probes then reload the EXACT centroids the lists were built with —
+    // assigning new vectors with re-derived centroids would silently
+    // corrupt list membership.
+    val sp = df.sparkSession
+    import sp.implicits._
+    cents.toDF("centroid_id", "qv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** The centroids a persisted index was built with (k rows — bounded). */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Seq[Long])] =
+    spark.read.parquet(s"$path/_centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
+      .sortBy(_._1).toSeq
+
+  /** Incremental index maintenance: assign NEW vectors with the index's
+    * own stored centroids (scan-stage projection, no shuffle) and append
+    * them into the existing `centroid_id=` partition directories. The
+    * index stays probe-identical to a full rebuild over old ∪ new —
+    * list membership is a pure function of (vector, centroids) and the
+    * centroids are immutable once written. Compact the hot lists with
+    * [[graft.pipeline.StoreMaintenance.compact]] on a cadence; re-train
+    * + rebuild only when drift degrades recall.
+    */
+  def appendToIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit =
+    ivfAssign(
+      df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv")),
+      "vec_id", "qv", readIvfCentroids(df.sparkSession, path))
+      .write.partitionBy("centroid_id").mode("append").parquet(path)
 
   /** Multi-probe top-k against a persisted index: queries assign to
     * their `nprobe` nearest lists and the corpus side is the INDEX SCAN

@@ -43,6 +43,35 @@ class IvfIndexSpec extends SparkSpec {
       queryFilter = col("vec_id") % 25 === 0))
     assert(fromIndex == inMemory)
   }
+
+  test("index append: old ∪ new probe-identical to a full rebuild") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfapp")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(16, 64)
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") % 2 === 1)
+
+    Similarity.writeIvfIndex(old, "vec_id", "embedding", s"$base/inc", cents)
+    // the stored centroids round-trip exactly — appends reuse them
+    assert(Similarity.readIvfCentroids(spark, s"$base/inc") == cents)
+    Similarity.appendToIvfIndex(fresh, "vec_id", "embedding", s"$base/inc")
+
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", s"$base/full", cents)
+    // the _centroids sidecar is invisible to a plain index scan
+    val cols = spark.read.parquet(s"$base/inc").columns.toSet
+    assert(cols == Set("vec_id", "qv", "centroid_id"))
+    assert(spark.read.parquet(s"$base/inc").count() ==
+      spark.read.parquet(s"$base/full").count())
+
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val incremental = key(Similarity.ivfTopKFromIndex(
+      spark, queries, "vec_id", "embedding", s"$base/inc", 3, cents))
+    val rebuilt = key(Similarity.ivfTopKFromIndex(
+      spark, queries, "vec_id", "embedding", s"$base/full", 3, cents))
+    assert(incremental == rebuilt)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
