@@ -52,7 +52,8 @@ object StreamingDedup {
     * idempotent, because the probe reads what the failed attempt wrote.
     */
   def storeDedupSink(storePath: String, keyCol: String,
-      orderCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+      orderCols: Seq[String], compactEveryBatches: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
@@ -69,5 +70,10 @@ object StreamingDedup {
           math.max(est, 1L))
       }
     fresh.write.mode("append").parquet(storePath)
+    // each batch appends its own small part files — on a cadence, fold
+    // them back into size-targeted files. Safe here: micro-batches are
+    // serial, so nothing reads the store while the swap runs
+    if (compactEveryBatches > 0 && (batchId + 1) % compactEveryBatches == 0)
+      graft.pipeline.StoreMaintenance.compact(spark, storePath)
   }
 }

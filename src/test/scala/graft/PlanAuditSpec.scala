@@ -218,6 +218,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1)
   }
 
+  test("q8: rollup's Expand replicates the tiny partial, not the fact scan") {
+    // rollup multiplies its input by the number of grouping sets; fed the
+    // raw fact table that triples the scan volume — the Expand must sit
+    // ABOVE the finest-grain aggregate (in the printed tree: Expand
+    // appears before, i.e. as a parent of, the first HashAggregate chain
+    // whose child is the scan)
+    val p = plan("q8_rollup")
+    val expand = p.indexOf("Expand")
+    val scan = p.indexOf("Scan parquet")
+    assert(expand >= 0 && scan >= 0)
+    assert(p.lastIndexOf("HashAggregate", scan) > expand,
+      s"an aggregate must separate Expand from the scan:\n${p.take(1200)}")
+  }
+
   test("declarative joins are runtime-bloom-filter eligible at scale") {
     // at 100 TB a selective dim filter should prune the fact scan via an
     // injected bloom filter (spark.sql.optimizer.runtime.bloomFilter.*,

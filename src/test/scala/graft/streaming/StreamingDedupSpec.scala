@@ -71,7 +71,8 @@ class StreamingDedupSpec extends SparkSpec {
         .parquet(s"$base/landing/*")
         .writeStream
         .foreachBatch(StreamingDedup.storeDedupSink(
-          store, "content_hash", Seq("doc_id")) _)
+          store, "content_hash", Seq("doc_id"),
+          compactEveryBatches = 2) _)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", s"$base/ckpt")
         .start()
@@ -93,5 +94,8 @@ class StreamingDedupSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0,
       "a content hash was inserted twice across batches")
     assert(afterP1 < want, "second pass must have added the new docs")
+    // the cadence compaction folded the per-batch appends back together
+    assert(graft.pipeline.StoreMaintenance.partFileCount(store) == 1,
+      "store should be compacted to one part at this size")
   }
 }
