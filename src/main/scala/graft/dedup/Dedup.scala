@@ -92,12 +92,15 @@ object Dedup {
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val windows = greatest(
-      size(TextAnalysis.tokens(col(textCol))) - (n - 1), lit(0))
-      .cast("long")
-    val distinctW = size(shingles(col(textCol), n)).cast("long")
-    df.select(col(idCol), windows.as("windows"),
-        distinctW.as("distinct_windows"))
+    // tokens projected ONCE; windows and the distinct-shingle count both
+    // read the attribute (multi-referenced → CollapseProject keeps the
+    // boundary, so the regex split runs once per row, not per reference)
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        greatest(size(col("__tk")) - (n - 1), lit(0)).cast("long")
+          .as("windows"),
+        size(shinglesOfTokens(col("__tk"), n)).cast("long")
+          .as("distinct_windows"))
       .withColumn("repetition_ppm",
         when(col("windows") > 0,
           expr("(windows - distinct_windows) * 1000000 div windows"))
@@ -112,8 +115,17 @@ object Dedup {
     * (hashing, min-aggregation, set counting) are order-independent, so
     * no sort is paid.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(TextAnalysis.tokens(text), n)
+
+  /** [[shingles]] over an ALREADY-projected token array. When a plan
+    * needs several shingle-derived values of the same text, project the
+    * tokens once and build them all from the attribute — referencing
+    * `TextAnalysis.tokens(...)` repeatedly re-runs the regex split per
+    * reference (Catalyst inlines cheap-looking expression trees), which
+    * measured 4× the scan cost on the repetition query.
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     val grams = transform(
       sequence(lit(1), cnt),
