@@ -1578,7 +1578,8 @@ object CoreQueries {
       |st AS (
       |  SELECT SUM(bal_cents) AS sum_c, COUNT(*) AS n_c
       |  FROM cust WHERE bal_cents > 0)
-      |SELECT c_mktsegment, COUNT(*) AS numcust, SUM(bal_cents) AS total_cents
+      |SELECT c_mktsegment, COUNT(*) AS numcust,
+      |       CAST(SUM(bal_cents) AS BIGINT) AS total_cents
       |FROM cust, st
       |WHERE bal_cents * n_c > sum_c
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -2001,6 +2002,73 @@ object CoreQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  /** W6 — RANGE-frame window (the frame class w2's ROWS cumulative sum
+    * doesn't cover): per-user trailing 1-hour value sum ordered by event
+    * time. RANGE includes peers, so rows sharing a timestamp get the
+    * same sum on any engine and any row order — frames over VALUE
+    * distance are the order-robust form for event-time analytics. The
+    * shuffle is one exchange on user_id; the frame is evaluated by a
+    * sliding aggregate within the sorted partition.
+    */
+  val w6TrailingRange = QueryDef("w6_trailing_range_sum",
+    (s, dir) => {
+      // ts lands as nanos-since-epoch long (nanosAsLong); micros mirror
+      // DuckDB's epoch_us exactly
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"),
+        InvoiceView.m2(col("value")).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0)
+      ev.withColumn("trailing_1h",
+          sum(col("v")).over(w).cast(money))
+        .drop("v")
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+    },
+    Some(s"""
+      |SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |       CAST(CAST(SUM(${InvoiceView.m2Sql("value")}) OVER (
+      |              PARTITION BY user_id ORDER BY epoch_us(ts)
+      |              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS trailing_1h
+      |FROM events
+      |ORDER BY user_id, tus, event_id
+      |""".stripMargin))
+
+  /** A7 — explicit GROUPING SETS (disjoint marginals, not the rollup
+    * lattice): per-returnflag totals, per-linestatus totals, and the
+    * grand total in ONE pass — Expand over the 6-row finest partial
+    * (same partial-first shape the q8 ratchet pins), never three scans.
+    */
+  val a7GroupingSets = QueryDef("a7_grouping_sets",
+    (s, dir) => {
+      import InvoiceView.m2
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n0"),
+          sum(m2(col("l_extendedprice"))).as("t0"))
+      base.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("n0")).as("n"),
+          sum(col("t0")).cast(money).as("total"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("n"), col("total"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      |SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+      |       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+      |       COUNT(*) AS n,
+      |       CAST(CAST(SUM(${InvoiceView.m2Sql("l_extendedprice")}) AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag, l_linestatus
+      |""".stripMargin))
+
   /** E5 — semi-structured extraction: events carry a JSON `props` string;
     * `get_json_object` is a codegen'd scan-stage path extraction (no UDF,
     * no parse-to-struct materialization), aggregated per event type.
@@ -2113,5 +2181,5 @@ object CoreQueries {
     a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution,
     q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
     k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
-    e5JsonProps, w5Unpivot)
+    e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets)
 }
