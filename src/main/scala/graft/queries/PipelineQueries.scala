@@ -997,14 +997,17 @@ object PipelineQueries {
       |ORDER BY query_id, rank
       |""".stripMargin))
 
-  /** D5 — embedding-cosine near-duplicate pairs at threshold 0.55, decided
+  /** D5 — embedding-cosine near-duplicate pairs at threshold 0.40, decided
     * in exact integer arithmetic (no float boundary), blocked by sign
-    * bucket.
+    * bucket. Threshold chosen NON-VACUOUS for the synthetic embeddings
+    * (4 pairs at sf0.01, 24 at sf0.1 — the original 0.55 matched zero
+    * pairs at every scale, so the oracle row never checked a single
+    * pair's arithmetic).
     */
   val d5CosineNearDup = QueryDef("d5_cosine_near_dup",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 550000L)
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 400000L)
         .orderBy(col("id1"), col("id2"))
     },
     Some(s"""
@@ -1022,7 +1025,7 @@ object PipelineQueries {
       |  AND CAST(${dotSql("a.qv", "b.qv")} AS HUGEINT) * ${dotSql("a.qv", "b.qv")}
       |      * 1000000 * 1000000
       |      >= CAST(${dotSql("a.qv", "a.qv")} AS HUGEINT) * ${dotSql("b.qv", "b.qv")}
-      |         * 550000 * 550000
+      |         * 400000 * 400000
       |ORDER BY id1, id2
       |""".stripMargin))
 
