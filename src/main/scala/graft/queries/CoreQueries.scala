@@ -885,16 +885,25 @@ object CoreQueries {
       |""".stripMargin))
 
   /** U2 — set difference on keys (EXCEPT DISTINCT semantics). */
+  /** U2 set difference, made NON-VACUOUS: every customer has SOME order
+    * in the synthetic data, so the unfiltered difference is empty at
+    * every scale and the oracle row never checked a single key. The
+    * early-window cutoff yields real rows (823 at sf0.01, 8065 at
+    * sf0.1) while keeping the same EXCEPT plan shape.
+    */
   val u2Except = QueryDef("u2_except",
     (s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
-      val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1995-06-01"))
+        .select(col("o_custkey").as("k"))
       c.except(o).orderBy(col("k"))
     },
     Some("""
       |SELECT c_custkey AS k FROM customer
       |EXCEPT
       |SELECT o_custkey AS k FROM orders
+      |WHERE CAST(o_orderdate AS DATE) < DATE '1995-06-01'
       |ORDER BY k
       |""".stripMargin))
 
@@ -1564,7 +1573,13 @@ object CoreQueries {
         .agg(sum(col("bal_cents")).as("sum_c"), count(lit(1)).as("n_c"))
       cust
         .join(broadcast(st), col("bal_cents") * col("n_c") > col("sum_c"))
-        .join(t(s, dir, "orders").select(col("o_custkey")),
+        // anti-join against EARLY orders only: every customer has some
+        // order in the synthetic data, so the all-orders form returns 0
+        // rows at the sf0.01 gate (vacuous) — "no order before mid-1995"
+        // keeps the Q22 shape and yields 376 / 3709 qualifying customers
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate").cast("date") < lit("1995-06-01"))
+            .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("total_cents"))
@@ -1582,7 +1597,9 @@ object CoreQueries {
       |       CAST(SUM(bal_cents) AS BIGINT) AS total_cents
       |FROM cust, st
       |WHERE bal_cents * n_c > sum_c
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND CAST(o_orderdate AS DATE) < DATE '1995-06-01')
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment
       |""".stripMargin))
@@ -1973,7 +1990,10 @@ object CoreQueries {
     */
   val k4IntervalOverlap = QueryDef("k4_interval_overlap",
     (s, dir) => {
-      val win = 1800000000L // 30 min in micros
+      // 24 h in micros: 30-min windows produce ZERO overlapping pairs at
+      // the sf0.01 gate (vacuous oracle row); 24 h yields 7 pairs there
+      // and 512 at sf0.1 — real rows at every scale, same plan shape
+      val win = 86400000000L
       val ev = t(s, dir, "events")
         .filter(col("event_type") === "purchase" && col("user_id") % 199 === 0)
         .select(col("event_id"), expr("ts DIV 1000").as("lo"),
@@ -1992,7 +2012,7 @@ object CoreQueries {
     Some("""
       |WITH e AS (
       |  SELECT event_id, epoch_us(ts) AS lo,
-      |         epoch_us(ts) + 1800000000 AS hi
+      |         epoch_us(ts) + 86400000000 AS hi
       |  FROM events
       |  WHERE event_type = 'purchase' AND user_id % 199 = 0)
       |SELECT a.event_id AS id1, b.event_id AS id2,
@@ -2133,8 +2153,11 @@ object CoreQueries {
     * corpus-average share. The global total re-aggregates the SAME
     * per-part exchange the group-by produces, so Catalyst's ReuseExchange
     * runs ONE fact scan + ONE shuffle for both sides; the 1-row total then
-    * broadcasts into the filter. The threshold compares exact decimals
-    * (`pv * 1000 > tv`) — no double rounding on either engine.
+    * broadcasts into the filter. The threshold is SCALE-FREE — parts
+    * above 1.5× the average part value (`2·pv·n > 3·tv`, exact decimal ×
+    * long, no double rounding) — because a fixed corpus fraction (TPC-H's
+    * own 0.0001/SF acknowledges this) matches zero parts as the part
+    * count grows: 29 rows at sf0.01, 252 at sf0.1.
     */
   val q11ImportantParts = QueryDef("q11_important_parts",
     (s, dir) => {
@@ -2144,8 +2167,10 @@ object CoreQueries {
         .agg(sum(m2(col("l_extendedprice"))).cast(DecimalType(38, 2))
           .as("pv"))
       val total = byPart
-        .agg(sum(col("pv")).cast(DecimalType(38, 2)).as("tv"))
-      byPart.join(broadcast(total), col("pv") * 1000 > col("tv"))
+        .agg(sum(col("pv")).cast(DecimalType(38, 2)).as("tv"),
+          count(lit(1)).as("np"))
+      byPart.join(broadcast(total),
+          col("pv") * col("np") * 2 > col("tv") * 3)
         .select(col("l_partkey"), col("pv").cast(money).as("part_value"))
         .orderBy(col("part_value").desc, col("l_partkey"))
     },
@@ -2155,10 +2180,11 @@ object CoreQueries {
       |         CAST(SUM(${InvoiceView.m2Sql("l_extendedprice")})
       |              AS DECIMAL(38,2)) AS pv
       |  FROM lineitem GROUP BY l_partkey),
-      |tot AS (SELECT CAST(SUM(pv) AS DECIMAL(38,2)) AS tv FROM bp)
+      |tot AS (SELECT CAST(SUM(pv) AS DECIMAL(38,2)) AS tv,
+      |               COUNT(*) AS np FROM bp)
       |SELECT l_partkey,
       |       CAST(CAST(pv AS DECIMAL(18,2)) AS DOUBLE) AS part_value
-      |FROM bp, tot WHERE pv * 1000 > tv
+      |FROM bp, tot WHERE pv * np * 2 > tv * 3
       |ORDER BY part_value DESC, l_partkey
       |""".stripMargin))
 
