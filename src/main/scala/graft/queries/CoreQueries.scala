@@ -2022,6 +2022,62 @@ object CoreQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  /** U5 — INTERSECT ALL (multiplicity-preserving intersection, the set
+    * op [[u3Intersect]]'s distinct form doesn't cover): per key, the
+    * result multiplicity is min(count_left, count_right). Spark rewrites
+    * `intersectAll` to a count-balancing aggregate + generate — one
+    * shuffle per side, no join explosion.
+    */
+  val u5IntersectAll = QueryDef("u5_intersect_all",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") =!= "F").select(col("o_custkey"))
+        .intersectAll(
+          o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      |SELECT o_custkey, COUNT(*) AS n FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey
+      |""".stripMargin))
+
+  /** A8 — CUBE (the full grouping lattice; [[q8Rollup]] covers the
+    * prefix chain, [[a7GroupingSets]] the disjoint marginals). Same
+    * partial-first shape: Expand multiplies the 6-row finest-grain
+    * aggregate by 4 grouping sets, never the fact scan.
+    */
+  val a8Cube = QueryDef("a8_cube",
+    (s, dir) => {
+      import InvoiceView.m2
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n0"),
+          sum(m2(col("l_extendedprice"))).as("t0"))
+      base.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("n0")).as("n"),
+          sum(col("t0")).cast(money).as("total"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+          col("n"), col("total"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""
+      |SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+      |       COALESCE(l_linestatus, '<all>') AS l_linestatus,
+      |       COUNT(*) AS n,
+      |       CAST(CAST(SUM(${InvoiceView.m2Sql("l_extendedprice")}) AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag, l_linestatus
+      |""".stripMargin))
+
   /** W6 — RANGE-frame window (the frame class w2's ROWS cumulative sum
     * doesn't cover): per-user trailing 1-hour value sum ordered by event
     * time. RANGE includes peers, so rows sharing a timestamp get the
@@ -2207,5 +2263,6 @@ object CoreQueries {
     a6Stats, u3Intersect, q16SupplierDist, e3Interarrival, e4Attribution,
     q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
     k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
-    e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets)
+    e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
+    u5IntersectAll, a8Cube)
 }
