@@ -218,18 +218,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1)
   }
 
-  test("q8: rollup's Expand replicates the tiny partial, not the fact scan") {
-    // rollup multiplies its input by the number of grouping sets; fed the
-    // raw fact table that triples the scan volume — the Expand must sit
-    // ABOVE the finest-grain aggregate (in the printed tree: Expand
+  test("grouping family (rollup/sets/cube): Expand replicates the tiny partial, not the fact scan") {
+    // Expand multiplies its input by the number of grouping sets; fed the
+    // raw fact table that multiplies the scan volume — the Expand must
+    // sit ABOVE the finest-grain aggregate (in the printed tree: Expand
     // appears before, i.e. as a parent of, the first HashAggregate chain
     // whose child is the scan)
-    val p = plan("q8_rollup")
-    val expand = p.indexOf("Expand")
-    val scan = p.indexOf("Scan parquet")
-    assert(expand >= 0 && scan >= 0)
-    assert(p.lastIndexOf("HashAggregate", scan) > expand,
-      s"an aggregate must separate Expand from the scan:\n${p.take(1200)}")
+    for (q <- Seq("q8_rollup", "a7_grouping_sets", "a8_cube")) {
+      val p = plan(q)
+      val expand = p.indexOf("Expand")
+      val scan = p.indexOf("Scan parquet")
+      assert(expand >= 0 && scan >= 0, s"$q: missing Expand or scan")
+      assert(p.lastIndexOf("HashAggregate", scan) > expand,
+        s"$q: an aggregate must separate Expand from the scan:\n${p.take(1200)}")
+    }
   }
 
   test("declarative joins are runtime-bloom-filter eligible at scale") {
