@@ -61,11 +61,11 @@ object Dedup {
     // standard bloom sizing: m = -n ln(p) / (ln 2)^2
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val hashed = (df: DataFrame) =>
-      column(new XxHash64(Seq(expression(col(keyCol))), 42L))
+    // unresolved column expression — resolves against whichever side's
+    // plan it lands in (corpus aggregate / incoming filter)
+    def keyHash = new XxHash64(Seq(expression(col(keyCol))), 42L)
     val bloomBytes = corpus
-      .agg(column(new BloomFilterAggregate(
-        expression(hashed(corpus)),
+      .agg(column(new BloomFilterAggregate(keyHash,
         Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     // an empty corpus aggregates to a NULL bloom; might_contain(null, x)
@@ -75,7 +75,7 @@ object Dedup {
     val mightContain = column(new BloomFilterMightContain(
       Literal.create(bloomBytes,
         org.apache.spark.sql.types.BinaryType),
-      expression(hashed(incoming))))
+      keyHash))
     val definitelyNew = incoming.filter(!mightContain)
     val candidates = incoming.filter(mightContain)
     val confirmedNew = candidates.join(
