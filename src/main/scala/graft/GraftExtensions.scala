@@ -101,6 +101,10 @@ object GraftExtensions {
       |         sequence(1, size(graft_tokens(t)) - n + 1),
       |         i -> concat_ws(' ', slice(graft_tokens(t), i, n))))
       |  ELSE CAST(array() AS ARRAY<STRING>) END""",
+    // per-row HOF form — fine for ad-hoc SQL; its CASE branches
+    // re-tokenize per reference (conditional subtrees are excluded from
+    // codegen subexpression elimination), so bulk scans should use
+    // Dedup.repetitionStats, which projects the tokens once
     """CREATE OR REPLACE TEMPORARY FUNCTION repetition_ppm(t STRING, n INT)
       |RETURNS BIGINT
       |RETURN CASE WHEN size(graft_tokens(t)) - n + 1 > 0

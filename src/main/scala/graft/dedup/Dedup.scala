@@ -61,13 +61,35 @@ object Dedup {
     // standard bloom sizing: m = -n ln(p) / (ln 2)^2
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // Above ~2^31 bits (a 256 MB driver-held literal) the bloom stops
+    // being a sensible broadcast; building one that the clamp below
+    // would saturate anyway costs a corpus pass to divert nothing.
+    // The plain anti-join is strictly better there — same result.
+    if (numBits > (1L << 31))
+      return incoming.join(corpus.select(col(keyCol)), Seq(keyCol),
+        "left_anti")
     // unresolved column expression — resolves against whichever side's
     // plan it lands in (corpus aggregate / incoming filter)
     def keyHash = new XxHash64(Seq(expression(col(keyCol))), 42L)
-    val bloomBytes = corpus
-      .agg(column(new BloomFilterAggregate(keyHash,
-        Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    // Spark SILENTLY Math.min-clamps BloomFilterAggregate's sizing
+    // against the runtime-join-filter maxima (defaults 4M items / 64M
+    // bits = 8 MB): past ~9M keys the requested fpp is ignored and the
+    // filter saturates toward might_contain=true for everything. Raise
+    // the session clamps to our computed sizing for the build, restore
+    // after.
+    val conf = corpus.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = Seq(itemsKey, bitsKey).map(k => k -> conf.get(k))
+    val bloomBytes =
+      try {
+        conf.set(itemsKey, math.max(n, saved(0)._2.toLong).toString)
+        conf.set(bitsKey, math.max(numBits, saved(1)._2.toLong).toString)
+        corpus
+          .agg(column(new BloomFilterAggregate(keyHash,
+            Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+      } finally saved.foreach { case (k, v) => conf.set(k, v) }
     // an empty corpus aggregates to a NULL bloom; might_contain(null, x)
     // is null, which a filter would treat as FALSE on both branches and
     // silently drop the whole batch — the correct answer is "all new"

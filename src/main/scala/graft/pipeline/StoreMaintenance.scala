@@ -67,6 +67,38 @@ object StoreMaintenance {
     }
   }
 
+  /** Repair an interrupted [[compact]]/[[compactClustered]] swap. The
+    * swap has a window where the store path is ABSENT (old moved aside,
+    * new not yet moved in); a process kill there leaves the data intact
+    * but homeless in `<path>__compact_old`. Long-lived writers (the
+    * streaming ingest sink) must call this before probing the store —
+    * an existence check alone would misread the window as "no store
+    * yet" and silently restart history. Idempotent; also clears stray
+    * temp dirs from a kill mid-rewrite.
+    */
+  def recoverInterruptedCompaction(path: String): Unit = {
+    val p = Paths.get(path)
+    val tmp = p.resolveSibling(p.getFileName.toString + "__compact_tmp")
+    val aside = p.resolveSibling(p.getFileName.toString + "__compact_old")
+    if (!Files.exists(p) && Files.exists(aside))
+      Files.move(aside, p, StandardCopyOption.ATOMIC_MOVE)
+    else if (Files.exists(p) && Files.exists(aside))
+      deleteRecursive(aside) // swap completed; only the cleanup was lost
+    deleteRecursive(tmp)
+  }
+
+  /** Number of COMMITTED parquet part files (excludes `_temporary`
+    * staging from an in-flight or killed write).
+    */
+  def committedPartCount(path: String): Long = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).iterator().asScala
+      .count(f => f.getFileName.toString.startsWith("part-") &&
+        f.getFileName.toString.endsWith(".parquet") &&
+        !f.toString.contains("_temporary"))
+  }
+
   /** Shared rewrite-then-swap: build the new layout in a sibling temp
     * dir (never overwrite-while-reading), move the old store aside,
     * swap the temp in, delete the aside only once the swap held.

@@ -884,8 +884,8 @@ object CoreQueries {
       |ORDER BY name
       |""".stripMargin))
 
-  /** U2 — set difference on keys (EXCEPT DISTINCT semantics). */
-  /** U2 set difference, made NON-VACUOUS: every customer has SOME order
+  /** U2 — set difference on keys (EXCEPT DISTINCT semantics), made
+    * NON-VACUOUS: every customer has SOME order
     * in the synthetic data, so the unfiltered difference is empty at
     * every scale and the oracle row never checked a single key. The
     * early-window cutoff yields real rows (823 at sf0.01, 8065 at

@@ -373,8 +373,11 @@ object Similarity {
     * them into the existing `centroid_id=` partition directories. The
     * index stays probe-identical to a full rebuild over old ∪ new —
     * list membership is a pure function of (vector, centroids) and the
-    * centroids are immutable once written. Compact the hot lists with
-    * [[graft.pipeline.StoreMaintenance.compact]] on a cadence; re-train
+    * centroids are immutable once written. Compact the accreted small
+    * files with [[compactIvfIndex]] on a cadence — NOT the generic
+    * `StoreMaintenance.compact`, which would flatten the `centroid_id=`
+    * partition layout and drop the `_centroids` sidecar (parquet reads
+    * skip underscore paths, so the rewrite wouldn't carry it). Re-train
     * + rebuild only when drift degrades recall.
     */
   def appendToIvfIndex(df: DataFrame, idCol: String, vecCol: String,
@@ -383,6 +386,25 @@ object Similarity {
       df.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv")),
       "vec_id", "qv", readIvfCentroids(df.sparkSession, path))
       .write.partitionBy("centroid_id").mode("append").parquet(path)
+
+  /** Index-aware compaction: folds the small files [[appendToIvfIndex]]
+    * accretes back into size-targeted files while PRESERVING what makes
+    * the index an index — the `centroid_id=` partition directories
+    * (probe-time pruning) and the `_centroids` sidecar (reloaded before
+    * the rewrite, rewritten after, since parquet reads skip `_` paths
+    * and a generic compaction would silently drop it). Same crash-safe
+    * swap as `StoreMaintenance.compact`.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val cents = readIvfCentroids(spark, path) // k rows, survives the swap
+    val n = graft.pipeline.StoreMaintenance.compact(
+      spark, path, targetBytes, partitionBy = Seq("centroid_id"))
+    import spark.implicits._
+    cents.toDF("centroid_id", "qv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    n
+  }
 
   /** Multi-probe top-k against a persisted index: queries assign to
     * their `nprobe` nearest lists and the corpus side is the INDEX SCAN

@@ -59,7 +59,15 @@ object StreamingDedup {
       .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
     val inBatch = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val isFirst = !new java.io.File(storePath).exists()
+    // restart safety: a kill inside the cadence compaction's swap window
+    // leaves the store ABSENT (moved aside) — recover it BEFORE probing,
+    // or the replayed batch would silently restart dedup history from
+    // empty. And probe for COMMITTED parts, not directory existence: a
+    // kill during the first append leaves a dir holding only
+    // `_temporary`, which read.parquet can't even infer a schema from.
+    graft.pipeline.StoreMaintenance.recoverInterruptedCompaction(storePath)
+    val isFirst =
+      graft.pipeline.StoreMaintenance.committedPartCount(storePath) == 0L
     val fresh =
       if (isFirst) inBatch
       else {

@@ -213,7 +213,11 @@ class PlanAuditSpec extends SparkSpec {
     // the only Generate is the FINAL explode of the <=k-entry result map
     // (a parent of the aggregate, printed above it in the tree); an
     // explode feeding the aggregate would be a per-token expansion
-    assert(p.indexOf("Generate") < p.indexOf("ObjectHashAggregate"),
+    val gen = p.indexOf("Generate")
+    val agg = Seq(p.indexOf("ObjectHashAggregate"), p.indexOf("SortAggregate"))
+      .filter(_ >= 0).minOption.getOrElse(-1)
+    assert(gen >= 0 && agg >= 0, s"missing Generate or aggregate:\n${p.take(1200)}")
+    assert(gen < agg,
       s"explode must sit above the aggregate, not feed it:\n${p.take(1200)}")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1)
   }

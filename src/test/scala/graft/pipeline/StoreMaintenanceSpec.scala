@@ -61,4 +61,55 @@ class StoreMaintenanceSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("interrupted-compaction recovery: store restored from the aside dir") {
+    val base = java.nio.file.Files.createTempDirectory("graft-recover")
+    val store = s"$base/store"
+    (1 to 100).map(i => (i, s"v$i")).toDF("id", "v").write.parquet(store)
+
+    // simulate a kill INSIDE the swap window: old store moved aside,
+    // replacement never moved in
+    val aside = java.nio.file.Paths.get(s"$base/store__compact_old")
+    java.nio.file.Files.move(java.nio.file.Paths.get(store), aside)
+    assert(!new java.io.File(store).exists())
+
+    StoreMaintenance.recoverInterruptedCompaction(store)
+    assert(spark.read.parquet(store).count() == 100,
+      "the aside copy must move back in")
+    assert(!java.nio.file.Files.exists(aside))
+
+    // idempotent on a healthy store; stale aside after a COMPLETED swap
+    // is garbage-collected, never restored over live data
+    (101 to 120).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.mode("append").parquet(store)
+    java.nio.file.Files.createDirectories(aside)
+    StoreMaintenance.recoverInterruptedCompaction(store)
+    assert(spark.read.parquet(store).count() == 120)
+    assert(!java.nio.file.Files.exists(aside))
+  }
+
+  test("committedPartCount ignores _temporary staging debris") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tmpdbg")
+    val store = s"$base/store"
+    // a killed first write leaves ONLY staged files under _temporary
+    def stage(): Unit = {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$store/_temporary/0"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$store/_temporary/0/part-00000.parquet"),
+        "staged")
+    }
+    stage()
+    assert(StoreMaintenance.committedPartCount(store) == 0L,
+      "staged-only dir must read as empty store")
+    // clear the fake debris before a REAL append (Spark's committer owns
+    // _temporary during the write), then re-plant it: committed parts
+    // must count, staged ones must not
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$store/_temporary/0/part-00000.parquet"))
+    (1 to 10).map(i => (i, i)).toDF("a", "b")
+      .coalesce(1).write.mode("append").parquet(store)
+    stage()
+    assert(StoreMaintenance.committedPartCount(store) == 1L)
+  }
 }

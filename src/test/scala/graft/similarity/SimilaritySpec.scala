@@ -71,6 +71,18 @@ class IvfIndexSpec extends SparkSpec {
     val rebuilt = key(Similarity.ivfTopKFromIndex(
       spark, queries, "vec_id", "embedding", s"$base/full", 3, cents))
     assert(incremental == rebuilt)
+
+    // index-aware compaction preserves everything that makes it an
+    // index: sidecar centroids, centroid_id= partition layout, results
+    Similarity.compactIvfIndex(spark, s"$base/inc")
+    assert(Similarity.readIvfCentroids(spark, s"$base/inc") == cents,
+      "compaction must rewrite the _centroids sidecar")
+    assert(new java.io.File(s"$base/inc").listFiles()
+      .exists(_.getName.startsWith("centroid_id=")),
+      "compaction must keep the partition layout")
+    val afterCompact = key(Similarity.ivfTopKFromIndex(
+      spark, queries, "vec_id", "embedding", s"$base/inc", 3, cents))
+    assert(afterCompact == rebuilt)
   }
 }
 

@@ -94,8 +94,15 @@ class StreamingDedupSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0,
       "a content hash was inserted twice across batches")
     assert(afterP1 < want, "second pass must have added the new docs")
-    // the cadence compaction folded the per-batch appends back together
-    assert(graft.pipeline.StoreMaintenance.partFileCount(store) == 1,
-      "store should be compacted to one part at this size")
+    // the cadence compaction folded per-batch appends back together:
+    // strictly fewer parts than batches (each batch appends >=1 part,
+    // so without compaction parts >= batches). Batch count = landing
+    // part files, one per trigger — exact part layout of each append
+    // is not assumed
+    val batches = new java.io.File(s"$base/landing").listFiles()
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val parts = graft.pipeline.StoreMaintenance.partFileCount(store)
+    assert(parts < batches,
+      s"compaction never ran: $parts parts after $batches batches")
   }
 }
