@@ -457,7 +457,11 @@ object Dedup {
       Seq("s"), maxDf)
     c.join(b, "s")
       .groupBy(col("corpus_id").as(idCol))
-      .agg(count(lit(1)).as("contaminated_windows"),
+      // DISTINCT windows, not join rows: a single shared window that
+      // appears in several benchmark docs is ONE contaminated window —
+      // counting the (window, bench_doc) pairs would let one piece of
+      // sub-cap boilerplate cross minShared on its own
+      .agg(countDistinct(col("s")).as("contaminated_windows"),
         countDistinct(col("bench_id")).as("benchmark_docs"))
       .filter(col("contaminated_windows") >= minShared)
   }

@@ -103,10 +103,19 @@ case class LongArrayQuantize(child: Expression) extends UnaryExpression {
 object LongArrayQuantize {
   /** `round(v * 1000, 0)` as a long — the exact BigDecimal HALF_UP path
     * Spark's Round takes for DoubleType, then the double→long cast.
+    * Non-finite guard first: Spark's Round passes NaN/Infinity through
+    * unchanged and the long cast then maps NaN→0, ±Inf→Long.Min/Max —
+    * BigDecimal.valueOf would instead THROW on them, so one corrupted
+    * embedding element would abort a corpus-wide job.
     */
-  def quantizeOne(v: Double): Long =
-    java.math.BigDecimal.valueOf(v * 1000.0)
-      .setScale(0, java.math.RoundingMode.HALF_UP)
-      .doubleValue()
-      .toLong
+  def quantizeOne(v: Double): Long = {
+    val scaled = v * 1000.0
+    if (java.lang.Double.isNaN(scaled) ||
+        java.lang.Double.isInfinite(scaled)) scaled.toLong
+    else
+      java.math.BigDecimal.valueOf(scaled)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+        .toLong
+  }
 }

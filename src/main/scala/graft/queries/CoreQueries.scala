@@ -547,7 +547,7 @@ object CoreQueries {
   private def insertOnlyShared(s: SparkSession, dir: String): Merge.Result = {
     val m = Merge.insertOnly(existingInv(s, dir), incomingInv(s, dir),
       InvoiceRecord.pk)
-    insertOnlyCache.getOrElseUpdate(System.identityHashCode(s) + "|" + dir,
+    insertOnlyCache.getOrElseUpdate(org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir,
       { m.result.persist(); m.inserted.persist(); () })
     m
   }
@@ -563,7 +563,7 @@ object CoreQueries {
     val m = Merge.fullUpsert(existingInv(s, dir), incomingUpsert(s, dir),
       InvoiceRecord.pk,
       Seq("carrier_name", "invoice_date", "net_amount", "tax_amount", "total_amount"))
-    upsertShared.getOrElseUpdate(System.identityHashCode(s) + "|" + dir,
+    upsertShared.getOrElseUpdate(org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir,
       { m.result.persist(); () })
     m
   }
@@ -1631,7 +1631,10 @@ object CoreQueries {
       val dy = (col("n").cast(d38) * col("syy") -
         col("sy").cast(d38) * col("sy")).cast("double")
       agg.select(col("n"), col("sx").as("sum_x"), col("sy").as("sum_y"),
-        (num / (col("n") * col("n")).cast("double")).as("covariance"),
+        // n*n through decimal(38): long*long wraps past n ≈ 3.04e9 rows
+        // — exactly the corpus sizes this query's d38 sums exist for
+        (num / (col("n").cast(d38) * col("n")).cast("double"))
+          .as("covariance"),
         (num / (sqrt(dx) * sqrt(dy))).as("correlation"))
     },
     Some(s"""
@@ -1648,7 +1651,7 @@ object CoreQueries {
       |SELECT n, CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
       |       CAST(CAST(n AS DECIMAL(38,0)) * sxy
       |            - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
-      |         / CAST(n * n AS DOUBLE) AS covariance,
+      |         / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) AS covariance,
       |       CAST(CAST(n AS DECIMAL(38,0)) * sxy
       |            - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
       |         / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx

@@ -115,7 +115,7 @@ object InvoiceView {
     */
   private val shared = scala.collection.concurrent.TrieMap.empty[String, Unit]
   def ensureShared(s: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
-    shared.getOrElseUpdate(System.identityHashCode(s) + "|" + sfDir, {
+    shared.getOrElseUpdate(org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + sfDir, {
       val li = Tables.load(s, sfDir, "lineitem")
       uniq(li).persist()
       canonical(li).persist()

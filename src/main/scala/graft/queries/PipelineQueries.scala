@@ -359,7 +359,7 @@ object PipelineQueries {
       |st AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
       |ch AS (
       |  SELECT doc_id,
-      |         unnest(range(0, (n + 47) // 48)) AS chunk_idx,
+      |         unnest(range(0, GREATEST(n - 17, 0) // 48 + 1)) AS chunk_idx,
       |         tk, n
       |  FROM st)
       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
@@ -525,7 +525,7 @@ object PipelineQueries {
   private val ccMemo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def dupMembers(s: SparkSession, dir: String): DataFrame =
-    ccMemo.getOrElseUpdate(System.identityHashCode(s) + "|" + dir, {
+    ccMemo.getOrElseUpdate(org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
       val pairs = Dedup
         .jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3,
           Seq("lang", "source"))
@@ -629,10 +629,11 @@ object PipelineQueries {
       |  FROM toks),
       |c AS (SELECT doc_id, unnest(w) AS s FROM w8 WHERE source <> 'src0'),
       |b AS (SELECT doc_id AS bench_id, unnest(w) AS s FROM w8 WHERE source = 'src0')
-      |SELECT c.doc_id AS doc_id, COUNT(*) AS contaminated_windows,
+      |SELECT c.doc_id AS doc_id,
+      |       COUNT(DISTINCT s) AS contaminated_windows,
       |       COUNT(DISTINCT bench_id) AS benchmark_docs
       |FROM c JOIN b USING (s)
-      |GROUP BY c.doc_id HAVING COUNT(*) >= 2
+      |GROUP BY c.doc_id HAVING COUNT(DISTINCT s) >= 2
       |ORDER BY doc_id
       |""".stripMargin))
 

@@ -31,7 +31,12 @@ object TextAnalysis {
     * Chunk starts explode per document (no shuffle; row explosion stays
     * inside the scan stage) and the slice/concat run codegen'd.
     * Zero-token documents produce no chunks; a document shorter than
-    * one chunk produces exactly one.
+    * one chunk produces exactly one. A start only qualifies while it
+    * still adds tokens beyond the previous chunk's coverage
+    * (`start < n − overlap`): without that bound, any document whose
+    * final remnant fits inside the overlap emits a trailing chunk that
+    * is a strict SUBSET of the one before it — pure duplicate text
+    * injected into the training set.
     *
     * Returns (idCol, chunk_idx, chunk_tokens, chunk_text).
     */
@@ -45,7 +50,8 @@ object TextAnalysis {
     df.select(col(idCol), toks.as("__t"))
       .filter(size(col("__t")) > 0)
       .select(col(idCol),
-        posexplode(sequence(lit(0), size(col("__t")) - 1, lit(step)))
+        posexplode(sequence(lit(0),
+          greatest(size(col("__t")) - overlap - 1, lit(0)), lit(step)))
           .as(Seq("chunk_idx", "__start")),
         col("__t"))
       .select(col(idCol), col("chunk_idx"),

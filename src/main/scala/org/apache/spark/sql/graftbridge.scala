@@ -13,6 +13,18 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Collision-free cache key for a session. `identityHashCode` is NOT
+    * unique across a JVM's lifetime — a stopped session's hash can be
+    * reused by a new one, making a memo serve DataFrames bound to a dead
+    * session. The classic session's UUID is unique; the identity-hash
+    * fallback only applies to non-classic (connect) sessions, which this
+    * library's memos never see.
+    */
+  def sessionKey(s: SparkSession): String = s match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => "idhash-" + System.identityHashCode(other)
+  }
+
   /** Register an expression builder so the function is usable from SQL. */
   def registerFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =

@@ -61,10 +61,16 @@ class SamplingSpec extends SparkSpec {
     val lo = ids(lit(200000L)); val hi = ids(lit(600000L))
     assert(lo.subsetOf(hi), "same salt: higher weight keeps a superset")
     assert(lo.size < hi.size && hi.size < 500)
-    // per-row weights: a row's fate depends only on ITS weight
+    // per-row weights: a row's fate depends only on ITS weight — the
+    // kept set must equal, row for row, what the same CONSTANT weight
+    // keeps restricted to rows carrying that weight
     val perRow = ids(col("w7") * 200000L)
-    assert(perRow == ids(lit(1200000L)).intersect(perRow) -- Set.empty,
-      "sanity: per-row weighted set is well-defined")
+    val expected = (0 until 7).flatMap { w =>
+      val rowsWithW = (0L until 500L).filter(_ % 7 == w).toSet
+      ids(lit(w * 200000L)).intersect(rowsWithW)
+    }.toSet
+    assert(perRow == expected,
+      "per-row decision must match the constant-weight decision per row")
     assert(Sampling.weightedSample(df.repartition(13), "k",
       col("w7") * 200000L).select("k").as[Long].collect().toSet == perRow,
       "partition-independent")

@@ -100,6 +100,16 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.quantize(col("embedding")).as("q"))
     val q0 = df.as[Seq[Long]].head()
     assert(q0 == Seq(1000L, 0L, 0L, 500L))
+
+    // non-finite elements must degrade like Spark's round+cast (NaN→0,
+    // ±Inf→Long.Min/Max), never throw — one corrupt embedding element
+    // must not abort a corpus job
+    val dirty = Seq((1L, Seq(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity, 0.25f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.quantize(col("embedding")).as("q"))
+      .as[Seq[Long]].head()
+    assert(dirty == Seq(0L, Long.MaxValue, Long.MinValue, 250L), dirty)
   }
 
   test("brute-force top-k ranks the identical vector first, excludes self") {

@@ -74,11 +74,20 @@ class TextAnalysisSpec extends SparkSpec {
     val got = TextAnalysis.chunkRows(docs, "doc_id", "text", 4, 2)
       .orderBy("doc_id", "chunk_idx").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
-    // doc 1: step 2, starts 0,2,4,6,8 → 5 chunks; chunk 1 repeats t3 t4
-    assert(got.count(_._1 == 1L) == 5)
-    assert(got(0) == (1L, 0, 4, "t1 t2 t3 t4"))
-    assert(got(1) == (1L, 1, 4, "t3 t4 t5 t6"), "2-token lookback overlap")
-    assert(got.last == (1L, 4, 2, "t9 t10") || got.exists(_ == (2L, 0, 2, "a b")))
+    // doc 1: step 2, qualifying starts are < n − overlap = 8, so
+    // 0,2,4,6 → 4 chunks. A start at 8 would emit "t9 t10" — a strict
+    // subset of the chunk at 6 — which is exactly what the bound exists
+    // to prevent
+    val doc1 = got.filter(_._1 == 1L).toSeq
+    assert(doc1.size == 4, doc1)
+    assert(doc1(0) == (1L, 0, 4, "t1 t2 t3 t4"))
+    assert(doc1(1) == (1L, 1, 4, "t3 t4 t5 t6"), "2-token lookback overlap")
+    assert(doc1.last == (1L, 3, 4, "t7 t8 t9 t10"),
+      "final chunk must end at the last token without a subset tail")
+    // no chunk's token set is contained in another chunk of the same doc
+    val sets = doc1.map(_._4.split(" ").toSet)
+    assert(!sets.combinations(2).exists(p => p(0).subsetOf(p(1)) ||
+      p(1).subsetOf(p(0))), "subset chunk emitted")
     assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
     assert(!got.exists(_._1 == 3L), "empty docs chunk to nothing")
   }
