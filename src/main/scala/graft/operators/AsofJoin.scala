@@ -37,31 +37,39 @@ object AsofJoin {
 
   /** `left` columns plus `asof_<c>` for each requested right column.
     * `right` must be unique per (keys, rightTime).
+    *
+    * The carry is ONE struct of all right columns, not per-column LOCF:
+    * independent per-column `last(..., ignoreNulls)` would resurrect a
+    * stale value whenever the latest right row holds a null attribute —
+    * producing a hybrid of two right rows that never existed. A struct
+    * of nullable fields is itself non-null for every right row, so the
+    * whole LATEST row carries, nulls included.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     // common event-time axis + side tag; right rows sort FIRST on ties so
     // an equal-time right row is visible to the left row (<= semantics)
     val taggedRight = right.select(
-      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side")) ++
-        rightCols.map(c => col(c).as(s"asof_$c")) ++
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
+        struct(rightCols.map(col): _*).as("__r")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(s"__l_$c")): _*)
     val taggedLeft = left.select(
-      (keys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) ++
+      (keys.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast(rType).as("__r")) ++
         leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedRight.unionByName(taggedLeft)
-      .select(col("*") +: rightCols.map(c =>
-        last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"__carried_$c")): _*)
+      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-        rightCols.map(c => col(s"__carried_$c").as(s"asof_$c")): _*)
+        rightCols.map(c => col("__carried").getField(c).as(s"asof_$c")): _*)
   }
 
   /** [[asofJoin]] for SKEWED keys: identical semantics, but the row-level
@@ -87,14 +95,19 @@ object AsofJoin {
     def bucketOf(t: org.apache.spark.sql.Column) =
       (t - pmod(t, lit(bucketWidth))).divide(lit(bucketWidth)).cast("long")
 
+    // whole-row struct carry, same reason as [[asofJoin]]: per-column
+    // LOCF would blend attributes of different right rows on nulls
+    val rType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
+
     // last right row per (keys, bucket) — shuffles on the SALTED key
     val rightB = right.withColumn("__bucket", bucketOf(col(rightTime)))
     val wLast = Window.partitionBy((keys :+ "__bucket").map(col): _*)
       .orderBy(col(rightTime).desc)
     val lastPerBucket = rightB.withColumn("__rn", row_number().over(wLast))
       .filter(col("__rn") === 1)
-      .select((keys.map(col) :+ col("__bucket") :+ col(rightTime).as("__rt")) ++
-        rightCols.map(c => col(c).as(s"__last_$c")): _*)
+      .select(keys.map(col) :+ col("__bucket") :+
+        struct(rightCols.map(col): _*).as("__last"): _*)
 
     // bucket-level carry: for every bucket present on either side, the
     // last right row of any STRICTLY EARLIER bucket (window over one row
@@ -109,38 +122,33 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, -1)
     val carryIn = allBuckets
       .join(lastPerBucket, keys :+ "__bucket", "left")
-      .select((keys.map(col) :+ col("__bucket")) ++
-        rightCols.map(c =>
-          last(col(s"__last_$c"), ignoreNulls = true).over(wCarry)
-            .as(s"asof_$c")): _*)
+      .select((keys.map(col) :+ col("__bucket")) :+
+        last(col("__last"), ignoreNulls = true).over(wCarry).as("__r"): _*)
 
     // per-bucket union-LOCF: carry-in sorts before every real row in the
     // bucket (bucket start - 1 is outside the bucket's time range)
     val taggedCarry = carryIn.select(
       (keys.map(col) :+ col("__bucket") :+
-        (col("__bucket") * bucketWidth - 1).as("__t") :+ lit(0).as("__side")) ++
-        rightCols.map(c => col(s"asof_$c")) ++
+        (col("__bucket") * bucketWidth - 1).as("__t") :+ lit(0).as("__side") :+
+        col("__r")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(s"__l_$c")): _*)
     val taggedRight = rightB.select(
       (keys.map(col) :+ col("__bucket") :+ col(rightTime).as("__t") :+
-        lit(0).as("__side")) ++
-        rightCols.map(c => col(c).as(s"asof_$c")) ++
+        lit(0).as("__side") :+ struct(rightCols.map(col): _*).as("__r")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(s"__l_$c")): _*)
     val taggedLeft = left.select(
       (keys.map(col) :+ bucketOf(col(leftTime)).as("__bucket") :+
-        col(leftTime).as("__t") :+ lit(1).as("__side")) ++
-        rightCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) ++
+        col(leftTime).as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast(rType).as("__r")) ++
         leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")): _*)
     val w = Window.partitionBy((keys :+ "__bucket").map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedCarry.unionByName(taggedRight).unionByName(taggedLeft)
-      .select(col("*") +: rightCols.map(c =>
-        last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"__carried_$c")): _*)
+      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-        rightCols.map(c => col(s"__carried_$c").as(s"asof_$c")): _*)
+        rightCols.map(c => col("__carried").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -161,6 +161,32 @@ object Merge {
       .withColumn("action", coalesce(col("action"), lit(RecordAction.Insert)))
   }
 
+  /** J2 attribution for INSERT-ONLY merges. The insert-only merged view
+    * labels EVERY row `new` (kept existing rows included — J1's view
+    * contract), so [[attributeActions]]' status lookup would claim
+    * INSERT for incoming duplicates the merge actually skipped,
+    * contradicting the file log's inserted count. Attribute from the
+    * inserted slice instead: the FIRST incoming row (by ordinal) of an
+    * inserted PK is the INSERT; every other incoming row — existing PK,
+    * or a later in-batch duplicate of a new PK — left the store
+    * UNCHANGED.
+    */
+  def attributeInsertOnly(incoming: DataFrame, inserted: DataFrame,
+      pk: Seq[String], rowIndexCol: String = "row_index"): DataFrame = {
+    val hasOrd = incoming.columns.contains(rowIndexCol)
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(if (hasOrd) col(rowIndexCol) else monotonically_increasing_id())
+    val lhsCols = (pk ++ Seq(rowIndexCol).filter(_ => hasOrd)).map(col)
+    incoming.select(lhsCols: _*)
+      .withColumn("__rn", row_number().over(w))
+      .join(inserted.select(pk.map(col): _*).distinct()
+        .withColumn("__ins", lit(1)), pk, "left")
+      .withColumn("action",
+        when(col("__ins").isNotNull && col("__rn") === 1, RecordAction.Insert)
+          .otherwise(RecordAction.Unchanged))
+      .drop("__rn", "__ins")
+  }
+
   /** J5 — lenient re-parse of the consolidated side: rows that fail
     * validation are silently dropped from the merge probe set (they survive
     * physically in the append-only sink) — consolidate_invoices.py:577-587.

@@ -48,6 +48,14 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int = 16, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `factor` null-padded copies of every
+    // unmatched small-side row (one per surviving replica) — the exact-
+    // rows guarantee only holds where unmatched REPLICATED rows drop out
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi",
+        "leftanti").contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin: '$joinType' preserves unmatched replicated rows — " +
+        "the small side would duplicate; use the plain join for " +
+        "right/full outer")
     val saltedBig = big.withColumn("__salt", salt(factor))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))

@@ -64,30 +64,23 @@ object AppConfig {
         landingDir = s"$root/${drive.sourcePath}",
         consolidatedPath = s"$root/${drive.consolidatedPath}/" +
           drive.consolidatedFilename.replaceAll("\\.xlsx$", ".parquet"),
-        auditDir = s"$root/${Paths.get(tracking.dbPath).getParent}",
+        // getParent is null for a bare filename ("etl_tracking.db") —
+        // interpolating it would create a directory literally named
+        // "null"; a parentless db path means audit tables live at root
+        auditDir = Option(Paths.get(tracking.dbPath).getParent)
+          .map(p => s"$root/$p").getOrElse(root),
         lifecycleDir = s"$root/${drive.backupPath}",
         mergeMode = mergeMode,
         dateFormat = excel.dateFormat)
   }
 
-  val DefaultExpectedColumns: Seq[String] = Seq(
-    "N° Factura", "Empresa Transporte", "Nave", "Órdenes de Embarque",
-    "Guías de Despacho", "Total Servicio ($)", "Fecha Emisión",
-    "Fecha Recepción Digital", "Aprobado por:", "Estado Operaciones",
-    "Fecha Aprobación Operaciones")
+  // SheetConfig owns the header contract — aliased, not re-declared, so
+  // a header change has exactly one home
+  val DefaultExpectedColumns: Seq[String] =
+    graft.domain.SheetConfig.expectedColumns
 
-  val DefaultColumnMapping: Seq[(String, String)] = Seq(
-    "N° Factura" -> "invoice_number",
-    "Empresa Transporte" -> "carrier_name",
-    "Nave" -> "ship_name",
-    "Órdenes de Embarque" -> "reference_number",
-    "Guías de Despacho" -> "dispatch_guides",
-    "Total Servicio ($)" -> "total_amount",
-    "Fecha Emisión" -> "invoice_date",
-    "Fecha Recepción Digital" -> "fecha_recepcion_digital",
-    "Aprobado por:" -> "aprobado_por",
-    "Estado Operaciones" -> "estado_operaciones",
-    "Fecha Aprobación Operaciones" -> "fecha_aprobacion_operaciones")
+  val DefaultColumnMapping: Seq[(String, String)] =
+    graft.domain.SheetConfig.columnMapping
 
   /** Load + validate (config.py:105-131: required sections google, drive,
     * email; FileNotFoundError on a missing path).

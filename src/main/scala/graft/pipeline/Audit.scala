@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -61,8 +62,12 @@ object Audit {
     def records: DataFrame = read("record_log")
 
     private def read(t: String): DataFrame =
-      try spark.read.parquet(path(t))
-      catch { case _: Throwable => emptyFor(t) }
+      // ONLY a missing table (first run) reads as empty. Corruption or
+      // transient IO failure must propagate: substituting an empty frame
+      // there would answer "no history" to the J4 probe and silently
+      // re-merge every completed file.
+      if (!Files.exists(Paths.get(path(t)))) emptyFor(t)
+      else spark.read.parquet(path(t))
 
     private def emptyFor(t: String): DataFrame = t match {
       case "execution_runs" => spark.emptyDataset[ExecutionRun].toDF()

@@ -94,14 +94,18 @@ object ConsolidationPipeline {
 
     val landing = Paths.get(cfg.landingDir)
     val files: Seq[Path] =
-      if (Files.isDirectory(landing))
-        Files.list(landing).iterator().asScala
+      if (Files.isDirectory(landing)) {
+        // close the directory stream: each leaked one holds an fd, and a
+        // scheduler-hosted driver runs this every few minutes for years
+        val st = Files.list(landing)
+        try st.iterator().asScala
           .filter(p => Files.isRegularFile(p) &&
             (p.toString.endsWith(".csv") || p.toString.endsWith(".xlsx")))
           .toSeq
           // S1/O1: newest first by modification time
           .sortBy(p => -Files.getLastModifiedTime(p).toMillis)
-      else Seq.empty
+        finally st.close()
+      } else Seq.empty
 
     var outcomes = Vector.empty[Report.FileOutcome]
     var allErrors = Vector.empty[String]
@@ -123,15 +127,26 @@ object ConsolidationPipeline {
       } else {
         val fileLogId = UUID.randomUUID().toString
         val fStart = new Timestamp(System.currentTimeMillis())
+        // tracks the moved file so every failure path can put it back in
+        // landing — the J4 probe's "errored files reprocess" answer is
+        // useless if the bytes are stranded in En Proceso/
+        var inProcessOpt: Option[Path] = None
+        def returnFailedToLanding(): Unit = {
+          inProcessOpt.foreach(p => lifecycle.returnToLanding(p, landing))
+          inProcessOpt = None
+        }
         try {
           val inProcess = lifecycle.moveToInProcess(file)
+          inProcessOpt = Some(inProcess)
           val outcome = processFile(spark, cfg, tracker, lifecycle, runId,
             fileLogId, fileName, mtime, fStart, inProcess)
           lifecycle.moveToBackup(inProcess)
+          inProcessOpt = None
           outcomes :+= outcome
           allErrors ++= outcome.errorDetail
         } catch {
           case e: StoreRollbackException =>
+            returnFailedToLanding()
             // run-level failure: the restore rewound EVERY merge of this
             // run, so (a) supersede this run's COMPLETED file logs so the
             // J4 probe reprocesses those files next run, (b) abort the
@@ -150,6 +165,7 @@ object ConsolidationPipeline {
             allErrors :+= s"$fileName: ${e.getMessage}"
             rolledBack = true
           case e: SchemaValidationException =>
+            returnFailedToLanding()
             tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,
               schema_valid = false, e.missing, e.extra, 0, 0, 0,
               "SCHEMA_ERROR", fStart, Some(now())))
@@ -157,6 +173,7 @@ object ConsolidationPipeline {
               0, 0, 0, 0, 0, 0, BigDecimal(0), Seq(e.getMessage))
             allErrors :+= s"$fileName: ${e.getMessage}"
           case NonFatal(e) =>
+            returnFailedToLanding()
             tracker.logFile(Audit.FileLog(runId, fileLogId, fileName, mtime,
               schema_valid = true, Nil, Nil, 0, 0, 0,
               "ERROR", fStart, Some(now())))
@@ -292,8 +309,14 @@ object ConsolidationPipeline {
     val insertedCount = inserted.count()
 
     // J2 + S8 — record-level lineage: merge actions for valid rows,
-    // VALIDATION_ERROR rows from the split side-channel
-    val attributed = Merge.attributeActions(valid, mResult, InvoiceRecord.pk)
+    // VALIDATION_ERROR rows from the split side-channel. Insert-only
+    // attribution comes from the inserted slice (the merged view labels
+    // kept rows `new` too, which would misreport skipped duplicates as
+    // INSERT and contradict the file log's inserted count).
+    val attributed = (cfg.mergeMode match {
+      case "upsert" => Merge.attributeActions(valid, mResult, InvoiceRecord.pk)
+      case _ => Merge.attributeInsertOnly(valid, inserted, InvoiceRecord.pk)
+    }).localCheckpoint()
     val errDf = errors.select(col("row_index"), col("invoice_number"),
       lit(null).cast("string").as("reference_number"),
       lit(RecordAction.ValidationError).as("action"),
@@ -301,8 +324,15 @@ object ConsolidationPipeline {
     tracker.logRecords(runId, fileLogId,
       attributed.unionByName(errDf, allowMissingColumns = true))
 
-    val counters = mResult.groupBy("status").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-file counters mirror the record_log actions: in insert-only
+    // mode the merged-view statuses are all `new` (whole-store counts,
+    // not this file's), so count the attribution instead
+    val counters: Map[String, Long] = cfg.mergeMode match {
+      case "upsert" => mResult.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      case _ => Map("unchanged" -> attributed
+        .filter(col("action") === RecordAction.Unchanged).count())
+    }
     val srcTotal = Reconcile.decimalTotal(valid, "total_amount")
 
     // S7 semantics — the store mutation happens LAST: append only the

@@ -14,15 +14,9 @@ import graft.functions.invoice_number_as_int
   */
 object Egress {
 
-  /** Column → (number format, horizontal alignment) — the reference's
-    * COLUMN_FORMATS map, kept as metadata for the egress formatter.
-    */
-  val ColumnFormats: Map[String, (String, String)] = Map(
-    "N° Factura" -> ("0", "center"),
-    "Total Servicio ($)" -> ("\"$\"#,##0", "right"),
-    "Fecha Emisión" -> ("dd/mm/yyyy", "center"),
-    "Fecha Recepción Digital" -> ("dd/mm/yyyy", "center"),
-    "Fecha Aprobación Operaciones" -> ("dd/mm/yyyy", "center"))
+  // (the reference's COLUMN_FORMATS presentation metadata lives with the
+  // writer that applies it: XlsxEgress.ConsolidatedFormats — a second
+  // copy here had already drifted from it and was referenced nowhere)
 
   /** Canonical fields → the 12 consolidated Spanish headers. `total_amount`
     * renders as double (the reference writes float), invoice number as

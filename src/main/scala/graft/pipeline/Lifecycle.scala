@@ -24,8 +24,9 @@ final class Lifecycle(baseDir: String, now: () => LocalDateTime = () => LocalDat
   def cleanDownloads(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p))
-      Files.list(p).iterator().asScala.filter(Files.isRegularFile(_))
-        .foreach(Files.delete)
+      scala.util.Using.resource(Files.list(p))(
+        _.iterator().asScala.filter(Files.isRegularFile(_))
+          .foreach(Files.delete))
     else Files.createDirectories(p)
   }
 
@@ -85,7 +86,8 @@ final class Lifecycle(baseDir: String, now: () => LocalDateTime = () => LocalDat
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p)) {
       if (Files.isDirectory(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        scala.util.Using.resource(Files.walk(p))(
+          _.iterator().asScala.toSeq.reverse.foreach(Files.delete))
       else Files.delete(p)
     }
 
@@ -101,6 +103,19 @@ final class Lifecycle(baseDir: String, now: () => LocalDateTime = () => LocalDat
     dst
   }
 
+  /** Return a file from `En Proceso/` to the landing dir. Called when
+    * per-file processing FAILS: the J4 probe answers "reprocess" for an
+    * errored file, but the probe only helps if the bytes are physically
+    * back where the next run lists — left in `En Proceso/` the file
+    * would be stranded forever and its rows silently lost.
+    */
+  def returnToLanding(inProcess: Path, landingDir: Path): Path = {
+    Files.createDirectories(landingDir)
+    val dst = landingDir.resolve(inProcess.getFileName)
+    Files.move(inProcess, dst, StandardCopyOption.REPLACE_EXISTING)
+    dst
+  }
+
   /** Final archival: `En Proceso/` → the run's backup folder. */
   def moveToBackup(file: Path): Path = {
     val dir = backupDir.getOrElse(initBackupFolder())
@@ -111,7 +126,7 @@ final class Lifecycle(baseDir: String, now: () => LocalDateTime = () => LocalDat
 
   private def copyRecursive(src: Path, dst: Path): Unit =
     if (Files.isDirectory(src)) {
-      Files.walk(src).iterator().asScala.toSeq.foreach { p =>
+      scala.util.Using.resource(Files.walk(src))(_.iterator().asScala.toSeq).foreach { p =>
         val t = dst.resolve(src.relativize(p).toString)
         if (Files.isDirectory(p)) Files.createDirectories(t)
         else {

@@ -26,9 +26,10 @@ object StoreMaintenance {
   def partFileCount(path: String): Long = {
     val p = Paths.get(path)
     if (!Files.exists(p)) 0L
-    else Files.walk(p).iterator().asScala
-      .count(f => f.getFileName.toString.startsWith("part-") &&
-        f.getFileName.toString.endsWith(".parquet"))
+    else scala.util.Using.resource(Files.walk(p))(
+      _.iterator().asScala
+        .count(f => f.getFileName.toString.startsWith("part-") &&
+          f.getFileName.toString.endsWith(".parquet")))
   }
 
   /** Rewrite the store into `ceil(bytes / targetBytes)` files (min 1),
@@ -93,10 +94,11 @@ object StoreMaintenance {
   def committedPartCount(path: String): Long = {
     val p = Paths.get(path)
     if (!Files.exists(p)) 0L
-    else Files.walk(p).iterator().asScala
-      .count(f => f.getFileName.toString.startsWith("part-") &&
-        f.getFileName.toString.endsWith(".parquet") &&
-        !f.toString.contains("_temporary"))
+    else scala.util.Using.resource(Files.walk(p))(
+      _.iterator().asScala
+        .count(f => f.getFileName.toString.startsWith("part-") &&
+          f.getFileName.toString.endsWith(".parquet") &&
+          !f.toString.contains("_temporary")))
   }
 
   /** Shared rewrite-then-swap: build the new layout in a sibling temp
@@ -108,8 +110,9 @@ object StoreMaintenance {
       build: (org.apache.spark.sql.DataFrame, Int, String) => Unit): Long = {
     val p = Paths.get(path)
     if (!Files.exists(p)) return -1L
-    val bytes = Files.walk(p).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    val bytes = scala.util.Using.resource(Files.walk(p))(
+      _.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size).sum)
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
     val tmp = p.resolveSibling(p.getFileName.toString + "__compact_tmp")
@@ -146,5 +149,6 @@ object StoreMaintenance {
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(p))(
+        _.iterator().asScala.toSeq).reverse.foreach(Files.delete)
 }

@@ -134,10 +134,21 @@ object XlsxEgress {
         "sheetData no reconocido (¿prefijo de namespace?)")
     entries(sheetName) = updated.getBytes(StandardCharsets.UTF_8)
 
-    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    // temp-and-swap, never truncate-in-place: FileOutputStream(path)
+    // zeroes the workbook before the first byte lands, so a crash or
+    // disk-full mid-write would destroy every existing row (plus the
+    // images/styles this codec promises to preserve). Write a sibling
+    // temp fully, then atomically move it over the original.
+    val target = java.nio.file.Paths.get(path)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".__tmp")
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(tmp.toFile)))
     try entries.foreach { case (name, bytes) =>
       zos.putNextEntry(new ZipEntry(name)); zos.write(bytes); zos.closeEntry()
     } finally zos.close()
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** (last populated row number, per-column-letter style index of that
@@ -148,6 +159,11 @@ object XlsxEgress {
     val rowRe = """<row r="(\d+)"""".r
     val maxRow = rowRe.findAllMatchIn(sheetXml).map(_.group(1).toInt)
       .foldLeft(0)(math.max)
+    // OOXML allows writers to omit the optional r= (the ingress side
+    // handles those); appending numbered rows AFTER unnumbered ones
+    // would collide at r=1..n and corrupt the workbook — fail loud
+    require(maxRow > 0 || !sheetXml.contains("<row"),
+      "hoja con filas sin atributo r=: no se puede anexar con seguridad")
     if (maxRow == 0) return (0, Map.empty)
     val lastRowBody = {
       val start = sheetXml.indexOf(s"""<row r="$maxRow"""")

@@ -22,6 +22,26 @@ class AsofJoinSpec extends SparkSpec {
       (2L, 100L, null))) // other key's rows invisible
   }
 
+  test("null attribute in the latest right row carries AS NULL — no stale resurrection") {
+    // right rows: (t=1, a=5, b=10) then (t=2, a=null, b=20). The match
+    // for a left row at t=3 is the WHOLE t=2 row → (null, 20); per-column
+    // LOCF would resurrect a=5 and emit a hybrid row that never existed
+    val left = Seq((1L, 3L, "x")).toDF("k", "t", "name")
+    val right = Seq((1L, 1L, Some(5L), Some(10L)), (1L, 2L, None, Some(20L)))
+      .toDF("k", "t", "a", "b")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("a", "b"))
+      .collect().map(r =>
+        (Option(r.getAs[java.lang.Long]("asof_a")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("asof_b")).map(_.toLong)))
+    assert(out.toSeq == Seq((None, Some(20L))), out.toSeq)
+    val salted = AsofJoin.asofJoinSalted(left, right, Seq("k"), "t", "t",
+      Seq("a", "b"), bucketWidth = 10)
+      .collect().map(r =>
+        (Option(r.getAs[java.lang.Long]("asof_a")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("asof_b")).map(_.toLong)))
+    assert(salted.toSeq == Seq((None, Some(20L))), salted.toSeq)
+  }
+
   test("dedupeRight keeps max tiebreak per (key, time)") {
     val right = Seq((1L, 10L, 7L), (1L, 10L, 9L), (1L, 20L, 1L)).toDF("k", "t", "id")
     val d = AsofJoin.dedupeRight(right, Seq("k"), "t", "id")

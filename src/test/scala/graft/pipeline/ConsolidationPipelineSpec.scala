@@ -463,16 +463,23 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(!tracker.isFileProcessed("a.csv", aMtime),
       "rolled-back file must reprocess next run")
 
-    // run 3: the same a.csv (same mtime) re-merges — no silent loss
+    // the file that failed (b.csv) must be physically BACK in landing —
+    // stranded in En Proceso/ its rows would be lost forever even though
+    // the J4 probe answers "reprocess"
+    assert(Files.exists(Paths.get(s"$base/landing/b.csv")),
+      "errored file must return to landing for retry")
+
+    // run 3: the same a.csv (same mtime) re-merges AND the returned
+    // b.csv retries successfully — no silent loss of either file
     val fa2 = writeSimpleWorkbook(s"$base/landing", "a.csv", Seq(r1))
     Files.setLastModifiedTime(fa2,
       java.nio.file.attribute.FileTime.fromMillis(1700000060000L))
     val rep3 = ConsolidationPipeline.run(spark, c)
     assert(rep3.status == "SUCCESS", rep3.toString)
-    assert(rep3.inserted == 1)
+    assert(rep3.inserted == 2, rep3.toString)
     val finalSet = spark.read.parquet(c.consolidatedPath)
       .select("invoice_number").collect().map(_.getString(0)).toSet
-    assert(finalSet == Set("FAC-003", "FAC-001"))
+    assert(finalSet == Set("FAC-003", "FAC-001", "FAC-002"))
   }
 
   test("NO_FILES: empty landing dir → NO_FILES status, zero inserts") {
