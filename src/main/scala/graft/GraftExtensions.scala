@@ -75,7 +75,8 @@ object GraftExtensions {
       |RETURNS INT RETURN length(regexp_replace(t, '[a-zA-Z0-9\\s]', ''))""",
     s"""CREATE OR REPLACE TEMPORARY FUNCTION quality_score(t STRING)
       |RETURNS BIGINT
-      |RETURN least(100, token_count(t))
+      |RETURN CASE WHEN t IS NULL THEN NULL ELSE 0 END
+      |  + least(100, token_count(t))
       |  + CASE WHEN token_count(t) > 0
       |         THEN least(100, CAST(floor(
       |           size(array_intersect(graft_tokens(t), array($enWords,$esWords)))

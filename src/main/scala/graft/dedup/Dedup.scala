@@ -51,6 +51,11 @@ object Dedup {
     *
     * `expectedCorpusKeys` sizes the filter; pass the store's footer row
     * count ([[graft.queries.Tables.rowCount]]), never a `count()`.
+    *
+    * `incoming` is referenced TWICE (once per branch of the union) —
+    * callers whose incoming side is expensive to recompute should
+    * materialize it first (`localCheckpoint`), as the streaming ingest
+    * sink does.
     */
   def bloomNewRows(corpus: DataFrame, incoming: DataFrame, keyCol: String,
       expectedCorpusKeys: Long, fpp: Double = 0.03): DataFrame = {
@@ -246,13 +251,23 @@ object Dedup {
     * to get candidate pairs.
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame =
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0,
+      s"need positive banding: bands=$bands rowsPerBand=$rowsPerBand")
+    // INCOMPLETE bands (slicing past the signature end) must not emit: a
+    // short slice renders the same band_sig for every document — "" when
+    // fully past the end — and that band's equality join silently
+    // degenerates into the all-pairs cross product banding exists to
+    // avoid. Emit null for them and drop after the explode.
     df.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("-", transform(
-            slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")))))
+          b => when(size(col(sigCol)) >= (b + 1) * rowsPerBand,
+            concat_ws("-", transform(
+              slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))))))
       .as(Seq("band_idx", "band_sig")))
+      .filter(col("band_sig").isNotNull)
+  }
 
   /** Candidate near-dup pairs from LSH: docs sharing any band, id1 < id2,
     * with the estimated Jaccard = matching signature positions / k.

@@ -110,8 +110,10 @@ object DupClusters {
     * policy a dedup pass applies after transitive closure.
     *
     * One hash aggregate keyed on cluster_id: the argmax rides a
-    * `max(struct(n_tokens, -id))` so no window/sort shuffle is paid and
-    * ties break deterministically toward the smallest id.
+    * `min(struct(-n_tokens, id))` so no window/sort shuffle is paid and
+    * ties break deterministically toward the smallest id. Only the
+    * TOKEN COUNT is negated (always numeric) — negating the id would
+    * break for string document ids (URLs/UUIDs, the common crawl case).
     */
   def canonicalPerCluster(members: DataFrame, docs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
@@ -122,11 +124,11 @@ object DupClusters {
     withTok.groupBy(col("cluster_id"))
       .agg(
         count(lit(1)).as("cluster_size"),
-        max(struct(col("n_tokens"), (-col("id")).as("neg_id")))
-          .as("best"))
+        min(struct((-col("n_tokens")).as("neg_tokens"), col("id"),
+          col("n_tokens"))).as("best"))
       .select(col("cluster_id"),
         col("cluster_size"),
-        (-col("best.neg_id")).as("keep_id"),
+        col("best.id").as("keep_id"),
         col("best.n_tokens").as("keep_tokens"))
   }
 }

@@ -66,12 +66,18 @@ object Multimodal {
         case "audio" => "wav"
         case _ => "mp4"
       })
+    // `max 1` guards empty content like frames() below — one zero-byte
+    // blob in the corpus must not kill the job with a division by zero
     def features(kind: String, bytes: Array[Byte], dims: Int): Array[Float] =
-      Array.tabulate(dims)(i => ((b(bytes, i % bytes.length) - 128) / 128.0f))
+      Array.tabulate(dims)(i =>
+        ((b(bytes, i % (bytes.length max 1)) - 128) / 128.0f))
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val out = new Array[Byte]((w * h) min 4096)
       var i = 0
-      while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+      while (i < out.length) {
+        out(i) = if (bytes.isEmpty) 0 else bytes(i % bytes.length)
+        i += 1
+      }
       out
     }
     def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
@@ -135,8 +141,10 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(
         col("doc_id").as("media_id"),
+        // pmod, not %: Spark's % preserves sign, so a negative doc_id
+        // would index 0 (runtime error) or -1 (silently the wrong kind)
         element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
         unhex(md5(col("text").cast("binary"))).as("content"))
       .as[MediaItem]
   }

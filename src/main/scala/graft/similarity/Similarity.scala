@@ -361,12 +361,29 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/_centroids")
   }
 
-  /** The centroids a persisted index was built with (k rows — bounded). */
+  /** The centroids a persisted index was built with (k rows — bounded).
+    * Falls back to — and restores from — the sibling backup a crashed
+    * [[compactIvfIndex]] leaves behind (the compaction swap rewrites the
+    * store dir, and the in-dir sidecar is the last thing re-written).
+    */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(Int, Seq[Long])] =
-    spark.read.parquet(s"$path/_centroids").collect()
+      path: String): Seq[(Int, Seq[Long])] = {
+    val sidecar = java.nio.file.Paths.get(s"$path/_centroids")
+    val backup = centroidsBackupPath(path)
+    if (!java.nio.file.Files.exists(sidecar) &&
+        java.nio.file.Files.exists(backup)) {
+      spark.read.parquet(backup.toString).coalesce(1)
+        .write.mode("overwrite").parquet(sidecar.toString)
+    }
+    spark.read.parquet(sidecar.toString).collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq)
       .sortBy(_._1).toSeq
+  }
+
+  private def centroidsBackupPath(path: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(path)
+    p.resolveSibling(p.getFileName.toString + "__centroids_backup")
+  }
 
   /** Incremental index maintenance: assign NEW vectors with the index's
     * own stored centroids (scan-stage projection, no shuffle) and append
@@ -397,12 +414,22 @@ object Similarity {
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import spark.implicits._
     val cents = readIvfCentroids(spark, path) // k rows, survives the swap
+    // the swap rewrite drops `_centroids` (parquet reads skip `_` paths)
+    // and the in-dir sidecar is only re-written AFTER the swap — a crash
+    // in between would lose the centroids FOREVER (re-deriving different
+    // ones silently corrupts list membership). Persist a SIBLING backup
+    // first; readIvfCentroids restores from it if the crash wins.
+    val backup = centroidsBackupPath(path)
+    cents.toDF("centroid_id", "qv").coalesce(1)
+      .write.mode("overwrite").parquet(backup.toString)
     val n = graft.pipeline.StoreMaintenance.compact(
       spark, path, targetBytes, partitionBy = Seq("centroid_id"))
-    import spark.implicits._
     cents.toDF("centroid_id", "qv").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
+    // sidecar re-established — the backup has served its purpose
+    org.apache.hadoop.fs.FileUtil.fullyDelete(backup.toFile)
     n
   }
 

@@ -86,10 +86,13 @@ object ConsolidationStream {
 
     Reconcile.check(valid, m.result, InvoiceRecord.pk, "total_amount")
 
-    val storeCols = store.columns
     val present = m.inserted.columns.toSet
-    m.inserted.select(storeCols.map(c =>
-        if (present.contains(c)) col(c) else lit(null).cast("string").as(c)).toSeq: _*)
+    // missing columns fill with a null of the STORE field's own type —
+    // a string-typed null column appended into a decimal/timestamp store
+    // would make every later read fail on schema merge
+    m.inserted.select(store.schema.fields.map(f =>
+        if (present.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
       .write.mode(SaveMode.Append).parquet(cfg.consolidatedPath)
 
     // error channel → audit dir, tagged with the batch id
@@ -130,12 +133,18 @@ object ConsolidationStream {
           val pinned = batch
             .withColumn("row_index", monotonically_increasing_id())
             .localCheckpoint()
-          val valid = Validate.split(pinned).valid
+          val split = Validate.split(pinned)
+          val valid = split.valid
           val store = readScd2Store(s, cfg.consolidatedPath, valid.schema)
           val m = Merge.scd2Upsert(store, valid, InvoiceRecord.pk,
             changeFields, batchTs = batchId + 1)
           val out = m.result.localCheckpoint() // store is overwritten next
           out.write.mode(SaveMode.Overwrite).parquet(cfg.consolidatedPath)
+          // errors are DATA here too (same contract as processBatch):
+          // silently dropping the invalid rows would make SCD2 and batch
+          // runs unreconcilable and lose the audit trail
+          split.errors.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(cfg.errorDir)
         }
       }
       .start()

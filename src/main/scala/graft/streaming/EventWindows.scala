@@ -151,7 +151,15 @@ object EventWindows {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.event_time_us - s.last_us <= gapUs =>
-                  cur = Some(s.copy(last_us = e.event_time_us, events = s.events + 1))
+                  // min/max, not overwrite: an out-of-order event from a
+                  // lagging partition (late but inside the watermark) can
+                  // arrive with time < last_us — overwriting would move
+                  // the session end BACKWARD (end < start) and make the
+                  // next on-time event falsely split the session
+                  cur = Some(s.copy(
+                    start_us = math.min(s.start_us, e.event_time_us),
+                    last_us = math.max(s.last_us, e.event_time_us),
+                    events = s.events + 1))
                 case Some(s) =>
                   closed ::= Session(userId, s.start_us, s.last_us, s.events)
                   cur = Some(SessionState(e.event_time_us, e.event_time_us, 1))

@@ -57,8 +57,13 @@ object StreamingDedup {
     val spark = batch.sparkSession
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    // materialize the deduped batch ONCE: bloomNewRows references its
+    // incoming side twice (definite-new filter + candidate filter), so
+    // without the barrier the source read and this dedup-window shuffle
+    // would run twice per micro-batch
     val inBatch = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
     // restart safety: a kill inside the cadence compaction's swap window
     // leaves the store ABSENT (moved aside) — recover it BEFORE probing,
     // or the replayed batch would silently restart dedup history from

@@ -105,7 +105,13 @@ object TextAnalysis {
       least(lit(100), floor(stopHits * 500 / nTok).cast("int"))).otherwise(0)
     val punctScore = lit(100) - when(nChr > 0,
       least(lit(100), floor(punctCount(text) * 300 / nChr).cast("int"))).otherwise(0)
-    (lenScore + stopScore + punctScore).cast("long")
+    // NULL text scores NULL, not 200: least()/when() SKIP nulls, so
+    // without this guard a failed-extraction row would get lenScore=100
+    // + punctScore=100 and outrank most real documents — quality-
+    // weighted curation would then UP-sample exactly the rows that
+    // carry no text
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise((lenScore + stopScore + punctScore).cast("long"))
   }
 
   /** T-lang-id — stopword-vote language heuristic: 'en' / 'es' / 'und'. */

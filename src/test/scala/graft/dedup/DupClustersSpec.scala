@@ -38,6 +38,20 @@ class DupClustersSpec extends SparkSpec {
     assert(got.size == 30 && got.values.toSet == Set(1L))
   }
 
+  test("canonical election works for STRING document ids (URLs/UUIDs)") {
+    import spark.implicits._
+    val members = Seq(("url-b", 1L), ("url-a", 1L), ("url-c", 1L))
+      .toDF("id", "cluster_id")
+    val docs = Seq(
+      ("url-a", "one two three"), // most tokens → keeper
+      ("url-b", "one two"),
+      ("url-c", "one two")).toDF("doc_id", "text")
+    val got = DupClusters.canonicalPerCluster(members, docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[String]("keep_id"),
+        r.getAs[Long]("cluster_size"))).toSeq
+    assert(got == Seq(("url-a", 3L)), got)
+  }
+
   test("empty pair list yields empty membership") {
     val got = cc(Seq.empty[(Long, Long)])
     assert(got.isEmpty)

@@ -117,6 +117,40 @@ class EventWindowsSpec extends SparkSpec {
     assert(b == a, s"split B diverged from split A:\nA=$a\nB=$b")
   }
 
+  test("late in-gap event cannot move a session's end backward") {
+    // batch 2 delivers an event OLDER than the session's last (late but
+    // inside the watermark). Overwriting last_us would set end < start
+    // and make the next on-time event falsely split the session; the
+    // min/max update must absorb it into ONE session instead
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val hour = 3600L * 1000 * 1000
+    val min = 60L * 1000 * 1000
+    val base = Files.createTempDirectory("graft-sess-late")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EventWindows.SessionEvent]
+    val q = EventWindows.sessionize(ms.toDS(), gapMinutes = 10)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    ms.addData(EventWindows.SessionEvent(1L, hour + 10 * min))
+    q.processAllAvailable() // watermark → hour + 0min
+    ms.addData( // late-but-allowed 8min, then on-time 19min
+      EventWindows.SessionEvent(1L, hour + 8 * min),
+      EventWindows.SessionEvent(1L, hour + 19 * min))
+    q.processAllAvailable()
+    ms.addData(EventWindows.SessionEvent(99L, hour + 120 * min))
+    q.processAllAvailable()
+    ms.addData(EventWindows.SessionEvent(99L, hour + 240 * min))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_late").as[EventWindows.Session]
+      .collect().filter(_.user_id == 1L).toSet
+    assert(got == Set(EventWindows.Session(
+      1L, hour + 8 * min, hour + 19 * min, 3)),
+      s"late event split or regressed the session: $got")
+  }
+
   test("streaming sessionize agrees with the batch gaps-and-islands form") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val hour = 3600L * 1000 * 1000
