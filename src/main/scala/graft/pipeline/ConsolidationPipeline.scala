@@ -156,10 +156,14 @@ object ConsolidationPipeline {
               "ERROR", fStart, Some(now())))
             tracker.markRolledBack(runId)
             outcomes = outcomes.map(o =>
-              if (o.status == "COMPLETED")
+              if (o.status == "COMPLETED") {
+                // the rewound file was already archived — copy its bytes
+                // back to landing so the reopened J4 probe has something
+                // to reprocess next run (no re-delivery needed)
+                lifecycle.restoreFromBackup(o.fileName, landing)
                 o.copy(status = "ROLLED_BACK", inserted = 0, updated = 0,
                   unchanged = 0, sourceTotal = BigDecimal(0))
-              else o)
+              } else o)
             outcomes :+= Report.FileOutcome(fileName, "ERROR",
               0, 0, 0, 0, 0, 0, BigDecimal(0), Seq(e.getMessage))
             allErrors :+= s"$fileName: ${e.getMessage}"

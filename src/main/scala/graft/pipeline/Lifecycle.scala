@@ -116,6 +116,20 @@ final class Lifecycle(baseDir: String, now: () => LocalDateTime = () => LocalDat
     dst
   }
 
+  /** Copy an already-archived file from this run's backup folder back to
+    * landing — for files whose merge a run-level rollback REWOUND after
+    * they were archived as COMPLETED. The J4 probe reopens them
+    * (ROLLED_BACK supersession); this puts the bytes back where the next
+    * run lists, so the reprocess actually happens without re-delivery.
+    * A copy, not a move: the backup stays intact as the audit trail.
+    */
+  def restoreFromBackup(fileName: String, landingDir: Path): Boolean =
+    backupDir.map(_.resolve(fileName)).filter(Files.exists(_)).exists { src =>
+      Files.createDirectories(landingDir)
+      copyRecursive(src, landingDir.resolve(fileName))
+      true
+    }
+
   /** Final archival: `En Proceso/` → the run's backup folder. */
   def moveToBackup(file: Path): Path = {
     val dir = backupDir.getOrElse(initBackupFolder())

@@ -463,17 +463,18 @@ class ConsolidationPipelineSpec extends SparkSpec {
     assert(!tracker.isFileProcessed("a.csv", aMtime),
       "rolled-back file must reprocess next run")
 
-    // the file that failed (b.csv) must be physically BACK in landing —
-    // stranded in En Proceso/ its rows would be lost forever even though
-    // the J4 probe answers "reprocess"
+    // BOTH files must be physically back in landing: the errored b.csv
+    // returns from En Proceso/, and the rolled-back a.csv is restored
+    // from the run's backup — stranded anywhere else their rows would be
+    // lost forever even though the J4 probe answers "reprocess"
     assert(Files.exists(Paths.get(s"$base/landing/b.csv")),
       "errored file must return to landing for retry")
+    assert(Files.exists(Paths.get(s"$base/landing/a.csv")),
+      "rolled-back file must restore from backup to landing")
 
-    // run 3: the same a.csv (same mtime) re-merges AND the returned
-    // b.csv retries successfully — no silent loss of either file
-    val fa2 = writeSimpleWorkbook(s"$base/landing", "a.csv", Seq(r1))
-    Files.setLastModifiedTime(fa2,
-      java.nio.file.attribute.FileTime.fromMillis(1700000060000L))
+    // run 3: the restored a.csv re-merges AND the returned b.csv
+    // retries successfully — no silent loss of either file, with no
+    // manual re-delivery
     val rep3 = ConsolidationPipeline.run(spark, c)
     assert(rep3.status == "SUCCESS", rep3.toString)
     assert(rep3.inserted == 2, rep3.toString)
