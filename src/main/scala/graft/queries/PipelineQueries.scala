@@ -641,23 +641,38 @@ object PipelineQueries {
     * counts. The banding join is the only shuffle; signatures are per-row
     * expressions.
     */
+  /** MinHash(16) signatures memoized per (session, table): d3 and d10
+    * both band the SAME signatures — one checkpointed computation,
+    * shared like [[dupMembers]]' pair graph. Lazy checkpoint: building
+    * a query must never run a Spark job.
+    */
+  private val sigMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    sigMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        Dedup.minhashSignatures(
+            t(s, dir, "documents"), "doc_id", "text", 3, 16)
+          .localCheckpoint(eager = false)
+      })
+
   val d3MinhashLsh = QueryDef("d3_minhash_lsh",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
       // signatures feed four branches of the banding join — materialize
       // once (tiny: docs × k longs) instead of re-aggregating per branch
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
-        .localCheckpoint()
-      Dedup.lshCandidatePairs(sigs, "doc_id", "sig", 4, 4)
+      Dedup.lshCandidatePairs(minhashSigs(s, dir), "doc_id", "sig", 4, 4)
         .orderBy(col("id1"), col("id2"))
     },
     Some(s"""
       |WITH $tokSql,
       |$shSql,
       |hs AS (
+      |  -- shingle-less docs (< n tokens) get NO signature row on the
+      |  -- Spark side (nothing to aggregate) — an all-sentinel signature
+      |  -- here would falsely band every short doc together
       |  SELECT doc_id,
       |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
-      |  FROM sh),
+      |  FROM sh WHERE len(sh) > 0),
       |sig AS (
       |  SELECT doc_id,
       |         list_transform(range(0, 16),
@@ -693,9 +708,8 @@ object PipelineQueries {
   val d10SketchCalibration = QueryDef("d10_sketch_calibration",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
-        .localCheckpoint()
-      val cands = Dedup.lshCandidatePairs(sigs, "doc_id", "sig", 4, 4)
+      val cands = Dedup.lshCandidatePairs(
+        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
       val sets = Dedup.shingleRows(docs, "doc_id", "text", 3)
         .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       cands
@@ -714,9 +728,12 @@ object PipelineQueries {
       |WITH $tokSql,
       |$shSql,
       |hs AS (
+      |  -- shingle-less docs (< n tokens) get NO signature row on the
+      |  -- Spark side (nothing to aggregate) — an all-sentinel signature
+      |  -- here would falsely band every short doc together
       |  SELECT doc_id,
       |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
-      |  FROM sh),
+      |  FROM sh WHERE len(sh) > 0),
       |sig AS (
       |  SELECT doc_id,
       |         list_transform(range(0, 16),
@@ -792,7 +809,7 @@ object PipelineQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val sh = Dedup.simhashes(docs, "doc_id", "text", carry = Seq("lang"))
-        .localCheckpoint() // band rows + signature joins share one computation
+        .localCheckpoint(eager = false) // band rows + signature joins share one computation
       Dedup.simhashNearDupPairs(sh, "doc_id", "simhash",
           radius = 5, blockCols = Seq("lang"))
         .orderBy(col("id1"), col("id2"))

@@ -213,6 +213,32 @@ class DedupSpec extends SparkSpec {
     assert(none.count() == 500)
   }
 
+  test("fixture guard: shingle df stays far below the posting cap the oracles don't mirror") {
+    // d2/d6/d9's Spark side caps posting lists at maxDf=1000; their
+    // DuckDB oracles intersect UNCAPPED lists. At the shipped fixtures
+    // the cap never fires (max df ≈ 5) so the two agree — this guard
+    // turns a silently-diverging REGENERATED fixture (df > cap → gate
+    // hash mismatch with no code change) into a loud, attributable
+    // failure. If this trips: mirror the cap in the oracle SQL or
+    // re-tune maxDf.
+    for (sf <- Seq("0.001", "0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
+      val maxDf = Dedup.shingleRows(docs, "doc_id", "text", 3)
+        .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .groupBy(col("lang"), col("source"), col("s")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxDf < 500,
+        s"sf$sf max per-block shingle df=$maxDf approaches the 1000 cap " +
+          "— the d2/d6/d9 oracles do not mirror capping")
+      // the minhash oracles also assume every doc has >= 3 tokens
+      val short = docs.filter(size(graft.text.TextAnalysis
+        .tokens(col("text"))) < 3).count()
+      assert(short == 0,
+        s"sf$sf has $short sub-3-token docs — d3/d10 oracle sig CTE " +
+          "excludes shingle-less docs; re-verify alignment")
+    }
+  }
+
   test("bloom prefilter plan: codegen'd might_contain, anti-join only") {
     // file-backed inputs: over a LocalRelation the optimizer evaluates
     // the might_contain filters at plan time and they vanish
