@@ -37,6 +37,12 @@ package object functions {
   def rolling_hash(c: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(c.cast("string"))))
 
+  /** Codegen'd one-pass character-class census — `struct<n_letters,
+    * n_digits, n_punct>` (see [[graft.functions.CharClassCounts]]).
+    */
+  def char_class_counts(c: Column): Column =
+    GraftSqlBridge.column(CharClassCounts(GraftSqlBridge.expression(c.cast("string"))))
+
   /** F1 — `_clean_string`: null → "", else trimmed string rendering
     * (transformers.py:51-55).
     */

@@ -1006,7 +1006,18 @@ object CoreQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
         .orderBy(col("value_clp").desc, col("event_id"))
-      ev.select(col("user_id"), col("event_id"),
+      // Repartition on the window key BEFORE projecting the decimal
+      // conversion: HashPartitioning(user_id) satisfies the window's
+      // required distribution, so no second exchange appears — and the
+      // per-row decimal arithmetic runs post-shuffle at full width
+      // instead of inside a scan stage bounded by the source's row-group
+      // layout. The explicit count keeps AQE from coalescing the small
+      // shuffle to one partition (it sizes by bytes, not per-row CPU).
+      // At 100 TB the scan has natural parallelism and this is a wash;
+      // on compacted inputs it is the difference between 1 task and N.
+      ev.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("user_id"))
+        .select(col("user_id"), col("event_id"),
           InvoiceView.m2(col("value")).as("value_clp"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)

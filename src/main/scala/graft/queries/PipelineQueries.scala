@@ -46,7 +46,20 @@ object PipelineQueries {
   val tTextStats = QueryDef("t_text_stats",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      docs.select(
+      // Sort FIRST, project the heavy per-row expressions (8 regex/hash
+      // passes over the full text) AFTER: the ordered output needs a range
+      // exchange anyway, and putting the projection above it runs the
+      // CPU-bound pass at full cluster width instead of at scan
+      // parallelism — which for a compact source (one parquet row group
+      // per file is common after compaction) can be a single task. The
+      // explicit partition count keeps AQE from coalescing the tiny
+      // shuffle back to one partition (AQE sizes by shuffle bytes and
+      // cannot see per-row CPU cost). Same rows, same order, one shuffle
+      // either way.
+      val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+      docs.repartitionByRange(width, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.subwordCount(col("text")).as("n_subwords"),
@@ -55,7 +68,6 @@ object PipelineQueries {
         TextAnalysis.langId(col("text")).as("lang_guess"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         TextAnalysis.contentHash(col("text")).as("content_hash"))
-        .orderBy(col("doc_id"))
     },
     Some(s"""
       |WITH $tokSql,

@@ -63,18 +63,25 @@ object TextAnalysis {
 
   /** BPE-ish subword count: letter runs count 1 per 4 chars (ceil), digits
     * and punctuation 1 each — a cheap, deterministic stand-in for a BPE
-    * tokenizer's token count (regex-only, codegen'd).
+    * tokenizer's token count. Counts come from the one-pass native
+    * [[graft.functions.CharClassCounts]] census (formerly three separate
+    * full-text regexp_replace passes — the hottest expression in the
+    * text-stats profile); subexpression elimination shares the census
+    * with [[punctCount]] and [[qualityScore]] in the same projection.
     */
   def subwordCount(text: Column): Column = {
-    val letters = length(regexp_replace(text, "[^a-zA-Z]", ""))
-    val digits = length(regexp_replace(text, "[^0-9]", ""))
-    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    val c = graft.functions.char_class_counts(text)
+    val letters = c.getField("n_letters")
+    val digits = c.getField("n_digits")
+    val punct = c.getField("n_punct")
     ((letters + lit(3)) / lit(4)).cast("long") + digits + punct
   }
 
-  /** Punctuation character count (non-alnum, non-space). */
+  /** Punctuation character count (non-alnum, non-space) — one-pass native
+    * census, shared with [[subwordCount]] via subexpression elimination.
+    */
   def punctCount(text: Column): Column =
-    length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    graft.functions.char_class_counts(text).getField("n_punct")
 
   /** Distinct-stopword hit count against a fixed vocabulary. */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
@@ -100,11 +107,17 @@ object TextAnalysis {
     // zero-token / zero-char guards keep the expression TOTAL: without
     // them an empty document makes 0/0 = NaN and ANSI mode (Spark 4
     // default) throws on the int cast — one dirty row would kill a
-    // corpus-wide pass
-    val stopScore = when(nTok > 0,
-      least(lit(100), floor(stopHits * 500 / nTok).cast("int"))).otherwise(0)
-    val punctScore = lit(100) - when(nChr > 0,
-      least(lit(100), floor(punctCount(text) * 300 / nChr).cast("int"))).otherwise(0)
+    // corpus-wide pass. The guard is a greatest(·,1) denominator, NOT a
+    // when() branch: codegen subexpression elimination skips conditional
+    // branches, so a when() here re-evaluates tokenCount/punctCount even
+    // when the same subtree is selected unconditionally alongside (the
+    // full-text regexes then run twice per row). With nTok==0 the
+    // numerator stopHits is also 0, and with nChr==0 punctCount is 0, so
+    // x*K/greatest(d,1) equals the branchy form on every input.
+    val stopScore =
+      least(lit(100), floor(stopHits * 500 / greatest(nTok, lit(1))).cast("int"))
+    val punctScore = lit(100) -
+      least(lit(100), floor(punctCount(text) * 300 / greatest(nChr, lit(1))).cast("int"))
     // NULL text scores NULL, not 200: least()/when() SKIP nulls, so
     // without this guard a failed-extraction row would get lenScore=100
     // + punctScore=100 and outrank most real documents — quality-
