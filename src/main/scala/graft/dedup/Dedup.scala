@@ -17,6 +17,9 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  /** Serializes [[bloomNewRows]]' session-clamp raise/restore window. */
+  private val bloomClampLock = new Object
+
   // ------------------------------------------------------------------ exact
 
   /** Exact dedup: one winner (min id) per identical text. Returns
@@ -81,12 +84,19 @@ object Dedup {
     // bits = 8 MB): past ~9M keys the requested fpp is ignored and the
     // filter saturates toward might_contain=true for everything. Raise
     // the session clamps to our computed sizing for the build, restore
-    // after.
+    // after. The raise-build-restore is serialized under a JVM-global
+    // lock so two interleaved bloomNewRows calls can never clobber each
+    // other's save/restore and leave a raised clamp permanent. Other
+    // queries planned concurrently IN THE SAME SESSION during the build
+    // window can still observe the raised caps on their own runtime join
+    // filters (a larger-than-default bloom, never a wrong result) — the
+    // clamps are session-global state and Spark offers no per-query
+    // scope for them.
     val conf = corpus.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val saved = Seq(itemsKey, bitsKey).map(k => k -> conf.get(k))
-    val bloomBytes =
+    val bloomBytes = bloomClampLock.synchronized {
+      val saved = Seq(itemsKey, bitsKey).map(k => k -> conf.get(k))
       try {
         conf.set(itemsKey, math.max(n, saved(0)._2.toLong).toString)
         conf.set(bitsKey, math.max(numBits, saved(1)._2.toLong).toString)
@@ -95,6 +105,7 @@ object Dedup {
             Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
           .head().getAs[Array[Byte]]("bf")
       } finally saved.foreach { case (k, v) => conf.set(k, v) }
+    }
     // an empty corpus aggregates to a NULL bloom; might_contain(null, x)
     // is null, which a filter would treat as FALSE on both branches and
     // silently drop the whole batch — the correct answer is "all new"

@@ -160,9 +160,21 @@ object ConsolidationPipeline {
                 // the rewound file was already archived — copy its bytes
                 // back to landing so the reopened J4 probe has something
                 // to reprocess next run (no re-delivery needed)
-                lifecycle.restoreFromBackup(o.fileName, landing)
+                val restored = lifecycle.restoreFromBackup(o.fileName, landing)
+                // a missing backup copy means the rewound data exists
+                // NOWHERE (store rewound, bytes gone) — that silent-loss
+                // case must be loud, not folded into a routine rollback
+                val lost =
+                  if (restored) Nil
+                  else {
+                    val msg = s"${o.fileName}: copia de seguridad ausente — " +
+                      "datos revertidos sin bytes de origen; requiere reenvío"
+                    allErrors :+= msg
+                    Seq(msg)
+                  }
                 o.copy(status = "ROLLED_BACK", inserted = 0, updated = 0,
-                  unchanged = 0, sourceTotal = BigDecimal(0))
+                  unchanged = 0, sourceTotal = BigDecimal(0),
+                  errorDetail = o.errorDetail ++ lost)
               } else o)
             outcomes :+= Report.FileOutcome(fileName, "ERROR",
               0, 0, 0, 0, 0, 0, BigDecimal(0), Seq(e.getMessage))

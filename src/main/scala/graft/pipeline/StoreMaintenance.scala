@@ -40,7 +40,22 @@ object StoreMaintenance {
       targetBytes: Long = 128L * 1024 * 1024,
       partitionBy: Seq[String] = Nil): Long =
     swapRewrite(spark, path, targetBytes) { (df, nFiles, tmp) =>
-      val writer = df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+      import org.apache.spark.sql.functions.col
+      // With a partitioned layout, shuffle ON the partition keys: a
+      // round-robin repartition(nFiles) makes every shuffle partition
+      // hold rows of many partition values, so the partitioned write
+      // fans out to up to nFiles × |values| small files — MORE
+      // fragmentation than before compaction. Hash-clustering on the
+      // keys puts each partition value in exactly one task, so each
+      // partition directory gets exactly one file (the compacted
+      // layout a later partition-pruned scan wants). A single value
+      // larger than targetBytes then exceeds the target — acceptable:
+      // bounded file COUNT is what compaction is for.
+      val writer =
+        (if (partitionBy.nonEmpty)
+           df.repartition(nFiles, partitionBy.map(col): _*)
+         else df.repartition(nFiles))
+          .write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
        else writer).parquet(tmp)
     }

@@ -17,6 +17,35 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Bounded session memo for shared checkpointed frames: at most `cap`
+    * entries, oldest evicted first. Without the bound a long-lived
+    * session benching many (session, scale-dir) pairs pins every
+    * superseded frame's checkpoint blocks in executor storage for the
+    * session's lifetime. Eviction unpersists any cached copies; the
+    * lazily-localCheckpointed RDD blocks themselves are released by the
+    * ContextCleaner once the evicted frame is unreferenced.
+    */
+  private final class BoundedMemo(cap: Int) {
+    private val m = new java.util.LinkedHashMap[String, DataFrame]()
+    def getOrElseUpdate(key: String, build: => DataFrame): DataFrame =
+      synchronized {
+        val hit = m.get(key)
+        if (hit != null) hit
+        else {
+          val v = build // lazy plans only — building never runs a job
+          if (m.size >= cap) {
+            val it = m.entrySet().iterator()
+            val oldest = it.next()
+            it.remove()
+            try oldest.getValue.unpersist()
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          m.put(key, v)
+          v
+        }
+      }
+  }
+
   // DuckDB building blocks mirroring TextAnalysis/Dedup ------------------
 
   /** tokens: whitespace split of trimmed text, empties removed. */
@@ -534,8 +563,7 @@ object PipelineQueries {
     * once per query. The memo holds a checkpointed frame of
     * O(paired docs) rows — index-sized, not corpus-sized.
     */
-  private val ccMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val ccMemo = new BoundedMemo(4)
   private def dupMembers(s: SparkSession, dir: String): DataFrame =
     ccMemo.getOrElseUpdate(org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
       val pairs = Dedup
@@ -658,8 +686,7 @@ object PipelineQueries {
     * shared like [[dupMembers]]' pair graph. Lazy checkpoint: building
     * a query must never run a Spark job.
     */
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val sigMemo = new BoundedMemo(4)
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     sigMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {

@@ -161,8 +161,11 @@ object XlsxEgress {
       .foldLeft(0)(math.max)
     // OOXML allows writers to omit the optional r= (the ingress side
     // handles those); appending numbered rows AFTER unnumbered ones
-    // would collide at r=1..n and corrupt the workbook — fail loud
-    require(maxRow > 0 || !sheetXml.contains("<row"),
+    // would collide at r=1..n and corrupt the workbook — fail loud.
+    // Match actual <row> elements only (word boundary): a bare
+    // contains("<row") would also hit <rowBreaks> and spuriously fail
+    // a zero-data-row sheet that declares page breaks.
+    require(maxRow > 0 || """<row[\s/>]""".r.findFirstIn(sheetXml).isEmpty,
       "hoja con filas sin atributo r=: no se puede anexar con seguridad")
     if (maxRow == 0) return (0, Map.empty)
     val lastRowBody = {

@@ -2,6 +2,8 @@ package graft.pipeline
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -481,6 +483,47 @@ class ConsolidationPipelineSpec extends SparkSpec {
     val finalSet = spark.read.parquet(c.consolidatedPath)
       .select("invoice_number").collect().map(_.getString(0)).toSet
     assert(finalSet == Set("FAC-003", "FAC-001", "FAC-002"))
+  }
+
+  test("rollback with a missing backup copy is LOUD: unrecoverable file reported, not silent") {
+    // Same shape as the run-level rollback test, but a.csv's archived
+    // copy vanishes from the run's backup folder before the failure —
+    // the restore-to-landing then has no bytes anywhere, which must
+    // surface as an error on the outcome instead of a routine-looking
+    // ROLLED_BACK (the silent-loss hole the restore check closes)
+    val base = tmp()
+    val c = cfg(base)
+    writeSimpleWorkbook(s"$base/landing", "f0.csv", Seq(r3))
+    assert(ConsolidationPipeline.run(spark, c).status == "SUCCESS")
+
+    val fa = writeSimpleWorkbook(s"$base/landing", "a.csv", Seq(r1))
+    val fb = writeSimpleWorkbook(s"$base/landing", "b.csv", Seq(r2))
+    Files.setLastModifiedTime(fa,
+      java.nio.file.attribute.FileTime.fromMillis(1700000060000L))
+    Files.setLastModifiedTime(fb,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+    val failing = c.copy(beforeStoreWrite = name =>
+      if (name == "b.csv") {
+        // a.csv is already archived at this point — delete its backup
+        // copy to simulate the lost-bytes window, then fail the store
+        scala.util.Using.resource(
+          Files.walk(Paths.get(s"$base/lifecycle/Respaldo")))(
+          _.iterator().asScala.toSeq)
+          .filter(p => p.getFileName.toString == "a.csv")
+          .foreach(p => Files.delete(p))
+        sys.error("disco lleno")
+      })
+    val rep = ConsolidationPipeline.run(spark, failing)
+
+    assert(rep.status == "ERROR", rep.toString)
+    val aOutcome = rep.files.find(_.fileName == "a.csv").get
+    assert(aOutcome.status == "ROLLED_BACK")
+    assert(aOutcome.errorDetail.exists(_.contains("copia de seguridad ausente")),
+      s"missing-backup rollback must carry a loud error: $aOutcome")
+    assert(rep.validationErrors.exists(_.contains("copia de seguridad ausente")),
+      s"run-level errors must surface the lost file: ${rep.validationErrors}")
+    // and indeed nothing could be restored to landing
+    assert(!Files.exists(Paths.get(s"$base/landing/a.csv")))
   }
 
   test("NO_FILES: empty landing dir → NO_FILES status, zero inserts") {

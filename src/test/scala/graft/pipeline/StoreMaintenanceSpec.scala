@@ -62,6 +62,39 @@ class StoreMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("partitioned compact: one file per partition directory, rows unchanged") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-partcompact").toString + "/store"
+    // 5 appends × 8 partition values: every append writes into every
+    // partition dir, so before compaction each dir holds ~5 part files
+    for (r <- 0 until 5)
+      (0 until 80).map(i => (i % 8, s"v$r-$i")).toDF("pid", "v")
+        .write.partitionBy("pid").mode("append").parquet(store)
+
+    val before = spark.read.parquet(store)
+      .collect().map(_.toString).sorted
+
+    StoreMaintenance.compact(spark, store, targetBytes = 1024,
+      partitionBy = Seq("pid"))
+
+    val after = spark.read.parquet(store)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction must not change rows")
+
+    // the shuffle clusters on the partition key, so each pid=N dir must
+    // end up with EXACTLY one part file — a round-robin repartition
+    // before the partitioned write would leave up to nFiles per dir
+    val dirs = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pid="))
+    assert(dirs.length == 8, s"expected 8 partition dirs, got ${dirs.length}")
+    dirs.foreach { d =>
+      val parts = d.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${d.getName}: expected 1 compacted file, got ${parts.length}")
+    }
+  }
+
   test("interrupted-compaction recovery: store restored from the aside dir") {
     val base = java.nio.file.Files.createTempDirectory("graft-recover")
     val store = s"$base/store"

@@ -299,6 +299,31 @@ class XlsxSpec extends SparkSpec {
     assert(before.nonEmpty)
   }
 
+  test("append into a zero-row sheet with <rowBreaks> succeeds (no false r-less guard)") {
+    val xlsx = tmpFile(".xlsx")
+    val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(xlsx)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("[Content_Types].xml", """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("_rels/.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml", """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels", """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    // zero data rows but a <rowBreaks> element: the unnumbered-row guard
+    // must match actual <row> tags only, not <rowBreaks>
+    put("xl/worksheets/sheet1.xml", """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData></sheetData><rowBreaks count="1" manualBreakCount="1"><brk id="5" max="16383" man="1"/></rowBreaks></worksheet>""")
+    zos.close()
+    XlsxEgress.append(xlsx, Seq("hdr"), Seq(Seq[Any]("fila1")))
+    val zf = new java.util.zip.ZipFile(xlsx)
+    val sheet = new String(
+      zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes,
+      "UTF-8")
+    zf.close()
+    assert("""<row r="1"""".r.findFirstIn(sheet).isDefined, sheet)
+    assert(sheet.contains("rowBreaks")) // untouched sheet furniture survives
+  }
+
   test("shared strings, r-less rows and numeric normalization parse correctly") {
     // hand-rolled workbook exercising the parts XlsxEgress never writes:
     // sharedStrings.xml (t="s") and rows/cells without r= attributes
