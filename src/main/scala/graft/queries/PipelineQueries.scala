@@ -1054,6 +1054,175 @@ object PipelineQueries {
       |ORDER BY query_id, rank
       |""".stripMargin))
 
+  /** Trained centroids memoized per (session, dir): training runs
+    * `iterations + 1` small jobs (the smallest-id init collect plus one
+    * assign+mean pass per round), so it happens once per session, not
+    * once per query build. The memo holds k × dims longs — no
+    * checkpoint blocks to pin, a plain map is enough.
+    */
+  private val centMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Long])]]
+  private def trainedCents(s: SparkSession, dir: String): Seq[(Int, Seq[Long])] =
+    centMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir,
+      Similarity.trainIvfCentroids(t(s, dir, "embeddings"), "vec_id",
+        "embedding",
+        Similarity.scaledCentroids(Tables.rowCount(s, dir, "embeddings"))))
+
+  /** Oracle for the trained-IVF path: replays
+    * [[Similarity.trainIvfCentroids]] exactly — deterministic
+    * smallest-id init, then `iterations` UNROLLED Lloyd's rounds (one
+    * assign + per-dim mean CTE trio per round: nearest centroid by exact
+    * integer distance with ties to the smaller id, centroid update by
+    * truncating-division mean `(s - s % n) / n` which matches Scala Long
+    * division on negative sums where DuckDB's float division would not,
+    * empty lists keeping their previous centroid) — then the
+    * multi-probe search under the final centroids, shaped like s4's.
+    */
+  private def trainedIvfSql(k: Int, dims: Int, iterations: Int,
+      nprobe: Int, topK: Int, queryMod: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, qv, centroid_id FROM (
+         |    SELECT v.vec_id, v.qv, c.centroid_id,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             ${dotSql("v.qv", "v.qv")} - 2 * ${dotSql("v.qv", "c.cv")}
+         |               + ${dotSql("c.cv", "c.cv")} ASC, c.centroid_id) AS rk
+         |    FROM qv v CROSS JOIN c${i - 1} c) WHERE rk = 1),
+         |m$i AS (
+         |  SELECT a.centroid_id, dd.d AS d,
+         |         SUM(a.qv[CAST(dd.d AS INT)+1]) AS s, COUNT(*) AS n
+         |  FROM a$i a, dims dd
+         |  GROUP BY a.centroid_id, dd.d),
+         |c$i AS (
+         |  SELECT p.centroid_id, COALESCE(m.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT centroid_id,
+         |           list(CAST((s - (s % n)) / n AS BIGINT) ORDER BY d) AS cv
+         |    FROM m$i GROUP BY centroid_id) m
+         |    ON m.centroid_id = p.centroid_id)""".stripMargin
+    }.mkString(",\n")
+    s"""
+       |WITH $qSql,
+       |dims AS (SELECT unnest(range($dims)) AS d),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+       |         qv AS cv
+       |  FROM qv ORDER BY vec_id LIMIT $k),
+       |$iterCtes,
+       |ranks AS (
+       |  SELECT v.vec_id, v.qv, c.centroid_id,
+       |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |           ${dotSql("v.qv", "v.qv")} - 2 * ${dotSql("v.qv", "c.cv")}
+       |             + ${dotSql("c.cv", "c.cv")} ASC, c.centroid_id) AS rk
+       |  FROM qv v CROSS JOIN c$iterations c),
+       |assignq AS (
+       |  SELECT vec_id, qv, centroid_id FROM ranks
+       |  WHERE rk <= $nprobe AND vec_id % $queryMod = 0),
+       |assignc AS (SELECT vec_id, qv, centroid_id FROM ranks WHERE rk = 1),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+       |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+       |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+       |         END AS cosine
+       |  FROM assignq q JOIN assignc c
+       |    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id, rank
+       |""".stripMargin
+  }
+
+  /** S5 — trained-IVF multi-probe ANN, the production entry point
+    * ([[Similarity.ivfTrainedTopK]]'s two halves): k-means-trained coarse
+    * lists follow the data distribution so no list degenerates into a
+    * corpus-sized cell, then the s4-shaped multi-probe search. The
+    * oracle replays the ENTIRE training loop in SQL — this row gates
+    * the trained path's arithmetic end-to-end, not just its specs.
+    */
+  val s5AnnIvfTrained = QueryDef("s5_ann_ivf_trained",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKProbeWith(emb, "vec_id", "embedding", 5,
+          trainedCents(s, dir), nprobe = 4,
+          queryFilter = col("vec_id") % 20 === 0)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(trainedIvfSql(k = 16, dims = 64, iterations = 5, nprobe = 4,
+      topK = 5, queryMod = 20)))
+
+  /** On-disk IVF index built once per (session, dir): the quantized
+    * corpus written `partitionBy(centroid_id)` with its `_centroids`
+    * sidecar ([[Similarity.writeIvfIndex]]) into a temp dir — the
+    * durable layout a 100 TB deployment would keep for years. Memoized
+    * so bench iterations re-SERVE, not re-build.
+    */
+  private val idxMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    idxMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivf-index").toString + "/index"
+        Similarity.writeIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", path,
+          Similarity.ivfCentroids(Similarity.scaledCentroids(
+            Tables.rowCount(s, dir, "embeddings")), 64))
+        path
+      })
+
+  /** S6 — IVF ANN served FROM THE PERSISTED INDEX: centroids reloaded
+    * from the sidecar, corpus read from the `centroid_id=` partition
+    * dirs, queries probing their single nearest list. Must equal s3's
+    * in-memory answer (same centroids, same assignment, same ranking) —
+    * the oracle is s3's minus the centroid_id column, so the gate
+    * proves the store path returns the identical ANN result.
+    */
+  val s6AnnIvfStore = QueryDef("s6_ann_ivf_store",
+    (s, dir) => {
+      val path = ivfIndexDir(s, dir)
+      val cents = Similarity.readIvfCentroids(s, path)
+      Similarity.ivfTopKFromIndex(s, t(s, dir, "embeddings"), "vec_id",
+          "embedding", path, 3, cents, nprobe = 1)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |cent AS (
+      |  SELECT c.c AS centroid_id,
+      |         list_transform(range(0, 64),
+      |           d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
+      |                % 2001 - 1000) AS cv
+      |  FROM (SELECT unnest(range(16)) AS c) c),
+      |assign AS (
+      |  SELECT vec_id, qv, centroid_id FROM (
+      |    SELECT v.vec_id, v.qv, c.centroid_id,
+      |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |             ${dotSql("v.qv", "v.qv")} - 2 * ${dotSql("v.qv", "c.cv")}
+      |               + ${dotSql("c.cv", "c.cv")} ASC, c.centroid_id) AS rk
+      |    FROM qv v CROSS JOIN cent c) WHERE rk = 1),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM assign q JOIN assign c
+      |    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id, rank
+      |""".stripMargin))
+
   /** D5 — embedding-cosine near-duplicate pairs at threshold 0.40, decided
     * in exact integer arithmetic (no float boundary), blocked by sign
     * bucket. Threshold chosen NON-VACUOUS for the synthetic embeddings
@@ -1226,5 +1395,6 @@ object PipelineQueries {
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
+    s5AnnIvfTrained, s6AnnIvfStore,
     m1MediaMeta, m2MediaAnn, m3MediaFrames)
 }
