@@ -47,7 +47,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The harness that captures stdout truncates its archived tail, so
+    // round-over-round per-query diffs were lost — also persist the full
+    // JSON (pretty, one query per line, sorted keys → clean git diffs)
+    // next to the sources. Best-effort: benching from a read-only
+    // checkout must not fail the run.
+    try {
+      val pretty = results.map { case (k, v) => s"""    "$k": $v""" }
+        .mkString(
+          s"""{\n  "metric": "total",\n  "value": $total,\n  "unit": "sec",\n  "sf": "$sfDir",\n  "queries": {\n""",
+          ",\n",
+          "\n  }\n}\n")
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "bench_local_latest.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        pretty.getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

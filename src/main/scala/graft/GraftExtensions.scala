@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{LongArrayDot, LongArrayQuantize, ParseClpMoney, RollingHash}
+import graft.functions.{CharClassCounts, LongArrayDot, LongArrayQuantize, ParseClpMoney, RollingHash}
 
 /** Session extensions exposing the engine's functions to SQL users:
   * `spark.sql.extensions=graft.GraftExtensions` (or pass to
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "rolling_hash takes exactly one argument")
         RollingHash(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_class_counts"),
+      new ExpressionInfo(classOf[CharClassCounts].getName, "char_class_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "char_class_counts takes exactly one argument")
+        CharClassCounts(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("long_array_dot"),
@@ -66,13 +73,16 @@ object GraftExtensions {
       |RETURN filter(split(trim(t), '\\s+'), x -> x != '')""",
     """CREATE OR REPLACE TEMPORARY FUNCTION token_count(t STRING)
       |RETURNS INT RETURN size(graft_tokens(t))""",
+    // the one-pass native census replaces the former regexp_replace
+    // passes — same values, and the SQL surface now builds the same
+    // expression tree as the Scala API (TextAnalysis.subwordCount)
     """CREATE OR REPLACE TEMPORARY FUNCTION subword_count(t STRING)
       |RETURNS BIGINT
-      |RETURN CAST((length(regexp_replace(t, '[^a-zA-Z]', '')) + 3) / 4 AS BIGINT)
-      |       + length(regexp_replace(t, '[^0-9]', ''))
-      |       + length(regexp_replace(t, '[a-zA-Z0-9\\s]', ''))""",
+      |RETURN CAST((char_class_counts(t).n_letters + 3) / 4 AS BIGINT)
+      |       + char_class_counts(t).n_digits
+      |       + char_class_counts(t).n_punct""",
     """CREATE OR REPLACE TEMPORARY FUNCTION punct_count(t STRING)
-      |RETURNS INT RETURN length(regexp_replace(t, '[a-zA-Z0-9\\s]', ''))""",
+      |RETURNS INT RETURN char_class_counts(t).n_punct""",
     s"""CREATE OR REPLACE TEMPORARY FUNCTION quality_score(t STRING)
       |RETURNS BIGINT
       |RETURN CASE WHEN t IS NULL THEN NULL ELSE 0 END
@@ -128,6 +138,34 @@ object GraftExtensions {
       |           tok -> CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 15), 16, 10) AS BIGINT)),
       |         0L, (a, h) -> a + (shiftright(h, j) & 1) * 2 - 1) > 0
       |       THEN shiftleft(1L, j) ELSE 0L END)""",
+    // deterministic sampling surface (graft.sampling.Sampling): md5-
+    // uniform ppm of the row KEY — reproducible on any engine, any
+    // partitioning; the salt is the "seed"
+    """CREATE OR REPLACE TEMPORARY FUNCTION hash_uniform_ppm(k STRING, salt STRING)
+      |RETURNS BIGINT
+      |RETURN CAST(conv(substring(md5(concat(k, '|', salt)), 1, 15), 16, 10)
+      |            AS BIGINT) % 1000000L""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION hash_sample_keep(k STRING, fraction_ppm BIGINT, salt STRING)
+      |RETURNS BOOLEAN RETURN hash_uniform_ppm(k, salt) < fraction_ppm""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION weighted_sample_keep(k STRING, weight_ppm BIGINT, salt STRING)
+      |RETURNS BOOLEAN
+      |RETURN hash_uniform_ppm(k, salt) < least(1000000L, greatest(0L, weight_ppm))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION split_assign(k STRING)
+      |RETURNS STRING
+      |RETURN CASE WHEN hash_uniform_ppm(k, 'split') < 900000 THEN 'train'
+      |            WHEN hash_uniform_ppm(k, 'split') < 950000 THEN 'val'
+      |            ELSE 'test' END""",
+    // fixed-size overlapping chunks (TextAnalysis.chunkRows' arithmetic:
+    // same starts, same subset-tail bound); caller contract
+    // chunk_tokens > overlap >= 0 — SQL bodies cannot require()
+    """CREATE OR REPLACE TEMPORARY FUNCTION chunk_texts(t STRING, chunk_tokens INT, overlap INT)
+      |RETURNS ARRAY<STRING>
+      |RETURN CASE WHEN size(graft_tokens(t)) > 0
+      |  THEN transform(
+      |         sequence(0, greatest(size(graft_tokens(t)) - overlap - 1, 0),
+      |                  chunk_tokens - overlap),
+      |         st -> concat_ws(' ', slice(graft_tokens(t), st + 1, chunk_tokens)))
+      |  ELSE CAST(array() AS ARRAY<STRING>) END""",
     """CREATE OR REPLACE TEMPORARY FUNCTION quantize_vec(v ARRAY<DOUBLE>)
       |RETURNS ARRAY<BIGINT>
       |RETURN transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))""",
@@ -147,6 +185,8 @@ object GraftExtensions {
       ch => ParseClpMoney(ch.head))
     GraftSqlBridge.registerFunction(spark, "rolling_hash",
       ch => RollingHash(ch.head))
+    GraftSqlBridge.registerFunction(spark, "char_class_counts",
+      ch => CharClassCounts(ch.head))
     GraftSqlBridge.registerFunction(spark, "long_array_dot",
       ch => LongArrayDot(ch.head, ch(1)))
     GraftSqlBridge.registerFunction(spark, "long_array_quantize",

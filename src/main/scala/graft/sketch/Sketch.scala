@@ -92,30 +92,67 @@ object Sketch {
     * threshold the output; in the exact regime — fewer than k distinct
     * items — counts are exact and partition-independent).
     */
+  /** Mutable Misra–Gries buffer: k-slot parallel arrays plus a fill
+    * count. `reduce` mutates in place — the per-row hot path of a
+    * 100 TB aggregate allocates NOTHING (the previous immutable-`Map`
+    * buffer allocated a new map per input row). Slots at index ≥ n are
+    * never read; the buffer is encoded only at shuffle boundaries
+    * (typed Aggregators hold the live object between rows).
+    */
+  final case class MGBuffer(keys: Array[String], counts: Array[Long],
+      var n: Int)
+
   final case class MisraGriesAggregator(k: Int)
     extends org.apache.spark.sql.expressions.Aggregator[
-      String, Map[String, Long], Map[String, Long]] {
-    override def zero: Map[String, Long] = Map.empty
-    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
-      if (b.contains(x)) b.updated(x, b(x) + 1L)
-      else if (b.size < k) b.updated(x, 1L)
-      else { // decrement-all; drop zeros (the classic MG step)
-        val dec = b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
-        dec
+      String, MGBuffer, Map[String, Long]] {
+    override def zero: MGBuffer =
+      MGBuffer(new Array[String](k), new Array[Long](k), 0)
+    override def reduce(b: MGBuffer, x: String): MGBuffer = {
+      var i = 0
+      while (i < b.n && b.keys(i) != x) i += 1
+      if (i < b.n) b.counts(i) += 1L
+      else if (b.n < k) {
+        b.keys(b.n) = x
+        b.counts(b.n) = 1L
+        b.n += 1
+      } else { // decrement-all; compact out zeros (the classic MG step)
+        var w = 0
+        var r = 0
+        while (r < b.n) {
+          val c = b.counts(r) - 1L
+          if (c > 0L) { b.keys(w) = b.keys(r); b.counts(w) = c; w += 1 }
+          r += 1
+        }
+        // clear dropped tail so the shuffle encoder never ships stale keys
+        java.util.Arrays.fill(b.keys.asInstanceOf[Array[AnyRef]], w, b.n, null)
+        b.n = w
       }
-    override def merge(b1: Map[String, Long], b2: Map[String, Long])
-        : Map[String, Long] = {
-      val sum = (b1.keySet ++ b2.keySet).iterator
-        .map(t => t -> (b1.getOrElse(t, 0L) + b2.getOrElse(t, 0L))).toMap
-      if (sum.size <= k) sum
-      else { // keep top-k after subtracting the (k+1)-th largest count
-        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
-      }
+      b
     }
-    override def finish(b: Map[String, Long]): Map[String, Long] = b
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def merge(b1: MGBuffer, b2: MGBuffer): MGBuffer = {
+      // once per partition pair, not per row — clarity over allocation
+      val sum = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var i = 0
+      while (i < b1.n) { sum.update(b1.keys(i),
+        sum.getOrElse(b1.keys(i), 0L) + b1.counts(i)); i += 1 }
+      i = 0
+      while (i < b2.n) { sum.update(b2.keys(i),
+        sum.getOrElse(b2.keys(i), 0L) + b2.counts(i)); i += 1 }
+      // keep entries above the (k+1)-th largest count: at most k values
+      // exceed it, so the k-slot output never overflows
+      val cut = if (sum.size <= k) 0L
+        else sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+      val out = zero
+      sum.foreach { case (t, c) =>
+        val c2 = c - cut
+        if (c2 > 0L) { out.keys(out.n) = t; out.counts(out.n) = c2; out.n += 1 }
+      }
+      out
+    }
+    override def finish(b: MGBuffer): Map[String, Long] =
+      (0 until b.n).map(i => b.keys(i) -> b.counts(i)).toMap
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MGBuffer] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MGBuffer]()
     override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }

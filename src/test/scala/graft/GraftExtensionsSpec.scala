@@ -76,6 +76,65 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(repSql == repApi)
   }
 
+  test("sampling/chunking/split SQL surface agrees with the Scala API") {
+    GraftExtensions.registerAll(spark)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    docs.createOrReplaceTempView("ext_docs2")
+
+    // hash sample: same keep-set as Sampling.hashSample
+    val keepSql = spark.sql(
+      "SELECT doc_id FROM ext_docs2 WHERE hash_sample_keep(CAST(doc_id AS STRING), 200000L, 'sample')")
+      .collect().map(_.getLong(0)).toSet
+    val keepApi = graft.sampling.Sampling.hashSample(docs, "doc_id", 200000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepSql == keepApi)
+    assert(keepSql.nonEmpty && keepSql.size < 80, s"non-vacuous: ${keepSql.size}")
+
+    // weighted sample: per-row weight from token count, same keep-set
+    val wKeepSql = spark.sql(
+      """SELECT doc_id FROM ext_docs2
+        |WHERE weighted_sample_keep(CAST(doc_id AS STRING),
+        |        token_count(text) * 20000L, 'wsample')""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    val wKeepApi = graft.sampling.Sampling.weightedSample(docs, "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")) * 20000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wKeepSql == wKeepApi)
+
+    // split assignment: same ternary as the t10 gate query
+    val splitSql = spark.sql(
+      "SELECT doc_id, split_assign(CAST(doc_id AS STRING)) s FROM ext_docs2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val u = graft.sampling.Sampling.hashUniformPpm(col("doc_id"), "split")
+    val splitApi = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.when(u < 900000L, "train")
+          .when(u < 950000L, "val").otherwise("test"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(splitSql == splitApi)
+
+    // chunking: flattened chunk_texts equals chunkRows' chunk_text column
+    val chunksSql = spark.sql(
+      """SELECT doc_id, pos AS chunk_idx, c AS chunk_text
+        |FROM (SELECT doc_id, chunk_texts(text, 50, 10) AS ch FROM ext_docs2)
+        |LATERAL VIEW posexplode(ch) AS pos, c""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val chunksApi = graft.text.TextAnalysis.chunkRows(docs, "doc_id", "text", 50, 10)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(chunksSql == chunksApi)
+    assert(chunksSql.nonEmpty)
+
+    // subword_count via the native census matches the Scala API
+    val swSql = spark.sql(
+      "SELECT doc_id, subword_count(text) c FROM ext_docs2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val swApi = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.subwordCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(swSql == swApi)
+  }
+
   test("GraftExtensions builder produces the expression for one argument") {
     val e = new GraftExtensions
     // the injected builder itself: arity guard + expression construction
