@@ -19,9 +19,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // coalesce(1) directly on the query would collapse every shuffle-free
+      // chain into ONE task (the whole scan+compute runs single-threaded —
+      // minutes per full-text query at sf1). Eager localCheckpoint executes
+      // the plan at full parallelism first; coalesce(1) then merges the
+      // checkpointed partitions in partition-index order, preserving the
+      // query's global sort, and the write is a cheap single-file copy.
+      try {
+        val result = fn(spark, sfDir).localCheckpoint()
+        result.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
