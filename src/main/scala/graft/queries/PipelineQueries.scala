@@ -891,6 +891,23 @@ object PipelineQueries {
   private def dotSql(a: String, b: String): String =
     s"CAST(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) AS BIGINT)"
 
+  /** Scale-aware ANN oracle constants — [[Similarity.scaledBits]] and
+    * [[Similarity.scaledCentroids]] replayed in SQL, so one oracle text
+    * is correct at EVERY scale factor (the former literal 8/16 were only
+    * right while the embeddings corpus stayed under 4096 rows; the sf1
+    * ratchet crosses that). `ceil(log2(buckets))` equals the Scala
+    * `64 - nlz(buckets - 1)` for buckets >= 2; the greatest(2, ·) floor
+    * lands in the same max(8, ·) clamp as Scala's buckets <= 1 case.
+    */
+  private val annParamsSql =
+    """params AS (
+      |  SELECT least(24, greatest(8,
+      |           CAST(ceil(log2(greatest(2, count(*) // 64))) AS INT))) AS bits,
+      |         CASE WHEN count(*) <= 4096 THEN 16
+      |              ELSE least(65536, CAST(ceil(sqrt(count(*))) AS BIGINT))
+      |         END AS k
+      |  FROM embeddings)""".stripMargin
+
   /** S1 — brute-force cosine top-5 for the query subset vec_id % 20 == 0:
     * the exact baseline every ANN variant is measured against.
     */
@@ -937,12 +954,13 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH $qSql,
+      |$annParamsSql,
       |bk AS (
       |  SELECT vec_id, qv,
-      |         CAST(list_sum(list_transform(range(0, 8),
+      |         CAST(list_sum(list_transform(range(0, p.bits),
       |           j -> CASE WHEN qv[CAST(j AS INT)+1] > 0
       |                     THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS INT) AS bucket
-      |  FROM qv),
+      |  FROM qv, params p),
       |scored AS (
       |  SELECT q.bucket, q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
@@ -976,12 +994,13 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH $qSql,
+      |$annParamsSql,
       |cent AS (
       |  SELECT c.c AS centroid_id,
       |         list_transform(range(0, 64),
       |           d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
       |                % 2001 - 1000) AS cv
-      |  FROM (SELECT unnest(range(16)) AS c) c),
+      |  FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c),
       |assign AS (
       |  SELECT vec_id, qv, centroid_id FROM (
       |    SELECT v.vec_id, v.qv, c.centroid_id,
@@ -1021,12 +1040,13 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH $qSql,
+      |$annParamsSql,
       |cent AS (
       |  SELECT c.c AS centroid_id,
       |         list_transform(range(0, 64),
       |           d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
       |                % 2001 - 1000) AS cv
-      |  FROM (SELECT unnest(range(16)) AS c) c),
+      |  FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c),
       |ranks AS (
       |  SELECT v.vec_id, v.qv, c.centroid_id,
       |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1079,7 +1099,7 @@ object PipelineQueries {
     * empty lists keeping their previous centroid) — then the
     * multi-probe search under the final centroids, shaped like s4's.
     */
-  private def trainedIvfSql(k: Int, dims: Int, iterations: Int,
+  private def trainedIvfSql(dims: Int, iterations: Int,
       nprobe: Int, topK: Int, queryMod: Int): String = {
     val iterCtes = (1 to iterations).map { i =>
       s"""a$i AS (
@@ -1104,11 +1124,13 @@ object PipelineQueries {
     }.mkString(",\n")
     s"""
        |WITH $qSql,
+       |$annParamsSql,
        |dims AS (SELECT unnest(range($dims)) AS d),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
        |         qv AS cv
-       |  FROM qv ORDER BY vec_id LIMIT $k),
+       |  FROM qv
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM params)),
        |$iterCtes,
        |ranks AS (
        |  SELECT v.vec_id, v.qv, c.centroid_id,
@@ -1153,7 +1175,7 @@ object PipelineQueries {
           queryFilter = col("vec_id") % 20 === 0)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(trainedIvfSql(k = 16, dims = 64, iterations = 5, nprobe = 4,
+    Some(trainedIvfSql(dims = 64, iterations = 5, nprobe = 4,
       topK = 5, queryMod = 20)))
 
   /** On-disk IVF index built once per (session, dir): the quantized
@@ -1193,12 +1215,13 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH $qSql,
+      |$annParamsSql,
       |cent AS (
       |  SELECT c.c AS centroid_id,
       |         list_transform(range(0, 64),
       |           d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
       |                % 2001 - 1000) AS cv
-      |  FROM (SELECT unnest(range(16)) AS c) c),
+      |  FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c),
       |assign AS (
       |  SELECT vec_id, qv, centroid_id FROM (
       |    SELECT v.vec_id, v.qv, c.centroid_id,
@@ -1233,17 +1256,19 @@ object PipelineQueries {
   val d5CosineNearDup = QueryDef("d5_cosine_near_dup",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 400000L)
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 400000L,
+          bits = Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")))
         .orderBy(col("id1"), col("id2"))
     },
     Some(s"""
       |WITH $qSql,
+      |$annParamsSql,
       |bk AS (
       |  SELECT vec_id, qv,
-      |         CAST(list_sum(list_transform(range(0, 8),
+      |         CAST(list_sum(list_transform(range(0, p.bits),
       |           j -> CASE WHEN qv[CAST(j AS INT)+1] > 0
       |                     THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS INT) AS bucket
-      |  FROM qv)
+      |  FROM qv, params p)
       |SELECT a.vec_id AS id1, b.vec_id AS id2,
       |       ${dotSql("a.qv", "b.qv")} AS dot_q
       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
