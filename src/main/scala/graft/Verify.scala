@@ -25,9 +25,12 @@ object Verify {
       // the plan at full parallelism first; coalesce(1) then merges the
       // checkpointed partitions in partition-index order, preserving the
       // query's global sort, and the write is a cheap single-file copy.
+      val t0 = System.nanoTime()
       try {
         val result = fn(spark, sfDir).localCheckpoint()
         result.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -996,11 +996,17 @@ object PipelineQueries {
       |WITH $qSql,
       |$annParamsSql,
       |cent AS (
-      |  SELECT c.c AS centroid_id,
-      |         list_transform(range(0, 64),
-      |           d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
-      |                % 2001 - 1000) AS cv
-      |  FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c),
+      |  SELECT centroid_id,
+      |         greatest(1.0, sqrt(list_sum(list_transform(raw,
+      |           x -> CAST(x * x AS DOUBLE))))) AS nrm,
+      |         list_transform(raw,
+      |           x -> CAST(trunc(x * 1000.0 / nrm) AS BIGINT)) AS cv
+      |  FROM (
+      |    SELECT c.c AS centroid_id,
+      |           list_transform(range(0, 64),
+      |             d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
+      |                  % 2001 - 1000) AS raw
+      |    FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c)),
       |assign AS (
       |  SELECT vec_id, qv, centroid_id FROM (
       |    SELECT v.vec_id, v.qv, c.centroid_id,
@@ -1042,11 +1048,17 @@ object PipelineQueries {
       |WITH $qSql,
       |$annParamsSql,
       |cent AS (
-      |  SELECT c.c AS centroid_id,
-      |         list_transform(range(0, 64),
-      |           d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
-      |                % 2001 - 1000) AS cv
-      |  FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c),
+      |  SELECT centroid_id,
+      |         greatest(1.0, sqrt(list_sum(list_transform(raw,
+      |           x -> CAST(x * x AS DOUBLE))))) AS nrm,
+      |         list_transform(raw,
+      |           x -> CAST(trunc(x * 1000.0 / nrm) AS BIGINT)) AS cv
+      |  FROM (
+      |    SELECT c.c AS centroid_id,
+      |           list_transform(range(0, 64),
+      |             d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
+      |                  % 2001 - 1000) AS raw
+      |    FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c)),
       |ranks AS (
       |  SELECT v.vec_id, v.qv, c.centroid_id,
       |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1217,11 +1229,17 @@ object PipelineQueries {
       |WITH $qSql,
       |$annParamsSql,
       |cent AS (
-      |  SELECT c.c AS centroid_id,
-      |         list_transform(range(0, 64),
-      |           d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
-      |                % 2001 - 1000) AS cv
-      |  FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c),
+      |  SELECT centroid_id,
+      |         greatest(1.0, sqrt(list_sum(list_transform(raw,
+      |           x -> CAST(x * x AS DOUBLE))))) AS nrm,
+      |         list_transform(raw,
+      |           x -> CAST(trunc(x * 1000.0 / nrm) AS BIGINT)) AS cv
+      |  FROM (
+      |    SELECT c.c AS centroid_id,
+      |           list_transform(range(0, 64),
+      |             d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
+      |                  % 2001 - 1000) AS raw
+      |    FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c)),
       |assign AS (
       |  SELECT vec_id, qv, centroid_id FROM (
       |    SELECT v.vec_id, v.qv, c.centroid_id,

@@ -145,10 +145,25 @@ object Similarity {
   }
 
   /** IVF coarse quantizer: `nCentroids` deterministic pseudo-random
-    * centroids in quantized milli-units, derived from md5 so any engine
-    * can reproduce them: `centroid[c][d] = (md5_28("ivf-c-d") mod 2001) − 1000`.
-    * A production engine would train these with k-means over a sample;
-    * the assignment/search plumbing is identical either way.
+    * DIRECTIONS in quantized milli-units, derived from md5 so any engine
+    * can reproduce them: raw `(md5_28("ivf-c-d") mod 2001) − 1000` coords
+    * rescaled to a common norm of 1000 (`trunc(raw·1000/|raw|)`).
+    *
+    * The rescale is load-bearing at scale: raw md5 coords have norms
+    * varying by hundreds of percent, while embedding corpora are
+    * unit-norm — under L2 assignment the `|c|²` term then dominates
+    * `−2·v·c` and the smallest-norm centroid swallows the corpus
+    * (measured at sf1: 18674 of 20000 vectors in ONE of 142 lists,
+    * ~350M candidate pairs in s6). Equal-norm centroids make assignment
+    * angular (argmin L2 = argmax v·c), and random DIRECTIONS split a
+    * unit-norm corpus near-evenly. All arithmetic stays exact across
+    * engines: Σraw², raw·1000, and both operands of the division are
+    * integers < 2⁵³, so the double quotient and its truncation are
+    * bit-identical in Spark and DuckDB.
+    *
+    * A production engine would train these with k-means over a sample
+    * ([[trainIvfCentroids]]); the assignment/search plumbing is
+    * identical either way.
     */
   def ivfCentroids(nCentroids: Int, dims: Int): Seq[(Int, Seq[Long])] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -157,8 +172,11 @@ object Similarity {
         .map("%02x".format(_)).mkString.substring(0, 7)
       java.lang.Long.parseLong(hex, 16)
     }
-    (0 until nCentroids).map(c =>
-      c -> (0 until dims).map(d => h28(s"ivf-$c-$d") % 2001 - 1000))
+    (0 until nCentroids).map { c =>
+      val raw = (0 until dims).map(d => h28(s"ivf-$c-$d") % 2001 - 1000)
+      val nrm = math.max(1.0, math.sqrt(raw.map(x => (x * x).toDouble).sum))
+      c -> raw.map(x => (x * 1000.0 / nrm).toLong)
+    }
   }
 
   /** IVF list assignment: nearest centroid by exact integer squared

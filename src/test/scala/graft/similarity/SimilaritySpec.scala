@@ -170,7 +170,14 @@ class SimilaritySpec extends SparkSpec {
     assert(r16 >= r4, s"recall must not drop with more probes: $r4 -> $r16")
     // probing ALL 16 lists IS brute force (minus nothing): exact recall
     assert(r16 == 1.0, s"nprobe=16 of 16 lists must be exhaustive, got $r16")
-    assert(r4 >= 0.5, s"nprobe=4 recall unexpectedly low: $r4")
+    // 0.4, not the old 0.5: the unnormalized centroids this was first
+    // calibrated against degenerated into one near-corpus-sized list, so
+    // probing it was covert brute force (high recall, quadratic cost).
+    // Equal-norm centroids prune for real, and on UNIFORM vectors (no
+    // cluster structure — the hardest case for IVF) recall at 4/16
+    // probed tracks the scanned fraction plus direction correlation;
+    // measured 0.48 here. Exhaustiveness at nprobe=k is asserted above.
+    assert(r4 >= 0.4, s"nprobe=4 recall unexpectedly low: $r4")
   }
 
   test("trained IVF centroids: deterministic and BALANCED lists (bounded probe cost)") {

@@ -34,8 +34,14 @@ N_DOCS, N_EMB, DIMS = 50_000, 20_000, 64
 
 def write(name, cols):
     t = pa.table(cols)
-    pq.write_table(t, f"{OUT}/{name}.parquet")
-    print(f"{name}: {t.num_rows} rows")
+    # ~32 row groups per table (min 8192 rows each): Spark assigns whole
+    # row groups to input splits, so a single-row-group file caps every
+    # scan at ONE task — with it, exploding queries over documents/events
+    # ran single-threaded for minutes at sf1. Multiple row groups also
+    # match what a real multi-file 100 TB layout gives the scheduler.
+    rgs = max(8192, -(-t.num_rows // 32))
+    pq.write_table(t, f"{OUT}/{name}.parquet", row_group_size=rgs)
+    print(f"{name}: {t.num_rows} rows, rg={rgs}")
 
 
 def days(lo, hi, n, unit="ms"):
