@@ -31,6 +31,20 @@ package object functions {
   def long_array_quantize(v: Column): Column =
     GraftSqlBridge.column(LongArrayQuantize(GraftSqlBridge.expression(v)))
 
+  /** Codegen'd `nprobe`-nearest-centroid selection (see
+    * [[graft.functions.NearestCentroids]]) — the centroid matrix rides
+    * the expression as data, so cost is one fused loop instead of an
+    * O(k·dims)-node literal tree.
+    */
+  def nearest_centroids(qv: Column, centroids: Seq[(Int, Seq[Long])],
+      dims: Int, nprobe: Int): Column =
+    GraftSqlBridge.column(NearestCentroids(
+      GraftSqlBridge.expression(qv),
+      centroids.map(_._1).toArray,
+      centroids.flatMap { case (_, cv) =>
+        cv.padTo(dims, 0L).take(dims) }.toArray,
+      dims, nprobe))
+
   /** Codegen'd polynomial rolling hash over code points (see
     * [[graft.functions.RollingHash]]); empty/null → null.
     */
@@ -65,9 +79,33 @@ package object functions {
     val formats =
       Seq(primaryFormat, "yyyy-MM-dd", "dd/MM/yyyy", "dd-MM-yyyy",
         "dd-MM-yy", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss").distinct
-    val parsed = formats.map(f => try_to_date(s, f))
+    // Shape-DISPATCH, not try-chain: a bare coalesce(try_to_date(f1),
+    // try_to_date(f2), …) is exception-driven — every format miss throws
+    // and catches a DateTimeParseException inside the formatter, so a
+    // corpus whose values mostly match late/no formats pays millions of
+    // throws plus JIT deopt churn (measured at sf1: 6M rows, ~15M
+    // exceptions, 46–120 s and run-to-run erratic; with the guards:
+    // ~4 s steady). Each format gets a cheap codegen'd regex guard
+    // derived from its pattern; the formatter only runs on values whose
+    // SHAPE already matches, so valid data parses exception-free and
+    // shape-matching-but-invalid values (e.g. "45-06-2024") still
+    // return null through try_to_date exactly like the old chain.
+    val parsed = formats.map(f =>
+      when(s.rlike(formatShape(f)), try_to_date(s, f)))
     coalesce(parsed :+ excel_serial_date(s): _*)
   }
+
+  /** Anchored digit-shape regex for a date format pattern — the dispatch
+    * guard for [[parse_multi_date]]. Longer tokens first (`yyyy` before
+    * `yy`) so replacement is unambiguous.
+    */
+  private[graft] def formatShape(f: String): String =
+    "^" + f.replace("'T'", "T")
+      .replace("yyyy", """\d{4}""").replace("yy", """\d{2}""")
+      .replace("dd", """\d{2}""").replace("MM", """\d{2}""")
+      .replace("HH", """\d{2}""").replace("mm", """\d{2}""")
+      .replace("ss", """\d{2}""")
+      .replace("/", "\\/") + "$"
 
   /** F5 — Excel serial day-number → date (1900 epoch with the classic
     * -2 day leap-bug correction, i.e. epoch 1899-12-30).

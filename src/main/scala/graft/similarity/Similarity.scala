@@ -39,6 +39,19 @@ object Similarity {
   private def index(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 
+  /** Round-robin repartition to the session's shuffle width, applied to
+    * corpus-sized inputs BEFORE the CPU-dense per-row passes (quantize +
+    * centroid assignment). A compacted corpus (few parquet row groups)
+    * otherwise caps those passes at scan parallelism — AQE cannot help,
+    * it sizes by bytes and cannot see per-row CPU. The shuffle moves
+    * O(corpus) bytes once, far below the pair-space compute it widens;
+    * at real multi-file scale the scan already has native parallelism
+    * and this is a cheap wash.
+    */
+  private def widen(df: DataFrame): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   /** Exact integer dot product of two quantized vectors — a codegen'd
     * native expression ([[graft.functions.LongArrayDot]]); the
     * `aggregate(zip_with(...))` formulation is interpreted and measured
@@ -106,7 +119,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       quantize(col(vecCol)).as("qv"))
-    val c = index(corpus.select(col(idCol).as("neighbor_id"),
+    val c = index(widen(corpus).select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("cv")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -114,11 +127,19 @@ object Similarity {
         dotQ(col("qv"), col("cv")).as("dot_q"),
         cosineFromQ(dotQ(col("qv"), col("cv")),
           normSqQ(col("qv")), normSqQ(col("cv"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "dot_q", "cosine")
+    // Exact top-k as a MERGEABLE aggregate, not a window: the window
+    // form shuffles the whole O(queries × corpus) score matrix to rank
+    // it (100M rows at sf1 for m2_media_ann — measured 168 s); the
+    // aggregator's map-side partial keeps k candidates per query per
+    // task, so the exchange carries k-slot buffers instead of the pair
+    // space. Order and ranks are identical (cosine desc nulls last,
+    // neighbor_id asc).
+    val topk = udaf(TopKAggregator(k))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("dot_q"), col("cosine")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id"), col("col.dot_q"), col("col.cosine"))
   }
 
   /** LSH-bucketed ANN: search only within the query's sign bucket. At scale
@@ -127,7 +148,7 @@ object Similarity {
     */
   def bucketedTopK(df: DataFrame, idCol: String, vecCol: String,
       k: Int, bits: Int = 8): DataFrame = {
-    val q = index(df
+    val q = index(widen(df)
       .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
       .withColumn("bucket", signBucket(col("qv"), bits)))
     val c = q.select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
@@ -183,24 +204,23 @@ object Similarity {
     * distance (ties → smallest centroid id). Input rows:
     * (idCol, qv: array<long>); output adds `centroid_id`.
     *
-    * Implemented as ONE scan-stage projection — centroids are literals,
-    * so per row we evaluate `−2·q·c_i + |c_i|²` once per centroid (the
-    * common `|q|²` term cannot change the argmin and is dropped) and take
-    * `array_min` over (distance, id) structs, whose lexicographic order
-    * breaks ties on the smaller id. No crossJoin, no shuffle, no window:
-    * at 100 TB assignment costs exactly one pass over the corpus, and
-    * the codegen'd [[graft.functions.LongArrayDot]] keeps the k-way dot
-    * loop in the scan stage.
+    * Implemented as ONE scan-stage projection — the centroid matrix is
+    * carried as DATA on a single codegen'd expression
+    * ([[graft.functions.NearestCentroids]]: fused multiply-accumulate,
+    * `−2·q·c_i + |c_i|²` with norms precomputed per plan, ties to the
+    * smaller id). The earlier formulation built an `array_min` over k
+    * literal (distance, id) structs — an O(k·dims)-NODE expression tree
+    * that planned and evaluated superlinearly at the sqrt(n) centroid
+    * counts a real corpus needs (k=142 at sf1: 17.9 s → this form,
+    * one plan-data matrix, runs it at scan speed). No crossJoin, no
+    * shuffle, no window: at 100 TB assignment costs exactly one pass
+    * over the corpus.
     */
   def ivfAssign(df: DataFrame, idCol: String, qvCol: String,
       centroids: Seq[(Int, Seq[Long])]): DataFrame = {
-    val scored = centroids.map { case (id, cv) =>
-      val cNormSq = cv.map(x => x * x).sum
-      struct(
-        (lit(-2L) * dotQ(col(qvCol), typedlit(cv)) + lit(cNormSq)).as("d"),
-        lit(id).as("c"))
-    }
-    df.withColumn("centroid_id", array_min(array(scored: _*)).getField("c"))
+    val dims = centroids.head._2.length
+    df.withColumn("centroid_id", element_at(
+      graft.functions.nearest_centroids(col(qvCol), centroids, dims, 1), 1))
   }
 
   /** Deterministic Lloyd's k-means over quantized vectors — trains the
@@ -220,7 +240,10 @@ object Similarity {
     */
   def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iterations: Int = 5): Seq[(Int, Seq[Long])] = {
-    val q = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__qv"))
+    // quantize once at full width, materialize: every iteration reads the
+    // checkpointed longs instead of re-scanning + re-quantizing the corpus
+    val q = index(widen(df)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__qv")))
     var centroids: Seq[(Int, Seq[Long])] = q.orderBy(col("__id")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](r.fieldIndex("__qv")).toSeq }
@@ -251,20 +274,16 @@ object Similarity {
     * NEAREST coarse lists (by exact integer distance, ties to smaller
     * id). Query-side only — the corpus keeps single-list assignment;
     * probing more lists trades extra partition reads for recall, the
-    * standard IVF recall lever. Same literal-centroid projection as
-    * [[ivfAssign]] plus an array_sort + slice on a `nCentroids`-element
-    * array per row; no shuffle.
+    * standard IVF recall lever. Same fused
+    * [[graft.functions.NearestCentroids]] pass as [[ivfAssign]], keeping
+    * the best `nprobe` (distance, id) pairs in a k-bounded insertion
+    * buffer per row; no shuffle.
     */
   def ivfAssignProbe(df: DataFrame, idCol: String, qvCol: String,
       centroids: Seq[(Int, Seq[Long])], nprobe: Int): DataFrame = {
-    val scored = centroids.map { case (id, cv) =>
-      val cNormSq = cv.map(x => x * x).sum
-      struct(
-        (lit(-2L) * dotQ(col(qvCol), typedlit(cv)) + lit(cNormSq)).as("d"),
-        lit(id).as("c"))
-    }
-    df.withColumn("centroid_id",
-      explode(slice(array_sort(array(scored: _*)), 1, nprobe).getField("c")))
+    val dims = centroids.head._2.length
+    df.withColumn("centroid_id", explode(
+      graft.functions.nearest_centroids(col(qvCol), centroids, dims, nprobe)))
   }
 
   /** IVF ANN with multi-probe queries: corpus vectors live in ONE list;
@@ -289,7 +308,7 @@ object Similarity {
         .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
       "query_id", "qv", cents, nprobe))
     val c = index(ivfAssign(
-      df.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
+      widen(df).select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
       "neighbor_id", "cv", cents))
     val scored = q.join(c, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -338,7 +357,7 @@ object Similarity {
   def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String, k: Int,
       cents: Seq[(Int, Seq[Long])]): DataFrame = {
     val q = index(ivfAssign(
-      df.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
+      widen(df).select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
       "query_id", "qv", cents))
     val c = q.select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
       col("centroid_id"))

@@ -73,7 +73,8 @@ class PlanAuditSpec extends SparkSpec {
       "vec_id", "qv", graft.similarity.Similarity.ivfCentroids(16, 64))
     val ap = assigned.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(ap.contains("array_min"), "assignment must be the literal-centroid projection")
+    assert(ap.contains("nearest_centroids"),
+      "assignment must be the fused plan-data centroid expression")
     assert(!ap.contains("Exchange"), "assignment must not shuffle")
   }
 

@@ -39,13 +39,18 @@ class CanonicalizeSpec extends SparkSpec {
   }
 
   test("F4 multi-format dates incl. Excel serial; invalid → null") {
-    val df = Seq("15-01-2026", "2026-01-15", "15/01/2026", "46037", "31-13-2026")
+    val df = Seq("15-01-2026", "2026-01-15", "15/01/2026", "46037", "31-13-2026",
+        "15-01-26", "2026-01-15 10:30:00", "2026-01-15T10:30:00", "1-2-2026")
       .toDF("raw").select(parse_multi_date(col("raw")).as("d"))
     val got = df.as[Option[java.sql.Date]].collect().toSeq
     val want = java.sql.Date.valueOf("2026-01-15")
     assert(got.take(3).forall(_.contains(want)))
     assert(got(3).contains(want)) // serial 46037 = 2026-01-15 (epoch 1899-12-30)
-    assert(got(4).isEmpty)
+    assert(got(4).isEmpty) // shape matches dd-MM-yyyy, month 13 invalid → null
+    assert(got(5).contains(want)) // dd-MM-yy
+    assert(got(6).contains(want)) // yyyy-MM-dd HH:mm:ss
+    assert(got(7).contains(want)) // yyyy-MM-dd'T'HH:mm:ss
+    assert(got(8).isEmpty) // 1-digit day: no format shape matches → null
   }
 
   test("F6/F1/F2 cleaners") {
