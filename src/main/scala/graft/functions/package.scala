@@ -90,8 +90,17 @@ package object functions {
     // SHAPE already matches, so valid data parses exception-free and
     // shape-matching-but-invalid values (e.g. "45-06-2024") still
     // return null through try_to_date exactly like the old chain.
-    val parsed = formats.map(f =>
-      when(s.rlike(formatShape(f)), try_to_date(s, f)))
+    val parsed = formats.map { f =>
+      val shape = formatShape(f)
+      // a pattern token the shape map doesn't know (single-letter d/M,
+      // MMM, …) would leave raw letters in the regex and the guard would
+      // NEVER match — silently disabling the format. Guard only formats
+      // that translated fully; anything else keeps the plain try parse.
+      val residue = shape.replace("""\d{4}""", "").replace("""\d{2}""", "")
+      val fullyTranslated = !residue.exists(ch => ch.isLetter && ch != 'T')
+      if (fullyTranslated) when(s.rlike(shape), try_to_date(s, f))
+      else try_to_date(s, f)
+    }
     coalesce(parsed :+ excel_serial_date(s): _*)
   }
 
