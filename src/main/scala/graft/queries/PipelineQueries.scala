@@ -1190,6 +1190,44 @@ object PipelineQueries {
     Some(trainedIvfSql(dims = 64, iterations = 5, nprobe = 4,
       topK = 5, queryMod = 20)))
 
+  /** Trained on-disk index, built once per (session, dir) like
+    * [[ivfIndexDir]] but with the k-means centroids — the layout the
+    * FULL production path serves from.
+    */
+  private val trainedIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def trainedIndexDir(s: SparkSession, dir: String): String =
+    trainedIdxMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-ivf-trained").toString + "/index"
+        Similarity.writeIvfIndex(t(s, dir, "embeddings"), "vec_id",
+          "embedding", path, trainedCents(s, dir))
+        path
+      })
+
+  /** S7 — the COMPLETE production serving path in one gate row:
+    * k-means-trained centroids ([[Similarity.trainIvfCentroids]]),
+    * corpus persisted `partitionBy(centroid_id)` with its sidecar
+    * ([[Similarity.writeIvfIndex]]), queries multi-probing their 4
+    * nearest lists against the RELOADED index
+    * ([[Similarity.readIvfCentroids]] + [[Similarity.ivfTopKFromIndex]]).
+    * The oracle is byte-for-byte s5's unrolled-k-means SQL — so the gate
+    * proves store-served trained search ≡ in-memory trained search ≡ the
+    * DuckDB replay of the entire training + probe arithmetic.
+    */
+  val s7AnnTrainedStore = QueryDef("s7_ann_trained_store",
+    (s, dir) => {
+      val path = trainedIndexDir(s, dir)
+      val cents = Similarity.readIvfCentroids(s, path)
+      Similarity.ivfTopKFromIndex(s,
+          t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", path, 5, cents, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(trainedIvfSql(dims = 64, iterations = 5, nprobe = 4,
+      topK = 5, queryMod = 20)))
+
   /** On-disk IVF index built once per (session, dir): the quantized
     * corpus written `partitionBy(centroid_id)` with its `_centroids`
     * sidecar ([[Similarity.writeIvfIndex]]) into a temp dir — the
@@ -1438,6 +1476,6 @@ object PipelineQueries {
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
-    s5AnnIvfTrained, s6AnnIvfStore,
+    s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore,
     m1MediaMeta, m2MediaAnn, m3MediaFrames)
 }
