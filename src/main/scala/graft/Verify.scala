@@ -15,8 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
-      // type, so read it as long (nanoseconds since epoch).
+      // old-generator events.parquet stores ts as TIMESTAMP(NANOS); Spark
+      // has no nanos type, so surface it as long (nanos since epoch).
+      // Harmless on current micros data — Tables.load normalizes both.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -50,7 +50,33 @@ object QueryDef {
 
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The events table's `ts` has shipped in two generator encodings:
+    * INT64 epoch NANOS (old pandas datetime64[ns], surfaced as LongType
+    * via spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+    * (current generator — Spark reads TIMESTAMP_NTZ). All downstream
+    * event-time arithmetic (hour buckets, interarrival gaps, range
+    * windows, as-of) is defined on the epoch-nanos long axis, so
+    * normalize the timestamp encodings back to it: `unix_micros` is
+    * lossless and the ×1000 widening cannot overflow a long before the
+    * year 2262. TIMESTAMP_NTZ → TIMESTAMP uses the session time zone,
+    * which every entry point pins to UTC, so the instant is preserved
+    * exactly — the same naive-UTC reading DuckDB's `epoch_ns(ts)` gives
+    * the oracle side. Queries that never touch `ts` lose nothing:
+    * Catalyst prunes the unused projection and the scan skips the
+    * column.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
+  }
 
   private val rowCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
 

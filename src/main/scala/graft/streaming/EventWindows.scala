@@ -14,10 +14,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventWindows {
 
-  /** Attach an event-time timestamp column from the nanos-long `ts`. */
-  def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time",
-      timestamp_micros(expr("ts DIV 1000")))
+  /** Attach an event-time timestamp column from `ts`. Both source
+    * encodings are accepted (see [[graft.queries.Tables]]): nanos-long
+    * (old generator via nanosAsLong) divides down to micros; a
+    * TIMESTAMP/TIMESTAMP_NTZ `ts` (current generator) is already
+    * event-time and casts directly — a streaming relation cannot route
+    * through the batch loader's normalization, so the branch lives here
+    * at the source boundary.
+    */
+  def withEventTime(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val eventTime = events.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts DIV 1000"))
+      case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
+      case other => throw new IllegalArgumentException(
+        s"events.ts must be nanos-long or timestamp, got $other")
+    }
+    events.withColumn("event_time", eventTime)
+  }
 
   /** Watermarked tumbling-window counts per event type. Late events beyond
     * the watermark are dropped; state for closed windows is released —
