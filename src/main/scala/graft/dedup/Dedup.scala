@@ -145,6 +145,47 @@ object Dedup {
           .otherwise(0L))
   }
 
+  /** Corpus-level boilerplate census — the cross-document complement of
+    * [[repetitionStats]]: an n-gram is boilerplate when it appears in at
+    * least `minDf` DISTINCT documents (navigation chrome, license
+    * headers, template text — the passages CCNet-style curation strips
+    * before training). Per document: total n-gram positions, positions
+    * covered by a boilerplate n-gram, and the boilerplate ratio in ppm
+    * (exact integer arithmetic, engine-portable).
+    *
+    * Shape at scale: positional n-grams collapse to DISTINCT
+    * (doc, gram) pairs with a per-doc position count in ONE hash
+    * aggregate (map-side combine bounds the explode), then document
+    * frequency is a count window over the gram key — the same
+    * partition-preserving trick as the pair-generators' df cap, so no
+    * second scan, no self-join, and the final per-doc rollup is the
+    * only other shuffle. Nothing here is proportional to df²: grams are
+    * counted, never paired.
+    */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    val perDocGram = positionalShingleRows(df, idCol, textCol, n)
+      .groupBy(col(idCol), col("s"))
+      .agg(count(lit(1)).as("__pos_in_doc"))
+    // distinct (doc, gram) rows → the window count IS document frequency
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val per = perDocGram
+      .withColumn("__df", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("__pos_in_doc")).as("n_pos"),
+        sum(when(col("__df") >= minDf, col("__pos_in_doc"))
+          .otherwise(0L)).as("n_boiler"))
+    // docs with fewer than n tokens produce no grams — keep them as 0s
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm",
+        when(col("n_pos") > 0,
+          expr("n_boiler * 1000000 div n_pos")).otherwise(0L))
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct, order unspecified) of whitespace
@@ -186,7 +227,15 @@ object Dedup {
     * skew is bounded by document length.
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil): DataFrame =
+    positionalShingleRows(df, idCol, textCol, n, carry).distinct()
+
+  /** [[shingleRows]] WITHOUT the distinct: one row per n-gram POSITION
+    * (duplicates kept, one per occurrence) — the feeder for census-style
+    * consumers ([[boilerplateStats]]) that weight grams by occurrence.
+    */
+  def positionalShingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, carry: Seq[String] = Nil): DataFrame = {
     val keys = col(idCol) +: carry.map(col)
     val toks = df.select(keys :+
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")): _*)
@@ -198,7 +247,6 @@ object Dedup {
       .filter((1 until n).map(k => col(s"t$k").isNotNull)
         .foldLeft(lit(true))(_ && _))
       .select(keys :+ gram.as("s"): _*)
-      .distinct()
   }
 
   // ---------------------------------------------------------------- minhash

@@ -57,6 +57,42 @@ package object functions {
   def char_class_counts(c: Column): Column =
     GraftSqlBridge.column(CharClassCounts(GraftSqlBridge.expression(c.cast("string"))))
 
+  /** Z-order (Morton) key: bit-interleave the low `bits` bits of two
+    * non-negative dimension values — result bit 2i is a's bit i, bit
+    * 2i+1 is b's bit i. Range-partitioning a table by this key clusters
+    * rows that are close in BOTH dimensions into the same files, so
+    * per-file min/max statistics prune scans for predicates on EITHER
+    * dimension — the multi-dimensional data-skipping layout lever
+    * (linear/single-key clustering only prunes its leading key). Pure
+    * composed bit arithmetic: whole-stage codegen folds the 2·bits
+    * shift-mask-or terms into one fused loop-free expression, and the
+    * identical arithmetic is emitted for the DuckDB oracle by
+    * [[zorder_key_sql]]. Callers bucket each dimension into [0, 2^bits)
+    * first (e.g. `pmod(hash, 1 << bits)` or a range bin).
+    */
+  def zorder_key(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(1L), 2 * i),
+        shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** DuckDB SQL emitting the identical z-order arithmetic over two SQL
+    * expressions — kept beside [[zorder_key]] so the two dialects can
+    * never drift.
+    */
+  def zorder_key_sql(a: String, b: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).flatMap { i =>
+      Seq(
+        s"(((CAST(($a) AS BIGINT) >> $i) & 1) << ${2 * i})",
+        s"(((CAST(($b) AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " | ", ")")
+  }
+
   /** F1 — `_clean_string`: null → "", else trimmed string rendering
     * (transformers.py:51-55).
     */

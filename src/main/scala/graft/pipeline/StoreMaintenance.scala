@@ -83,6 +83,33 @@ object StoreMaintenance {
     }
   }
 
+  /** Z-order compaction: rewrite the store range-partitioned by the
+    * Morton interleave of two bucketed dimensions
+    * ([[graft.functions.zorder_key]]), so each output file covers a
+    * tight bounding BOX in (dimA, dimB) — min/max footer stats then
+    * prune scans filtering on EITHER dimension, where
+    * [[compactClustered]]'s linear sort only prunes its leading key.
+    * The zkey is a transient repartitioning column, dropped before
+    * write; `bits` bounds each dimension's bucket domain to [0, 2^bits)
+    * via a non-negative modulo.
+    */
+  def compactZOrdered(spark: SparkSession, path: String,
+      dimA: String, dimB: String, bits: Int = 10,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    swapRewrite(spark, path, targetBytes) { (df, nFiles, tmp) =>
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val width = 1L << bits
+      val z = graft.functions.zorder_key(
+        pmod(col(dimA).cast("long"), lit(width)),
+        pmod(col(dimB).cast("long"), lit(width)), bits)
+      df.withColumn("__zkey", z)
+        .repartitionByRange(nFiles, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey")
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+  }
+
   /** Repair an interrupted [[compact]]/[[compactClustered]] swap. The
     * swap has a window where the store path is ABSENT (old moved aside,
     * new not yet moved in); a process kill there leaves the data intact

@@ -2258,6 +2258,48 @@ object CoreQueries {
       |ORDER BY part_value DESC, l_partkey
       |""".stripMargin))
 
+  /** K5 — z-order layout audit: events bucketed on (user_id, hour) and
+    * grouped by the top 6 bits of the Morton key
+    * ([[graft.functions.zorder_key]]) — each group is what one output
+    * file of [[graft.pipeline.StoreMaintenance.compactZOrdered]] would
+    * hold, and the emitted per-group min/max of BOTH dimensions are
+    * exactly the footer stats a scan planner prunes with. The oracle
+    * replays the identical interleave arithmetic
+    * ([[graft.functions.zorder_key_sql]]), proving bit-for-bit layout
+    * agreement; bounding-box tightness itself is asserted in
+    * ZorderSpec (a hash oracle can't grade "tight", only "identical").
+    */
+  val k5ZorderLayout = QueryDef("k5_zorder_layout",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val u = (col("user_id") % 1024L).as("u")
+      val hb = (expr("ts DIV 3600000000000") % 1024L).as("hb")
+      val z = graft.functions.zorder_key(col("u"), col("hb"), 10)
+      ev.select(u, hb)
+        .select(col("u"), col("hb"),
+          shiftrightunsigned(z, 14).as("file_id"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+          min(col("hb")).as("min_hb"), max(col("hb")).as("max_hb"))
+        .orderBy(col("file_id"))
+    },
+    Some(s"""
+      |WITH b AS (
+      |  SELECT user_id % 1024 AS u,
+      |         (epoch_ns(ts) // 3600000000000) % 1024 AS hb
+      |  FROM events),
+      |z AS (
+      |  SELECT u, hb,
+      |         ${graft.functions.zorder_key_sql("u", "hb", 10)} >> 14 AS file_id
+      |  FROM b)
+      |SELECT file_id, COUNT(*) AS n,
+      |       MIN(u) AS min_u, MAX(u) AS max_u,
+      |       MIN(hb) AS min_hb, MAX(hb) AS max_hb
+      |FROM z GROUP BY file_id
+      |ORDER BY file_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -2278,5 +2320,5 @@ object CoreQueries {
     q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
     k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
-    u5IntersectAll, a8Cube)
+    u5IntersectAll, a8Cube, k5ZorderLayout)
 }

@@ -1467,14 +1467,148 @@ object PipelineQueries {
       |ORDER BY media_id, frame_idx
       |""".stripMargin))
 
+  /** T14 — count-min sketch frequency estimates
+    * ([[graft.sketch.Sketch.cmsSketch]]): the grid is one bounded hash
+    * aggregate (depth×width cells, so map-side partials are fixed-size
+    * regardless of vocabulary — the same ship-k-counters property as
+    * t12's Misra–Gries, but answering POINT queries with an
+    * overestimate-only guarantee instead of a top list). Probing the 10
+    * exact-top tokens pairs every estimate with its true count, so the
+    * oracle checks the full grid arithmetic AND the min-of-cells
+    * estimator; cms_n ≥ exact_n by construction, and any cell drift on
+    * either engine hash-mismatches.
+    */
+  val t14CmsEstimate = QueryDef("t14_cms_estimate",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val exact = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(10)
+      val sk = graft.sketch.Sketch.cmsSketch(toks, "token", 4, 512)
+      graft.sketch.Sketch.cmsEstimate(sk, exact, "token", 4, 512)
+        .orderBy(col("exact_n").desc, col("token"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |tok2 AS (SELECT unnest(tk) AS token FROM toks),
+      |ex AS (
+      |  SELECT token, COUNT(*) AS exact_n FROM tok2
+      |  GROUP BY token ORDER BY exact_n DESC, token LIMIT 10),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cells AS (
+      |  SELECT r,
+      |         CAST('0x' || substr(md5(r || ':' || token), 1, 10) AS BIGINT)
+      |           % 512 AS bucket,
+      |         COUNT(*) AS cnt
+      |  FROM tok2 CROSS JOIN rr GROUP BY 1, 2),
+      |probe AS (
+      |  SELECT token, exact_n, r,
+      |         CAST('0x' || substr(md5(r || ':' || token), 1, 10) AS BIGINT)
+      |           % 512 AS bucket
+      |  FROM ex CROSS JOIN rr)
+      |SELECT p.token, p.exact_n, CAST(MIN(c.cnt) AS BIGINT) AS cms_n
+      |FROM probe p JOIN cells c USING (r, bucket)
+      |GROUP BY p.token, p.exact_n
+      |ORDER BY exact_n DESC, token
+      |""".stripMargin))
+
+  /** D12 — corpus boilerplate census ([[Dedup.boilerplateStats]]):
+    * per-document positions covered by 3-grams that appear in ≥ minDf
+    * DISTINCT documents — the CCNet-style cross-document complement of
+    * t13's within-document repetition. minDf scales with the corpus
+    * (max(3, N/500)): the Spark side sizes it from parquet footer
+    * counts, the oracle from COUNT(*), so one query text is correct at
+    * every scale factor.
+    */
+  val d12Boilerplate = QueryDef("d12_boilerplate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val minDf = math.max(3L, Tables.rowCount(s, dir, "documents") / 500L)
+      Dedup.boilerplateStats(docs, "doc_id", "text", 3, minDf)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |pos AS (
+      |  SELECT doc_id,
+      |         unnest(CASE WHEN len(tk) - 2 > 0
+      |                THEN list_transform(range(1, len(tk) - 1),
+      |                       i -> array_to_string(tk[i:i+2], ' '))
+      |                ELSE CAST([] AS VARCHAR[]) END) AS s
+      |  FROM toks),
+      |pdg AS (SELECT doc_id, s, COUNT(*) AS pos_in_doc
+      |        FROM pos GROUP BY doc_id, s),
+      |dfr AS (SELECT doc_id, pos_in_doc,
+      |               COUNT(*) OVER (PARTITION BY s) AS df
+      |        FROM pdg),
+      |per AS (
+      |  SELECT doc_id, SUM(pos_in_doc) AS n_pos,
+      |         SUM(CASE WHEN df >= GREATEST(3,
+      |               (SELECT COUNT(*) FROM documents) // 500)
+      |             THEN pos_in_doc ELSE 0 END) AS n_boiler
+      |  FROM dfr GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(n_pos, 0) AS BIGINT) AS n_pos,
+      |       CAST(COALESCE(n_boiler, 0) AS BIGINT) AS n_boiler,
+      |       CAST(CASE WHEN COALESCE(n_pos, 0) > 0
+      |            THEN (n_boiler * 1000000) // n_pos ELSE 0 END AS BIGINT)
+      |         AS boiler_ppm
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** T15 — PII redaction ([[TextAnalysis.redactPii]]): emails and
+    * international-format phones masked by dialect-portable regexes
+    * (Java ∩ RE2 — no backreferences/lookaround, so DuckDB reproduces
+    * the exact rewrite and the redacted STRINGS hash-match, not just
+    * counts). The fixture text derives deterministically from the
+    * customer table on both sides, so match/replace arithmetic is
+    * genuinely exercised (the documents corpus contains no PII shapes).
+    * Per-row scan-stage expressions — the form that runs at firehose
+    * width with no shuffle.
+    */
+  val t15PiiRedact = QueryDef("t15_pii_redact",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 37 === 0)
+      val raw = concat(lit("contact "), col("c_name"), lit(" at "),
+        lower(regexp_replace(col("c_name"), "#", ".")),
+        lit("@example.com or +56 9 "),
+        ((col("c_custkey") * 7919L) % 90000000L + 10000000L).cast("string"),
+        lit(" today"))
+      c.select(col("c_custkey"), raw.as("raw"))
+        .select(col("c_custkey"),
+          TextAnalysis.emailCount(col("raw")).as("n_emails"),
+          TextAnalysis.phoneCount(col("raw")).as("n_phones"),
+          TextAnalysis.redactPii(col("raw")).as("redacted"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""
+      |WITH raw AS (
+      |  SELECT c_custkey,
+      |         'contact ' || c_name || ' at ' ||
+      |         lower(replace(c_name, '#', '.')) ||
+      |         '@example.com or +56 9 ' ||
+      |         CAST((c_custkey * 7919) % 90000000 + 10000000 AS VARCHAR) ||
+      |         ' today' AS raw
+      |  FROM customer WHERE c_custkey % 37 = 0)
+      |SELECT c_custkey,
+      |       CAST(len(regexp_extract_all(raw, '${TextAnalysis.EmailRegex}')) AS INT) AS n_emails,
+      |       CAST(len(regexp_extract_all(raw, '${TextAnalysis.PhoneRegex}')) AS INT) AS n_phones,
+      |       regexp_replace(regexp_replace(raw,
+      |         '${TextAnalysis.EmailRegex}', '[EMAIL]', 'g'),
+      |         '${TextAnalysis.PhoneRegex}', '[PHONE]', 'g') AS redacted
+      |FROM raw ORDER BY c_custkey
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
     t9TopTokens, t10SplitAssignment, t11Chunking, t12HeavyHitters,
-    t13Repetition, d10SketchCalibration,
+    t13Repetition, t14CmsEstimate, t15PiiRedact, d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
-    d9Contamination, d11BloomNewDocs,
+    d9Contamination, d11BloomNewDocs, d12Boilerplate,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
     s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore,
     m1MediaMeta, m2MediaAnn, m3MediaFrames)

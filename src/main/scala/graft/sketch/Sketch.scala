@@ -157,6 +157,54 @@ object Sketch {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) as a bounded hash
+    * aggregate. The sketch is a depth×width counter grid; item x
+    * increments cell (r, h_r(x)) for each of the `depth` md5-derived
+    * row hashes, and the frequency estimate is the MIN over the item's
+    * `depth` cells — always ≥ the true count, over by at most the
+    * collision mass in its emptiest cell.
+    *
+    * Spark-first form: no custom buffer needed. `posexplode` fans each
+    * item to its `depth` (row, bucket) cells and ONE groupBy counts
+    * them — the group domain is depth×width (a few thousand keys), so
+    * map-side partial aggregation already ships a bounded partial per
+    * partition regardless of item cardinality, which is exactly the
+    * CMS merge property (grids add cell-wise). Engine-portable: the
+    * cell counts are a pure function of the data, so DuckDB rebuilds
+    * the identical grid and the estimates hash-match — unlike
+    * approx_count_distinct-style sketches whose internals are
+    * engine-private.
+    */
+  def cmsBucket(c: Column, row: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$row:"), c.cast("string"))
+        .cast("binary")), 1, 10), 16, 10)
+      .cast("long") % width
+
+  /** The sketch grid: one row per non-empty cell — (r, bucket, cnt). */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int,
+      width: Int): DataFrame =
+    df.select(posexplode(array(
+        (0 until depth).map(r => cmsBucket(col(valueCol), r, width)): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `probes` (distinct values in `valueCol`):
+    * min over the probe's `depth` cells. Inner join is sound for probes
+    * drawn from the sketched data (every cell they touch is non-empty);
+    * the sketch side is depth×width rows at most — broadcastable.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val cells = probes.select(col("*"), posexplode(array(
+        (0 until depth).map(r => cmsBucket(col(valueCol), r, width)): _*))
+        .as(Seq("r", "bucket")))
+    val probeCols = probes.columns.map(col).toSeq
+    cells.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(probeCols: _*)
+      .agg(min(col("cnt")).as("cms_n"))
+  }
+
   /** Per-group distinct-count estimates from [[KmvAggregator]]: one hash
     * aggregate keyed on `groupCols`, the same Bar-Yossef estimator per
     * group. `hashCol` must already be a [[hash40]] column.

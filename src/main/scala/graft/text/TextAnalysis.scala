@@ -146,4 +146,35 @@ object TextAnalysis {
 
   /** Exact content identity: md5 of the UTF-8 bytes. */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
+
+  // --------------------------------------------------------------- PII scrub
+
+  /** PII patterns, written in the dialect-portable subset shared by
+    * Java's regex (Spark codegen) and RE2 (DuckDB, Go scrubbers): no
+    * backreferences, no lookaround — so the redaction is reproducible
+    * across engines and the oracle can hash-check it. Deliberately
+    * conservative (standard curation practice): a false positive costs
+    * one masked token, a false negative leaks PII into training data.
+    */
+  val EmailRegex = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** International-format phone: +CC then 8+ digits with optional
+    * space/dash separators, ending on a digit. Anchored on `+` to stay
+    * out of plain ids/amounts.
+    */
+  val PhoneRegex = "\\+[0-9]{1,3}[ -][0-9][0-9 -]{6,}[0-9]"
+
+  /** Mask emails then phones — per-row scan-stage `regexp_replace`,
+    * codegen'd, no shuffle: the form that runs at firehose width.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRegex, "[EMAIL]"),
+      PhoneRegex, "[PHONE]")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRegex), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRegex), lit(0)))
 }

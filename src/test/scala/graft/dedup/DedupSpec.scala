@@ -255,4 +255,34 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan.take(800))
     assert(!plan.contains("Inner"), "no inner join anywhere in the plan")
   }
+
+  test("boilerplate census: df threshold splits shared vs unique grams; positions weighted") {
+    // "a b c" appears in docs 1,2,3 (df=3); everything else is unique.
+    // doc 4 repeats the boilerplate gram TWICE — both positions count.
+    // doc 5 is too short for a 3-gram → kept with zeros.
+    val df = Seq(
+      (1L, "a b c x y z"),            // grams: "a b c","b c x","c x y","x y z"
+      (2L, "a b c p q r"),
+      (3L, "a b c m n o"),
+      (4L, "a b c a b c"),            // "a b c"@2, "b c a", "c a b"
+      (5L, "hi there")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStats(df, "doc_id", "text", 3, minDf = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("n_boiler"), r.getAs[Long]("boiler_ppm"))).toSeq
+    // df("a b c") counts DISTINCT docs (1,2,3,4) = 4 ≥ 3 → boilerplate
+    assert(out == Seq(
+      (1L, 4L, 1L, 250000L),
+      (2L, 4L, 1L, 250000L),
+      (3L, 4L, 1L, 250000L),
+      (4L, 4L, 2L, 500000L),
+      (5L, 0L, 0L, 0L)))
+    // partition-independence: the window df is a property of the data
+    val re = Dedup.boilerplateStats(df.repartition(7), "doc_id", "text", 3, 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("n_boiler"), r.getAs[Long]("boiler_ppm"))).toSeq
+    assert(re == out)
+  }
 }

@@ -81,4 +81,39 @@ class SketchSpec extends SparkSpec {
     assert(got.forall { case (_, est, sz) => est == 40 && sz == 40 })
     assert(run(df.repartition(17)) == got, "UDAF must be partition-independent")
   }
+
+  test("CMS: estimates never undercount, are exact sans collision, bounded grid") {
+    // 50 distinct tokens with known skewed counts: token i appears i+1 times
+    val df = spark.range(0, 50).select(col("id"))
+      .withColumn("n", col("id") + 1)
+      .select(explode(expr("array_repeat(concat('tok', id), int(n))")).as("t"))
+    val depth = 4
+    val width = 512
+    val sk = Sketch.cmsSketch(df, "t", depth, width)
+    // grid is bounded by depth × width whatever the input cardinality
+    assert(sk.count() <= depth.toLong * width)
+    val exact = df.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+    val est = Sketch.cmsEstimate(sk, exact, "t", depth, width)
+      .collect().map(r => (r.getString(0),
+        r.getLong(r.fieldIndex("exact_n")), r.getLong(r.fieldIndex("cms_n"))))
+    assert(est.length == 50)
+    // one-sided error: min-of-cells can only OVERcount
+    assert(est.forall { case (_, ex, cms) => cms >= ex },
+      "CMS must never undercount")
+    // 50 tokens into 4×512 cells: some row of the grid is collision-free
+    // for most tokens, so the min should be exact for nearly all
+    val inexact = est.count { case (_, ex, cms) => cms != ex }
+    assert(inexact <= 5, s"$inexact of 50 estimates inflated — hash spread broken?")
+  }
+
+  test("CMS is partition-independent and merges by construction") {
+    val df = spark.range(0, 2000)
+      .select(concat(lit("w"), (col("id") % 97).cast("string")).as("t"))
+    def grid(d: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsSketch(d, "t", 4, 256)
+        .orderBy("r", "bucket").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(grid(df) == grid(df.repartition(13)),
+      "cell counts are a pure function of the data")
+  }
 }

@@ -91,4 +91,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 2, "a b")))
     assert(!got.exists(_._1 == 3L), "empty docs chunk to nothing")
   }
+
+  test("PII redaction: emails and phones masked, counts match, clean text untouched") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or +56 9 12345678 ok"),
+      (2L, "two mails a@b.co and c.d@e-f.io, phone +1 415-555-0199 end"),
+      (3L, "no pii here, just 1234567890 and an at sign @ alone"),
+      (4L, "")
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.emailCount(col("t")).as("ne"),
+        TextAnalysis.phoneCount(col("t")).as("np"),
+        TextAnalysis.redactPii(col("t")).as("red"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got(0) == (1L, 1, 1, "reach me at [EMAIL] or [PHONE] ok"))
+    assert(got(1) == (2L, 2, 1, "two mails [EMAIL] and [EMAIL], phone [PHONE] end"))
+    // bare digits / lone @ must NOT trigger (conservative patterns)
+    assert(got(2) == (3L, 0, 0, "no pii here, just 1234567890 and an at sign @ alone"))
+    assert(got(3) == (4L, 0, 0, ""))
+  }
 }

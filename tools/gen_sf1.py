@@ -2,9 +2,9 @@
 """Generate an sf1 table set (10x sf0.1) for the scale-ratchet gate run.
 
 The driver's generator is not in the repo, so this reproduces the OBSERVED
-schema and value conventions of /root/testdata/sf0.1 (sampled 2026-08-13):
-same columns and parquet physical types (events.ts is timestamp[ns];
-orders/lineitem dates are timestamp[ms]), same value vocabularies, same
+schema and value conventions of /root/testdata/sf0.1 (re-sampled
+2026-08-13 after the driver regenerated: events.ts and orders/lineitem
+dates are now all timestamp[us]), same value vocabularies, same
 scaling rules (region/nation fixed, everything else 10x), duplicate
 (l_orderkey, l_linenumber) pairs present, planted exact- and near-dup
 documents so the dedup family stays non-vacuous, 10-cluster unit-norm
@@ -44,8 +44,8 @@ def write(name, cols):
     print(f"{name}: {t.num_rows} rows, rg={rgs}")
 
 
-def days(lo, hi, n, unit="ms"):
-    """Uniform timestamps between date strings, ms resolution."""
+def days(lo, hi, n, unit="us"):
+    """Uniform timestamps between date strings, day-grain values."""
     lo64 = np.datetime64(lo).astype("datetime64[D]").astype(np.int64)
     hi64 = np.datetime64(hi).astype("datetime64[D]").astype(np.int64)
     return (rng.integers(lo64, hi64 + 1, n).astype("datetime64[D]")
@@ -117,14 +117,14 @@ write("lineitem", {
     "l_linestatus": [lstat[i] for i in rng.integers(0, 2, N_LINE)],
     "l_shipdate": days("1995-01-02", "2001-11-04", N_LINE)})
 
-# ---- events: ns timestamps, increasing with event_id --------------------
+# ---- events: us timestamps, increasing with event_id --------------------
 etypes = ["click", "error", "purchase", "signup", "view"]
-span_ns = 30 * 24 * 3600 * 10**9
-ts = np.sort(rng.integers(0, span_ns, N_EVENTS)) + \
-    np.datetime64("2024-01-01").astype("datetime64[ns]").astype(np.int64)
+span_us = 30 * 24 * 3600 * 10**6
+ts = np.sort(rng.integers(0, span_us, N_EVENTS)) + \
+    np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
 write("events", {
     "event_id": pa.array(range(N_EVENTS), pa.int64()),
-    "ts": pa.array(ts.astype("datetime64[ns]"), pa.timestamp("ns")),
+    "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
     "user_id": pa.array(rng.integers(0, 15_000, N_EVENTS), pa.int64()),
     "event_type": [etypes[i] for i in rng.integers(0, 5, N_EVENTS)],
     "value": np.round(np.minimum(rng.exponential(60, N_EVENTS), 999.0), 2),
