@@ -1601,11 +1601,81 @@ object PipelineQueries {
       |FROM raw ORDER BY c_custkey
       |""".stripMargin))
 
+  /** T16 — curation funnel: the composed training-set selection pipeline
+    * (exact dedup first-wins → length band → zero within-doc window
+    * repetition) reported as cumulative per-stage survivor counts — the
+    * shape every production curation run logs. One scan computes every
+    * per-doc signal (tokens projected ONCE, same multi-reference rule as
+    * t13), one window ranks duplicates, one aggregate folds the four
+    * stage counts, and `stack` unpivots them — no per-stage re-scan, so
+    * the funnel costs one pass at 100 TB no matter how many stages.
+    */
+  val t16CurationFunnel = QueryDef("t16_curation_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      val sig = docs
+        .select(col("doc_id"),
+          TextAnalysis.contentHash(col("text")).as("content_hash"),
+          TextAnalysis.tokens(col("text")).as("__tk"))
+        .select(col("doc_id"), col("content_hash"),
+          size(col("__tk")).as("n_tok"),
+          greatest(size(col("__tk")) - 2, lit(0)).cast("long").as("windows"),
+          size(Dedup.shinglesOfTokens(col("__tk"), 3)).cast("long").as("dw"))
+        .withColumn("rep_ppm",
+          when(col("windows") > 0,
+            expr("(windows - dw) * 1000000 div windows")).otherwise(0L))
+        .withColumn("rn", row_number().over(w))
+      val p1 = col("rn") === 1
+      val p2 = p1 && col("n_tok").between(10, 95)
+      val p3 = p2 && col("rep_ppm") === 0
+      sig.agg(
+          count(lit(1)).as("t"),
+          sum(when(p1, 1L).otherwise(0L)).as("u"),
+          sum(when(p2, 1L).otherwise(0L)).as("l"),
+          sum(when(p3, 1L).otherwise(0L)).as("c"))
+        .select(expr(
+          "stack(4, '0_total', t, '1_unique', u, '2_length', l, '3_clean', c)")
+          .as(Seq("stage", "n_docs")))
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |st AS (
+      |  SELECT doc_id, text, len(tk) AS n_tok,
+      |         CAST(GREATEST(len(tk) - 2, 0) AS BIGINT) AS windows,
+      |         CAST(len(list_distinct(list_transform(
+      |           range(1, GREATEST(len(tk) - 2, 0) + 1),
+      |           i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 2), ' ')))) AS BIGINT) AS dw
+      |  FROM toks),
+      |f AS (
+      |  SELECT doc_id, n_tok,
+      |         CASE WHEN windows > 0
+      |              THEN ((windows - dw) * 1000000) // windows ELSE 0 END AS rep_ppm,
+      |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM st),
+      |c AS (
+      |  SELECT COUNT(*) AS t,
+      |         COUNT(*) FILTER (rn = 1) AS u,
+      |         COUNT(*) FILTER (rn = 1 AND n_tok BETWEEN 10 AND 95) AS l,
+      |         COUNT(*) FILTER (rn = 1 AND n_tok BETWEEN 10 AND 95
+      |                          AND rep_ppm = 0) AS cl
+      |  FROM f)
+      |SELECT stage, n_docs FROM (
+      |  SELECT '0_total' AS stage, t AS n_docs FROM c
+      |  UNION ALL SELECT '1_unique', u FROM c
+      |  UNION ALL SELECT '2_length', l FROM c
+      |  UNION ALL SELECT '3_clean', cl FROM c)
+      |ORDER BY stage
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
     t9TopTokens, t10SplitAssignment, t11Chunking, t12HeavyHitters,
-    t13Repetition, t14CmsEstimate, t15PiiRedact, d10SketchCalibration,
+    t13Repetition, t14CmsEstimate, t15PiiRedact, t16CurationFunnel,
+    d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs, d12Boilerplate,
