@@ -62,6 +62,11 @@ object GraftExtensions {
   private val enWords = "'the','of','and','to','in','is','for','on','with','as'"
   private val esWords = "'de','la','que','el','en','y','los','del','las','por'"
 
+  /** Escape a Scala regex for use inside a Spark SQL single-quoted string
+    * literal: the SQL parser consumes one level of backslash escaping.
+    */
+  private def sqlLit(re: String): String = re.replace("\\", "\\\\")
+
   /** The composite text / dedup / similarity layer as Spark 4 SQL scalar
     * functions (`CREATE TEMPORARY FUNCTION ... RETURN <expr>`): each body
     * is the same expression tree the Scala API builds, inlined into the
@@ -166,6 +171,27 @@ object GraftExtensions {
       |                  chunk_tokens - overlap),
       |         st -> concat_ws(' ', slice(graft_tokens(t), st + 1, chunk_tokens)))
       |  ELSE CAST(array() AS ARRAY<STRING>) END""",
+    // PII scrub surface (TextAnalysis.redactPii): patterns embedded from
+    // the same Scala constants so the dialects cannot drift; backslashes
+    // doubled for the SQL string literal
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION redact_pii(t STRING)
+      |RETURNS STRING
+      |RETURN regexp_replace(regexp_replace(t,
+      |  '${sqlLit(graft.text.TextAnalysis.EmailRegex)}', '[EMAIL]'),
+      |  '${sqlLit(graft.text.TextAnalysis.PhoneRegex)}', '[PHONE]')""",
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION email_count(t STRING)
+      |RETURNS INT
+      |RETURN size(regexp_extract_all(t, '${sqlLit(graft.text.TextAnalysis.EmailRegex)}', 0))""",
+    s"""CREATE OR REPLACE TEMPORARY FUNCTION phone_count(t STRING)
+      |RETURNS INT
+      |RETURN size(regexp_extract_all(t, '${sqlLit(graft.text.TextAnalysis.PhoneRegex)}', 0))""",
+    // Morton interleave (graft.functions.zorder_key): layout/key surface
+    // for SQL-side clustering audits
+    """CREATE OR REPLACE TEMPORARY FUNCTION zorder_key(a BIGINT, b BIGINT, bits INT)
+      |RETURNS BIGINT
+      |RETURN aggregate(sequence(0, bits - 1), 0L, (acc, i) ->
+      |  acc | shiftleft(shiftright(a, i) & 1L, 2 * i)
+      |      | shiftleft(shiftright(b, i) & 1L, 2 * i + 1))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION quantize_vec(v ARRAY<DOUBLE>)
       |RETURNS ARRAY<BIGINT>
       |RETURN transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))""",

@@ -135,6 +135,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(swSql == swApi)
   }
 
+  test("PII and zorder SQL surface agrees with the Scala API") {
+    GraftExtensions.registerAll(spark)
+    import org.apache.spark.sql.functions.{col, lit}
+    val row = spark.sql(
+      """SELECT redact_pii('mail a.b@c.org call +56 9 12345678 done') AS red,
+        |       email_count('a@b.io and c@d.co') AS ne,
+        |       phone_count('no digits here') AS np,
+        |       zorder_key(5L, 3L, 3) AS z""".stripMargin).collect().head
+    assert(row.getString(0) == "mail [EMAIL] call [PHONE] done")
+    assert(row.getInt(1) == 2)
+    assert(row.getInt(2) == 0)
+    // interleave(101, 011) = b011011 + check vs the Column implementation
+    assert(row.getLong(3) == 27L)
+    val api = spark.range(1).select(
+      graft.functions.zorder_key(lit(5L), lit(3L), 3)).collect().head.getLong(0)
+    assert(api == row.getLong(3), "SQL zorder_key drifted from the Column form")
+
+    // redaction parity over real data shapes
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    docs.createOrReplaceTempView("ext_docs3")
+    val sqlRed = spark.sql(
+      "SELECT doc_id, redact_pii(text) r FROM ext_docs3")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val apiRed = docs.select(col("doc_id"),
+        graft.text.TextAnalysis.redactPii(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sqlRed == apiRed)
+  }
+
   test("GraftExtensions builder produces the expression for one argument") {
     val e = new GraftExtensions
     // the injected builder itself: arity guard + expression construction
