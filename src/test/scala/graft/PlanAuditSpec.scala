@@ -239,6 +239,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d12 boilerplate census: df via window, no gram self-join, agg reuses doc partitioning") {
+    val p = plan("d12_boilerplate")
+    // document frequency must come from a count WINDOW over the gram key,
+    // never a posting-list self-join (that shape is O(df^2) per gram)
+    assert(p.contains("Window"), "df must be a count window")
+    assert(!p.contains("CartesianProduct"))
+    // exactly one non-broadcast join: the final left join back to docs
+    val joins = "(?m)^\\(\\d+\\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"expected only the docs left-join, found $joins:\n${p.take(1200)}")
+    // the (doc, gram) aggregate must reuse the posexplode window's
+    // hash(doc_id) partitioning — grouping keys are a superset, so an
+    // extra exchange between the two would be a planner regression
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"boilerplate census grew to $exchanges exchanges")
+  }
+
+  test("k5 z-order layout: pure scan -> aggregate, interleave stays in the scan stage") {
+    val p = plan("k5_zorder_layout")
+    assert(!p.contains("Join"), "zorder bucketing must not join")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"one group-by + one order-by expected, got $exchanges")
+  }
+
   test("declarative joins are runtime-bloom-filter eligible at scale") {
     // at 100 TB a selective dim filter should prune the fact scan via an
     // injected bloom filter (spark.sql.optimizer.runtime.bloomFilter.*,
