@@ -244,7 +244,13 @@ object PipelineQueries {
 
   /** D6 — shared-long-window pairs (8-token windows, ≥3 shared): the
     * exact-substring duplication signal; inverted-index join, never
-    * all-pairs.
+    * all-pairs. The oracle uses the same inverted-index shape — the
+    * original all-pairs `a JOIN b ON id1 < id2` with a per-pair
+    * list_intersect was semantically identical but O(N²): 125k pairs at
+    * the sf0.01 gate, 2.5 BILLION at the sf1 ratchet, where DuckDB ran
+    * >100 minutes without finishing. Since `w` is distinct per doc, the
+    * per-pair row count of the window-keyed equi-join IS the
+    * intersection size, and pairs materialize only from co-occurrence.
     */
   val d6SharedWindows = QueryDef("d6_shared_windows",
     (s, dir) => {
@@ -261,11 +267,12 @@ object PipelineQueries {
       |  SELECT doc_id, list_distinct(list_transform(
       |           range(1, GREATEST(len(tk) - 7, 0) + 1),
       |           i -> array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 7), ' '))) AS w
-      |  FROM toks)
+      |  FROM toks),
+      |e AS (SELECT doc_id, unnest(w) AS s FROM w8)
       |SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |       CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS shared_windows
-      |FROM w8 a JOIN w8 b ON a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.w, b.w)) >= 3
+      |       CAST(COUNT(*) AS BIGINT) AS shared_windows
+      |FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY id1, id2
       |""".stripMargin))
 
