@@ -13,6 +13,10 @@ object AllQueriesSmoke {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // NTZ ts -> epoch normalization (Tables.load) casts through the
+      // session time zone; an unpinned JVM-default TZ would silently
+      // shift every event-time bucket on non-UTC machines
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
