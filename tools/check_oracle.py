@@ -3,10 +3,15 @@
 parquet under OUTDIR, run the paired oracle SQL in DuckDB against the sf
 tables and hash-compare values with columns sorted by name.
 
-Usage: python3 tools/check_oracle.py /tmp/verify_sf001 /root/testdata/sf0.01
+Usage: python3 tools/check_oracle.py OUTDIR SFDIR [skip|only q1,q2,...]
+
+Per-query progress prints as it goes (flushed — long DuckDB queries are
+visible, not silent). `skip`/`only` subset the run: the sf1 ratchet's
+slow oracle replays (recursive-CTE d7/d8, unrolled-kmeans s5) can be
+deferred to a second pass without losing the fast 95%.
 """
 import glob
-import json, sys, hashlib
+import json, sys, hashlib, time
 import duckdb
 import pandas as pd
 
@@ -25,13 +30,20 @@ def frame_hash(df):
         h.update(repr(tuple(row)).encode())
     return h.hexdigest()
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, mode=None, names=""):
+    sel = set(names.split(",")) if names else set()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    items = sorted(oracle.items())
+    if mode == "skip":
+        items = [(k, v) for k, v in items if k not in sel]
+    elif mode == "only":
+        items = [(k, v) for k, v in items if k in sel]
     ok = bad = 0
-    for name, sql in sorted(oracle.items()):
+    for name, sql in items:
+        t0 = time.time()
         try:
             # Spark side MUST go through pyarrow/pandas like the driver does —
             # routing it through DuckDB masked decimal-rendering mismatches in
@@ -42,7 +54,7 @@ def main(outdir, sfdir):
                             ignore_index=True)
             want = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {e}", flush=True)
             bad += 1
             continue
         if sorted(got.columns) != sorted(want.columns):
@@ -62,8 +74,9 @@ def main(outdir, sfdir):
             bad += 1
         else:
             ok += 1
-    print(f"{ok} ok, {bad} fail / {ok + bad} total")
+            print(f"ok {name} ({time.time() - t0:.1f}s)", flush=True)
+    print(f"{ok} ok, {bad} fail / {ok + bad} total", flush=True)
     sys.exit(1 if bad else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(*sys.argv[1:])
