@@ -1608,6 +1608,33 @@ object PipelineQueries {
       |FROM raw ORDER BY c_custkey
       |""".stripMargin))
 
+  /** T17 — exact quantiles PER GROUP (the by-group form of t6): char-
+    * length quartiles per language, `percentile` + posexplode to tidy
+    * (lang, qi, value) rows. Exact (sort-based within group) and
+    * engine-portable — DuckDB's `quantile_cont` uses the same linear
+    * interpolation, so values hash-match; approx_percentile's sketch is
+    * engine-private and could never sit under this oracle. Memory is
+    * ∝ distinct values per group, the right trade for bounded-
+    * cardinality profiling dimensions (lang/source); unbounded group
+    * domains should use the approximate form instead.
+    */
+  val t17QuantilesByLang = QueryDef("t17_quantiles_by_lang",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select(col("lang"), posexplode(col("qs")).as(Seq("qi", "q_chars")))
+        .orderBy(col("lang"), col("qi"))
+    },
+    Some("""
+      |WITH q AS (
+      |  SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, CAST(n - 1 AS INT) AS qi, qs[CAST(n AS INT)] AS q_chars
+      |FROM q CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) i
+      |ORDER BY lang, qi
+      |""".stripMargin))
+
   /** T16 — curation funnel: the composed training-set selection pipeline
     * (exact dedup first-wins → length band → zero within-doc window
     * repetition) reported as cumulative per-stage survivor counts — the
@@ -1682,7 +1709,7 @@ object PipelineQueries {
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
     t9TopTokens, t10SplitAssignment, t11Chunking, t12HeavyHitters,
     t13Repetition, t14CmsEstimate, t15PiiRedact, t16CurationFunnel,
-    d10SketchCalibration,
+    t17QuantilesByLang, d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs, d12Boilerplate,
