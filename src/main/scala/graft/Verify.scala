@@ -23,7 +23,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset for local iteration (comma-separated names); the
+    // driver never sets it, so the gate always runs the full set. Unknown
+    // names fail loudly — a typo must not produce a silent empty run.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query names: $unknown")
+    }
+    val selected = only match {
+      case Some(sel) => SparkEntry.queries.filter { case (n, _) => sel(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       // coalesce(1) directly on the query would collapse every shuffle-free
       // chain into ONE task (the whole scan+compute runs single-threaded —
       // minutes per full-text query at sf1). Eager localCheckpoint executes

@@ -90,18 +90,35 @@ object StoreMaintenance {
     * prune scans filtering on EITHER dimension, where
     * [[compactClustered]]'s linear sort only prunes its leading key.
     * The zkey is a transient repartitioning column, dropped before
-    * write; `bits` bounds each dimension's bucket domain to [0, 2^bits)
-    * via a non-negative modulo.
+    * write; each dimension is RANGE-BINNED against its observed
+    * min/max into [0, 2^bits) (width_bucket-style). Modulo bucketing
+    * would cluster by residue for domains wider than 2^bits — footer
+    * min/max on the raw columns then stay near-full-span and the
+    * pruning benefit silently evaporates; range binning keeps bucket
+    * adjacency == value adjacency at any domain width. Costs one extra
+    * min/max scan of the two dim columns — a maintenance job, not a
+    * query path.
     */
   def compactZOrdered(spark: SparkSession, path: String,
       dimA: String, dimB: String, bits: Int = 10,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
     swapRewrite(spark, path, targetBytes) { (df, nFiles, tmp) =>
-      import org.apache.spark.sql.functions.{col, pmod, lit}
+      import org.apache.spark.sql.functions.{col, lit, min, max, floor, least, greatest}
       val width = 1L << bits
-      val z = graft.functions.zorder_key(
-        pmod(col(dimA).cast("long"), lit(width)),
-        pmod(col(dimB).cast("long"), lit(width)), bits)
+      val b = df.agg(
+        min(col(dimA).cast("double")), max(col(dimA).cast("double")),
+        min(col(dimB).cast("double")), max(col(dimB).cast("double"))).head()
+      def bin(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
+        val span = math.max(hi - lo, 0.0) + 1.0
+        least(lit(width - 1), greatest(lit(0L),
+          floor((c.cast("double") - lit(lo)) / lit(span) * lit(width.toDouble))
+            .cast("long")))
+      }
+      val z =
+        if (b.isNullAt(0) || b.isNullAt(2)) lit(0L) // empty store / all-null dim
+        else graft.functions.zorder_key(
+          bin(col(dimA), b.getDouble(0), b.getDouble(1)),
+          bin(col(dimB), b.getDouble(2), b.getDouble(3)), bits)
       df.withColumn("__zkey", z)
         .repartitionByRange(nFiles, col("__zkey"))
         .sortWithinPartitions(col("__zkey"))

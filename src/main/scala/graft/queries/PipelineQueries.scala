@@ -1640,15 +1640,19 @@ object PipelineQueries {
     * repetition) reported as cumulative per-stage survivor counts — the
     * shape every production curation run logs. One scan computes every
     * per-doc signal (tokens projected ONCE, same multi-reference rule as
-    * t13), one window ranks duplicates, one aggregate folds the four
-    * stage counts, and `stack` unpivots them — no per-stage re-scan, so
-    * the funnel costs one pass at 100 TB no matter how many stages.
+    * t13); first-wins election is a struct-argmax hash aggregate keyed
+    * on content_hash (`min(struct(doc_id, …))`, the d8 shape), NOT a
+    * window: a window partition over content_hash cannot be AQE-skew-
+    * split, so a boilerplate page duplicated millions of times would pin
+    * its whole cluster on one reducer — the same argument that shaped
+    * d12. A hash aggregate's map-side partials absorb that skew instead.
+    * One more aggregate folds the four stage counts and `stack` unpivots
+    * them — no per-stage re-scan, so the funnel costs one pass at 100 TB
+    * no matter how many stages.
     */
   val t16CurationFunnel = QueryDef("t16_curation_funnel",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("content_hash")).orderBy(col("doc_id"))
       val sig = docs
         .select(col("doc_id"),
           TextAnalysis.contentHash(col("text")).as("content_hash"),
@@ -1660,13 +1664,17 @@ object PipelineQueries {
         .withColumn("rep_ppm",
           when(col("windows") > 0,
             expr("(windows - dw) * 1000000 div windows")).otherwise(0L))
-        .withColumn("rn", row_number().over(w))
-      val p1 = col("rn") === 1
-      val p2 = p1 && col("n_tok").between(10, 95)
-      val p3 = p2 && col("rep_ppm") === 0
-      sig.agg(
-          count(lit(1)).as("t"),
-          sum(when(p1, 1L).otherwise(0L)).as("u"),
+      // keeper per hash = the min-doc_id row WITH its own signals: the
+      // struct argmax rides the same aggregate that counts the group, so
+      // no join and no window — skew-immune by construction
+      val byHash = sig.groupBy(col("content_hash"))
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("n_tok"), col("rep_ppm"))).as("k"))
+      val p2 = col("k.n_tok").between(10, 95)
+      val p3 = p2 && col("k.rep_ppm") === 0
+      byHash.agg(
+          sum(col("cnt")).as("t"),
+          count(lit(1)).as("u"),
           sum(when(p2, 1L).otherwise(0L)).as("l"),
           sum(when(p3, 1L).otherwise(0L)).as("c"))
         .select(expr(

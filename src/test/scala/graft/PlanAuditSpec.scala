@@ -78,6 +78,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ap.contains("Exchange"), "assignment must not shuffle")
   }
 
+  test("t16: first-wins election aggregates, never a window over content_hash") {
+    // a window partitioned on content_hash cannot be AQE-skew-split: a
+    // boilerplate page duplicated millions of times pins its cluster on
+    // one reducer. The funnel must elect keepers with a hash aggregate
+    // (struct-argmax, the d8 shape) whose map-side partials absorb skew.
+    val df = SparkEntry.queries("t16_curation_funnel")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "t16 must not contain a window operator")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty, "t16 election must ride the aggregate, not a join")
+    assert(plan("t16_curation_funnel").contains("HashAggregate"))
+  }
+
   test("o3 top-errors / t9 top-tokens use TakeOrderedAndProject, not a full sort") {
     assert(plan("o3_top_errors").contains("TakeOrderedAndProject"))
     assert(plan("t9_top_tokens").contains("TakeOrderedAndProject"))

@@ -36,6 +36,7 @@ class ZorderSpec extends SparkSpec {
 
   test("compactZOrdered: rows preserved; files bound BOTH dims, not just one") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
+    try {
     val store = s"${dir.getAbsolutePath}/store"
     // uniform 64×64 grid — worst case for linear clustering on `a`
     val rows = for (a <- 0L until 64L; b <- 0L until 64L)
@@ -60,5 +61,11 @@ class ZorderSpec extends SparkSpec {
     val medianSb = boxes.map(_._2).sorted.apply(boxes.length / 2)
     assert(medianSb < 63,
       s"median span_b $medianSb — z-order should bound the SECOND dimension")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir.toPath))(
+        _.iterator().asScala.toSeq).reverse
+        .foreach(java.nio.file.Files.delete)
+    }
   }
 }

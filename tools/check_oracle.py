@@ -31,16 +31,28 @@ def frame_hash(df):
     return h.hexdigest()
 
 def main(outdir, sfdir, mode=None, names=""):
+    if mode not in (None, "skip", "only"):
+        sys.exit(f"unknown mode {mode!r}: expected 'skip' or 'only'")
     sel = set(names.split(",")) if names else set()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     items = sorted(oracle.items())
-    if mode == "skip":
-        items = [(k, v) for k, v in items if k not in sel]
-    elif mode == "only":
-        items = [(k, v) for k, v in items if k in sel]
+    if mode is not None:
+        # a stale/misspelled name in the selection would silently shrink
+        # the run — in 'only' mode all the way to a 0-query false green
+        unknown = sel - set(oracle)
+        if unknown:
+            sys.exit(f"{mode} selection names absent from oracle_sql.json: "
+                     f"{sorted(unknown)}")
+        if mode == "skip":
+            items = [(k, v) for k, v in items if k not in sel]
+        else:
+            items = [(k, v) for k, v in items if k in sel]
+        if not items:
+            sys.exit(f"mode {mode!r} selected zero queries — refusing to "
+                     "report an empty pass")
     ok = bad = 0
     for name, sql in items:
         t0 = time.time()
