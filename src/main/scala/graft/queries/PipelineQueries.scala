@@ -1635,6 +1635,37 @@ object PipelineQueries {
       |ORDER BY lang, qi
       |""".stripMargin))
 
+  /** T18 — APPROXIMATE quantiles per group, the bounded-state form t17's
+    * scaladoc promises for unbounded group domains: a DDSketch-style
+    * integer log-histogram ([[graft.sketch.ApproxQuantiles]]) whose
+    * per-group state is ≤ 64·2^4 cells no matter the group size, so a
+    * 100 TB profiling pass grouped by domain/source-URL holds. The bin
+    * arithmetic is integer-exact (floor(log2) via binary-string length,
+    * nearest-rank via rational ceil) so DuckDB replays the sketch
+    * bit-for-bit — same calibration stance as d10/t14: the ESTIMATOR
+    * itself sits under the oracle, not just its inputs.
+    */
+  val t18ApproxQuantiles = QueryDef("t18_approx_quantiles_by_lang",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sketch.ApproxQuantiles.quantilesByGroup(docs, "lang", "n_chars")
+        .orderBy(col("lang"), col("qi"))
+    },
+    Some(s"""
+      |WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+      |           WHERE n_chars IS NOT NULL AND n_chars >= 0),
+      |b AS (SELECT lang, ${graft.sketch.ApproxQuantiles.logBinSql("v", 4)} AS id FROM v),
+      |h AS (SELECT lang, id, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |w AS (SELECT lang, id,
+      |        SUM(c) OVER (PARTITION BY lang ORDER BY id) AS cum,
+      |        SUM(c) OVER (PARTITION BY lang) AS n FROM h),
+      |q(qi, num, den) AS (VALUES (0, 1, 4), (1, 2, 4), (2, 3, 4)),
+      |sel AS (SELECT lang, qi, MIN(id) AS id FROM w, q
+      |        WHERE cum >= (n * num + den - 1) // den GROUP BY 1, 2)
+      |SELECT lang, qi, ${graft.sketch.ApproxQuantiles.binEstimateSql("id", 4)} AS q_est
+      |FROM sel ORDER BY lang, qi
+      |""".stripMargin))
+
   /** T16 — curation funnel: the composed training-set selection pipeline
     * (exact dedup first-wins → length band → zero within-doc window
     * repetition) reported as cumulative per-stage survivor counts — the
@@ -1717,7 +1748,7 @@ object PipelineQueries {
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
     t9TopTokens, t10SplitAssignment, t11Chunking, t12HeavyHitters,
     t13Repetition, t14CmsEstimate, t15PiiRedact, t16CurationFunnel,
-    t17QuantilesByLang, d10SketchCalibration,
+    t17QuantilesByLang, t18ApproxQuantiles, d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs, d12Boilerplate,
