@@ -2300,6 +2300,65 @@ object CoreQueries {
       |ORDER BY file_id
       |""".stripMargin))
 
+  /** Memoized z-ordered store for K6: lineitem's (partkey, suppkey,
+    * qty, orderkey) projection written as a many-file store, then
+    * rewritten by [[graft.pipeline.StoreMaintenance.compactZOrdered]]
+    * on (l_partkey, l_suppkey) — the durable 2-D-clustered layout.
+    * Memoized so bench iterations re-READ, not re-build (the s6
+    * pattern).
+    */
+  private val zstoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def zorderStoreDir(s: SparkSession, dir: String): String =
+    zstoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-zstore").toString + "/store"
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"))
+          .repartition(8).write.parquet(path)
+        graft.pipeline.StoreMaintenance.compactZOrdered(
+          s, path, "l_partkey", "l_suppkey",
+          bits = 6, targetBytes = 256 * 1024)
+        path
+      })
+
+  /** K6 — the z-ordered store READ path (the s6/s7 pattern applied to
+    * k5's layout lever): a 2-D range query answered FROM the compacted
+    * store on disk must equal the full-scan answer over the original
+    * table — the oracle never sees the store, so any row lost, duplicated
+    * or mis-binned by the z-order rewrite hash-mismatches. The box
+    * bounds derive from the data (quarter-to-half of each dimension's
+    * max) so one query text is non-vacuous at every scale factor; the
+    * two scalar maxima are a bounded driver pull, the d12-minDf stance.
+    * File-skipping itself (fewer footer-intersecting files than an
+    * unclustered layout) is asserted in ZorderSpec — a hash oracle can
+    * only grade "identical", not "pruned".
+    */
+  val k6ZorderStore = QueryDef("k6_zorder_store",
+    (s, dir) => {
+      val st = s.read.parquet(zorderStoreDir(s, dir))
+      val b = st.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (pm, sm) = (b.getLong(0), b.getLong(1))
+      st.filter(col("l_partkey").between(pm / 4, pm / 2) &&
+          col("l_suppkey").between(sm / 4, sm / 2))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+    },
+    Some("""
+      |WITH b AS (SELECT MAX(l_partkey) AS pm, MAX(l_suppkey) AS sm
+      |           FROM lineitem)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+      |       MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+      |FROM lineitem, b
+      |WHERE l_partkey BETWEEN pm // 4 AND pm // 2
+      |  AND l_suppkey BETWEEN sm // 4 AND sm // 2
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -2320,5 +2379,5 @@ object CoreQueries {
     q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
     k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
-    u5IntersectAll, a8Cube, k5ZorderLayout)
+    u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore)
 }

@@ -68,4 +68,72 @@ class ZorderSpec extends SparkSpec {
         .foreach(java.nio.file.Files.delete)
     }
   }
+
+  /** Parquet footer (min, max) of two long columns for every part file —
+    * the stats a planner prunes with.
+    */
+  private def footerBoxes(store: String, colA: String, colB: String)
+      : Seq[((Long, Long), (Long, Long))] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    new java.io.File(store).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf))
+        try {
+          def mm(c: String): (Long, Long) = {
+            val st = r.getFooter.getBlocks.asScala.flatMap(
+              _.getColumns.asScala.filter(_.getPath.toDotString == c)
+                .map(_.getStatistics))
+            (st.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+              st.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+          }
+          (mm(colA), mm(colB))
+        } finally r.close()
+      }
+  }
+
+  test("z-ordered store: a 2-D box query needs FEWER files than unclustered") {
+    // the k6 gate proves the read path returns identical ANSWERS; this
+    // proves the layout actually PRUNES — the files whose footer boxes
+    // intersect the query box are exactly what a stats-based scan reads
+    val dir = java.nio.file.Files.createTempDirectory("graft-zprune")
+    try {
+      val rows = for (a <- 0L until 128L; b <- 0L until 128L)
+        yield (a, b, a * 1000 + b)
+      val flat = s"$dir/flat"; val zed = s"$dir/zed"
+      // identical data, two layouts: shuffled round-robin vs z-ordered
+      rows.toDF("a", "b", "payload").repartition(16).write.parquet(flat)
+      rows.toDF("a", "b", "payload").repartition(16).write.parquet(zed)
+      val n = StoreMaintenance.compactZOrdered(spark, zed, "a", "b",
+        bits = 6, targetBytes = 24 * 1024)
+      assert(n > 4, s"need a multi-file z-layout to prove pruning, got $n")
+
+      val (lo, hi) = (32L, 63L) // a quarter-domain box on both dims
+      def needed(store: String): Int =
+        footerBoxes(store, "a", "b").count { case ((la, ha), (lb, hb)) =>
+          la <= hi && ha >= lo && lb <= hi && hb >= lo
+        }
+      val (nFlat, nZed) = (needed(flat), needed(zed))
+      val totFlat = footerBoxes(flat, "a", "b").size
+      assert(nFlat == totFlat,
+        s"unclustered layout should prune nothing ($nFlat/$totFlat)")
+      assert(nZed < nFlat,
+        s"z-ordered layout must need fewer files: $nZed vs $nFlat")
+      // and the pruned read answers identically to the full scan
+      val q = (d: org.apache.spark.sql.DataFrame) => d
+        .filter(col("a").between(lo, hi) && col("b").between(lo, hi))
+        .agg(count(lit(1)), sum("payload")).collect().head.toString
+      assert(q(spark.read.parquet(zed)) == q(rows.toDF("a", "b", "payload")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.iterator().asScala.toSeq).reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
 }
