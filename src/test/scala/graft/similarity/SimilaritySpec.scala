@@ -84,6 +84,72 @@ class IvfIndexSpec extends SparkSpec {
       spark, queries, "vec_id", "embedding", s"$base/inc", 3, cents))
     assert(afterCompact == rebuilt)
   }
+
+  test("chaos: append → crash mid-compact → restore → append → probe stays rebuild-identical") {
+    // s7 gates the happy path; this drives the TRAINED index through the
+    // failure windows the lifecycle code claims to survive, asserting
+    // probe-identity to a from-scratch rebuild after every step.
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfchaos")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = s"$base/idx"
+    val slice = (m: Int) => emb.filter(col("vec_id") % 4 === m)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val cents = Similarity.trainIvfCentroids(slice(0), "vec_id", "embedding", 8)
+
+    def probe() = Similarity.ivfTopKFromIndex(
+        spark, queries, "vec_id", "embedding", idx, 3,
+        Similarity.readIvfCentroids(spark, idx), nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def rebuildProbe(upTo: Int) = {
+      val all = emb.filter(col("vec_id") % 4 <= upTo)
+      val full = s"$base/rebuild$upTo"
+      Similarity.writeIvfIndex(all, "vec_id", "embedding", full, cents)
+      Similarity.ivfTopKFromIndex(spark, queries, "vec_id", "embedding",
+          full, 3, cents, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+
+    Similarity.writeIvfIndex(slice(0), "vec_id", "embedding", idx, cents)
+    Similarity.appendToIvfIndex(slice(1), "vec_id", "embedding", idx)
+    assert(probe() == rebuildProbe(1), "after first append")
+
+    // CRASH WINDOW 1 — compactIvfIndex died after the partition-preserving
+    // rewrite but before re-writing the in-dir sidecar: `_centroids` is
+    // GONE and only the sibling backup survives. Reproduce the window by
+    // running exactly the steps compactIvfIndex takes up to the crash.
+    import spark.implicits._
+    val backup = java.nio.file.Paths.get(s"$base/idx__centroids_backup")
+    cents.toDF("centroid_id", "qv").coalesce(1)
+      .write.mode("overwrite").parquet(backup.toString)
+    graft.pipeline.StoreMaintenance.compact(
+      spark, idx, targetBytes = 64 * 1024, partitionBy = Seq("centroid_id"))
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idx/_centroids")),
+      "precondition: the crash window really loses the in-dir sidecar")
+    // recovery path: readIvfCentroids restores the sidecar from the backup
+    assert(Similarity.readIvfCentroids(spark, idx) == cents,
+      "centroids must survive a crash mid-compact via the sibling backup")
+    assert(probe() == rebuildProbe(1), "after crashed compaction + restore")
+
+    // appends keep working against the restored sidecar
+    Similarity.appendToIvfIndex(slice(2), "vec_id", "embedding", idx)
+    assert(probe() == rebuildProbe(2), "append after restore")
+
+    // CRASH WINDOW 2 — the compact swap itself died with the store moved
+    // aside (path absent): recoverInterruptedCompaction must bring the
+    // index back, sidecar backup intact, before the next append.
+    val p = java.nio.file.Paths.get(idx)
+    java.nio.file.Files.move(p, p.resolveSibling("idx__compact_old"))
+    graft.pipeline.StoreMaintenance.recoverInterruptedCompaction(idx)
+    assert(java.nio.file.Files.exists(p), "store restored from aside dir")
+    assert(probe() == rebuildProbe(2), "after interrupted-swap recovery")
+
+    // a clean compaction after all that chaos: still rebuild-identical
+    Similarity.compactIvfIndex(spark, idx, targetBytes = 64 * 1024)
+    Similarity.appendToIvfIndex(slice(3), "vec_id", "embedding", idx)
+    assert(probe() == rebuildProbe(3), "final append after clean compact")
+    assert(Similarity.readIvfCentroids(spark, idx) == cents)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
