@@ -117,6 +117,38 @@ object GraftExtensions {
       |         sequence(1, size(graft_tokens(t)) - n + 1),
       |         i -> concat_ws(' ', slice(graft_tokens(t), i, n))))
       |  ELSE CAST(array() AS ARRAY<STRING>) END""",
+    // ALL shingle positions (non-distinct) — the boilerplate census
+    // counts positions, so the distinct form above can't feed it
+    """CREATE OR REPLACE TEMPORARY FUNCTION shingles_all(t STRING, n INT)
+      |RETURNS ARRAY<STRING>
+      |RETURN CASE WHEN size(graft_tokens(t)) - n + 1 > 0
+      |  THEN transform(
+      |         sequence(1, size(graft_tokens(t)) - n + 1),
+      |         i -> concat_ws(' ', slice(graft_tokens(t), i, n)))
+      |  ELSE CAST(array() AS ARRAY<STRING>) END""",
+    // count-min sketch cell (Sketch.cmsBucket): with this, the whole
+    // grid build AND point probes are pure-SQL expressible — see
+    // GraftExtensionsSpec for the canonical query shape
+    """CREATE OR REPLACE TEMPORARY FUNCTION cms_bucket(v STRING, r INT, width INT)
+      |RETURNS BIGINT
+      |RETURN CAST(conv(substring(md5(CAST(concat(CAST(r AS STRING), ':', v)
+      |              AS BINARY)), 1, 10), 16, 10) AS BIGINT) % width""",
+    // integer log-histogram bin + midpoint (ApproxQuantiles.logBin /
+    // binEstimate): the bounded-state by-group quantile surface in SQL
+    """CREATE OR REPLACE TEMPORARY FUNCTION log_bin(v BIGINT, sub_bits INT)
+      |RETURNS BIGINT
+      |RETURN CASE WHEN v < shiftleft(1L, sub_bits) THEN v
+      |  ELSE CAST(length(bin(v)) - 1 AS BIGINT) * shiftleft(1L, sub_bits)
+      |       + shiftrightunsigned(v - shiftleft(1L, length(bin(v)) - 1),
+      |                            length(bin(v)) - 1 - sub_bits) END""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION bin_midpoint(id BIGINT, sub_bits INT)
+      |RETURNS DOUBLE
+      |RETURN CASE WHEN id < shiftleft(1L, sub_bits) THEN CAST(id AS DOUBLE)
+      |  ELSE CAST(shiftleft(1L, CAST(id DIV shiftleft(1L, sub_bits) AS INT))
+      |            AS DOUBLE)
+      |       + (CAST(id % shiftleft(1L, sub_bits) AS DOUBLE) + 0.5D)
+      |         * CAST(shiftleft(1L, CAST(id DIV shiftleft(1L, sub_bits) AS INT)
+      |                              - sub_bits) AS DOUBLE) END""",
     // per-row HOF form — fine for ad-hoc SQL; its CASE branches
     // re-tokenize per reference (conditional subtrees are excluded from
     // codegen subexpression elimination), so bulk scans should use

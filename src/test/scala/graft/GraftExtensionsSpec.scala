@@ -164,6 +164,78 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlRed == apiRed)
   }
 
+  test("CMS + boilerplate census + approx-quantile SQL ≡ Scala API") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.registerAll(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("ge_docs")
+
+    // --- count-min sketch: grid + probes in pure SQL vs Sketch API
+    val toks = docs.select(
+      explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(10)
+    val apiCms = graft.sketch.Sketch.cmsEstimate(
+        graft.sketch.Sketch.cmsSketch(toks, "token", 4, 512),
+        exact, "token", 4, 512)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val sqlCms = spark.sql(
+      """WITH arr AS (SELECT graft_tokens(text) AS tk FROM ge_docs),
+        |toks AS (SELECT explode(tk) AS token FROM arr),
+        |ex AS (SELECT token, COUNT(*) AS exact_n FROM toks
+        |       GROUP BY token ORDER BY exact_n DESC, token LIMIT 10),
+        |rr AS (SELECT explode(sequence(0, 3)) AS r),
+        |cells AS (SELECT r, cms_bucket(token, r, 512) AS bucket,
+        |                 COUNT(*) AS cnt
+        |          FROM toks CROSS JOIN rr GROUP BY r, bucket),
+        |probe AS (SELECT token, exact_n, r, cms_bucket(token, r, 512) AS bucket
+        |          FROM ex CROSS JOIN rr)
+        |SELECT p.token, p.exact_n, MIN(c.cnt) AS cms_n
+        |FROM probe p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+        |GROUP BY p.token, p.exact_n""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sqlCms == apiCms, "SQL CMS estimate drifted from the Scala API")
+
+    // --- boilerplate census in pure SQL vs Dedup.boilerplateStats
+    val apiCensus = graft.dedup.Dedup
+      .boilerplateStats(docs, "doc_id", "text", 3, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val sqlCensus = spark.sql(
+      """WITH arr AS (SELECT doc_id, shingles_all(text, 3) AS sh FROM ge_docs),
+        |pos AS (SELECT doc_id, explode(sh) AS s FROM arr),
+        |pdg AS (SELECT doc_id, s, COUNT(*) AS pos_in_doc
+        |        FROM pos GROUP BY doc_id, s),
+        |dfr AS (SELECT s, COUNT(*) AS df FROM pdg GROUP BY s),
+        |per AS (SELECT doc_id, SUM(pos_in_doc) AS n_pos,
+        |               SUM(CASE WHEN df >= 3 THEN pos_in_doc ELSE 0L END)
+        |                 AS n_boiler
+        |        FROM pdg JOIN dfr USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_pos, 0L) AS n_pos,
+        |       coalesce(n_boiler, 0L) AS n_boiler,
+        |       CASE WHEN coalesce(n_pos, 0L) > 0
+        |            THEN n_boiler * 1000000L div n_pos ELSE 0L END AS boiler_ppm
+        |FROM ge_docs d LEFT JOIN per USING (doc_id)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(sqlCensus == apiCensus,
+      "SQL boilerplate census drifted from the Scala API")
+
+    // --- integer log-histogram bin + midpoint vs ApproxQuantiles
+    val vals = spark.range(0, 5000).select(col("id").as("v"))
+    val api = vals.select(col("v"),
+        graft.sketch.ApproxQuantiles.logBin(col("v"), 4).as("id"),
+        graft.sketch.ApproxQuantiles.binEstimate(
+          graft.sketch.ApproxQuantiles.logBin(col("v"), 4), 4).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    vals.createOrReplaceTempView("ge_vals")
+    val viaSql = spark.sql(
+      """SELECT v, log_bin(v, 4) AS id, bin_midpoint(log_bin(v, 4), 4) AS est
+        |FROM ge_vals""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSql == api, "SQL log-bin surface drifted from the Scala API")
+  }
+
   test("GraftExtensions builder produces the expression for one argument") {
     val e = new GraftExtensions
     // the injected builder itself: arity guard + expression construction
