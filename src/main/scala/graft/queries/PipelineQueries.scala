@@ -1679,39 +1679,15 @@ object PipelineQueries {
     * d12. A hash aggregate's map-side partials absorb that skew instead.
     * One more aggregate folds the four stage counts and `stack` unpivots
     * them — no per-stage re-scan, so the funnel costs one pass at 100 TB
-    * no matter how many stages.
+    * no matter how many stages. Logic lives in
+    * [[graft.pipeline.Curation]], shared verbatim with the streaming
+    * ingest host (CurationFunnelStreamSpec pins streamed ≡ batch).
     */
   val t16CurationFunnel = QueryDef("t16_curation_funnel",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val sig = docs
-        .select(col("doc_id"),
-          TextAnalysis.contentHash(col("text")).as("content_hash"),
-          TextAnalysis.tokens(col("text")).as("__tk"))
-        .select(col("doc_id"), col("content_hash"),
-          size(col("__tk")).as("n_tok"),
-          greatest(size(col("__tk")) - 2, lit(0)).cast("long").as("windows"),
-          size(Dedup.shinglesOfTokens(col("__tk"), 3)).cast("long").as("dw"))
-        .withColumn("rep_ppm",
-          when(col("windows") > 0,
-            expr("(windows - dw) * 1000000 div windows")).otherwise(0L))
-      // keeper per hash = the min-doc_id row WITH its own signals: the
-      // struct argmax rides the same aggregate that counts the group, so
-      // no join and no window — skew-immune by construction
-      val byHash = sig.groupBy(col("content_hash"))
-        .agg(count(lit(1)).as("cnt"),
-          min(struct(col("doc_id"), col("n_tok"), col("rep_ppm"))).as("k"))
-      val p2 = col("k.n_tok").between(10, 95)
-      val p3 = p2 && col("k.rep_ppm") === 0
-      byHash.agg(
-          sum(col("cnt")).as("t"),
-          count(lit(1)).as("u"),
-          sum(when(p2, 1L).otherwise(0L)).as("l"),
-          sum(when(p3, 1L).otherwise(0L)).as("c"))
-        .select(expr(
-          "stack(4, '0_total', t, '1_unique', u, '2_length', l, '3_clean', c)")
-          .as(Seq("stage", "n_docs")))
-        .orderBy(col("stage"))
+      graft.pipeline.Curation.funnel(
+        graft.pipeline.Curation.signals(docs, "doc_id", "text"), "doc_id")
     },
     Some(s"""
       |WITH $tokSql,
