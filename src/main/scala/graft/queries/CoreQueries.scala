@@ -2359,6 +2359,69 @@ object CoreQueries {
       |  AND l_suppkey BETWEEN sm // 4 AND sm // 2
       |""".stripMargin))
 
+  /** Memoized bucketed-table pair for K7: orders and lineitem written as
+    * external tables bucketed (16 buckets) AND sorted on the join key —
+    * the durable co-located layout that lets every subsequent
+    * orderkey-equi-join run with ZERO shuffle on either side (Spark
+    * matches `HashPartitioning(orderkey, 16)` from the bucket spec, so
+    * the exchange is elided; BucketedJoinSpec pins that plan shape).
+    * At 100 TB this is THE lever for repeated fact-fact joins: pay one
+    * bucketed write, then every join/aggregation keyed on orderkey is
+    * shuffle-free forever. Memoized per (session, dir) so bench
+    * iterations re-read, not re-build (the s6/k6 pattern); table names
+    * carry a JVM-unique suffix so two dirs in one session never collide
+    * in the catalog.
+    */
+  private val bstoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private val bstoreSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bstoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val id = bstoreSeq.incrementAndGet()
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-bstore").toString
+        val oT = s"graft_k7_orders_$id"
+        val lT = s"graft_k7_lineitem_$id"
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").saveAsTable(oT)
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem").saveAsTable(lT)
+        (oT, lT)
+      })
+
+  /** K7 — bucketed co-located join (the k6 read-path stance applied to
+    * Spark's bucketing lever): a fact-fact join answered FROM the
+    * bucketed store must equal the same join over the raw tables — the
+    * oracle never sees the store, so any row lost, duplicated or
+    * mis-bucketed by the bucketed write hash-mismatches. The join itself
+    * is shuffle-free (both scans expose the bucket spec's
+    * HashPartitioning; BucketedJoinSpec asserts zero exchanges below the
+    * join) — a hash oracle can only grade "identical", not "co-located".
+    */
+  val k7BucketedJoin = QueryDef("k7_bucketed_join",
+    (s, dir) => {
+      val (oT, lT) = bucketedTables(s, dir)
+      s.table(lT).join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -2379,5 +2442,5 @@ object CoreQueries {
     q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
     k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
-    u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore)
+    u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin)
 }

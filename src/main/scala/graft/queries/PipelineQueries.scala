@@ -1719,12 +1719,97 @@ object PipelineQueries {
       |ORDER BY stage
       |""".stripMargin))
 
+  /** T19 — token-budget training-shard manifest: lay each language's
+    * token stream out in doc_id order and cut it into 512-token shards,
+    * reporting per-shard document count, token sum, and first/last doc
+    * ([[graft.pipeline.ShardPacking]] — next-fit by start offset, the
+    * sequence-packing convention where a document belongs to the shard
+    * its first token lands in). One window over a bounded-cardinality
+    * stratum (lang) plus one hash aggregate; deliberately NOT greedy
+    * bin packing, which is iterative driver-side state that neither
+    * scales out nor replays under a SQL oracle. The oracle mirrors the
+    * cumulative-sum arithmetic exactly (integer offsets, floor div).
+    */
+  val t19ShardPacking = QueryDef("t19_shard_packing",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.ShardPacking.manifest(
+          docs, "lang", "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long"), budget = 512L)
+        .orderBy(col("lang"), col("shard_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |v AS (SELECT lang, doc_id, CAST(len(tk) AS BIGINT) AS tok FROM toks),
+      |w AS (SELECT lang, doc_id, tok,
+      |        CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |               ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS start_off
+      |      FROM v)
+      |SELECT lang, CAST(start_off // 512 AS BIGINT) AS shard_id,
+      |       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok_sum,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM w
+      |GROUP BY lang, shard_id
+      |ORDER BY lang, shard_id
+      |""".stripMargin))
+
+  /** D13 — snapshot diff (incremental-refresh front door): two simulated
+    * point-in-time snapshots of the corpus (membership and revision
+    * derived deterministically from doc_id so the same query text is
+    * non-vacuous at every scale factor), every key classified
+    * added/removed/changed/unchanged by fingerprint comparison across a
+    * full outer join ([[graft.pipeline.SnapshotDiff]]), rolled up per
+    * (lang, change). The join carries only (key, md5) — fingerprints are
+    * computed scan-side, so at 100 TB the shuffle is two fixed-width
+    * columns, and snapshot keys are unique so the join has no skew by
+    * construction.
+    */
+  val d13SnapshotDiff = QueryDef("d13_snapshot_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 19 =!= 7)
+      val cur = docs.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      graft.pipeline.SnapshotDiff
+        .diff(old, cur, "doc_id", TextAnalysis.contentHash(col("text")))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("change"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_key"),
+          max(col("doc_id")).as("last_key"))
+        .orderBy(col("lang"), col("change"))
+    },
+    Some("""
+      |WITH old AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 19 <> 7),
+      |cur AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]'
+      |                  ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 17 <> 3),
+      |d AS (
+      |  SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+      |         CASE WHEN o.fp IS NULL THEN 'added'
+      |              WHEN c.fp IS NULL THEN 'removed'
+      |              WHEN o.fp = c.fp THEN 'unchanged'
+      |              ELSE 'changed' END AS change
+      |  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+      |SELECT g.lang, d.change, COUNT(*) AS n_docs,
+      |       MIN(d.doc_id) AS first_key, MAX(d.doc_id) AS last_key
+      |FROM d JOIN documents g ON d.doc_id = g.doc_id
+      |GROUP BY g.lang, d.change
+      |ORDER BY lang, change
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
     t9TopTokens, t10SplitAssignment, t11Chunking, t12HeavyHitters,
     t13Repetition, t14CmsEstimate, t15PiiRedact, t16CurationFunnel,
-    t17QuantilesByLang, t18ApproxQuantiles, d10SketchCalibration,
+    t17QuantilesByLang, t18ApproxQuantiles, t19ShardPacking,
+    d13SnapshotDiff, d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs, d12Boilerplate,
