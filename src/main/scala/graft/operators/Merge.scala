@@ -102,6 +102,22 @@ object Merge {
     * through untouched. Re-applying the same batch is a no-op (all
     * matches compare unchanged) — idempotence under redelivery, spec'd.
     */
+  /** Point-in-time read of an SCD2 table (time travel): the rows whose
+    * validity interval covers `ts` — `valid_from ≤ ts < valid_to`, with
+    * an open version (null `valid_to`) covering everything since its
+    * open. A pure scan-stage filter: at 100 TB this rides partition/
+    * footer pruning on `valid_from` when the history store is laid out
+    * by open time, and never shuffles — reconstruction is a filter, not
+    * a join, which is the point of keeping SCD2 interval columns
+    * denormalized on every version row.
+    */
+  def stateAsOf(scd2: DataFrame, ts: Long,
+      validFrom: String = "valid_from", validTo: String = "valid_to")
+      : DataFrame =
+    scd2.filter(col(validFrom) <= ts &&
+        (col(validTo).isNull || col(validTo) > ts))
+      .drop(validFrom, validTo)
+
   def scd2Upsert(store: DataFrame, incoming: DataFrame, pk: Seq[String],
       changeFields: Seq[String], batchTs: Long,
       validFrom: String = "valid_from", validTo: String = "valid_to",

@@ -44,6 +44,21 @@ object ShardPacking {
       .withColumn("shard_id", (col("start_off") / budget).cast("bigint"))
   }
 
+  /** Materialize the packed layout: one directory per (stratum, shard)
+    * and — because the pre-write shuffle keys on exactly the partition
+    * columns — ONE file per shard, which is the contract a training
+    * data-loader reads ("shard k of stratum s" = one sequential file).
+    * The shuffle is the same hash exchange any grouped write pays; no
+    * driver-side loop, no per-shard job. Read back with
+    * `spark.read.parquet(path)` — `stratum`/`shard_id` return as
+    * directory-partition columns.
+    */
+  def writeShards(docs: DataFrame, stratum: String, order: String,
+      tokens: Column, budget: Long, path: String): Unit =
+    assign(docs, stratum, order, tokens, budget)
+      .repartition(col(stratum), col("shard_id"))
+      .write.partitionBy(stratum, "shard_id").mode("overwrite").parquet(path)
+
   /** Per-shard manifest: for each (stratum, shard_id) the document count,
     * token sum, and the first/last document on the shard — what a shard
     * writer needs to emit its file and what an auditor needs to verify

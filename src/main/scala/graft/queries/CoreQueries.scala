@@ -1806,6 +1806,39 @@ object CoreQueries {
       |ORDER BY invoice_number, reference_number, valid_from
       |""".stripMargin))
 
+  /** J9 — SCD2 time travel ([[Merge.stateAsOf]] over [[Merge.scd2Upsert]]'s
+    * history): the state reconstructed AS OF a timestamp strictly between
+    * the store's open time (0) and the batch time (1000) must be exactly
+    * the pre-batch state — closed versions must retain their pre-images
+    * (a closed row carrying incoming values mismatches), new keys opened
+    * by the batch must be invisible, and every key must surface exactly
+    * once. The oracle states the invariant directly (the pre-state
+    * itself) rather than replaying the merge — the strongest possible
+    * check of the reconstruction path, and trivially scale-general.
+    */
+  val j9TimeTravel = QueryDef("j9_time_travel",
+    (s, dir) => {
+      val store0 = existingInv(s, dir)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val m = Merge.scd2Upsert(store0, incomingUpsert(s, dir),
+        InvoiceRecord.pk, Seq("carrier_name", "total_amount"),
+        batchTs = 1000L)
+      Merge.stateAsOf(m.result, 500L)
+        .select(col("invoice_number"), col("reference_number"),
+          col("carrier_name"), col("total_amount"))
+        .orderBy(col("invoice_number"), col("reference_number"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql
+      |SELECT invoice_number, reference_number, carrier_name,
+      |       CAST(total_amount AS DOUBLE) AS total_amount
+      |FROM existing
+      |ORDER BY invoice_number, reference_number
+      |""".stripMargin))
+
   /** Q20 shape — nested-aggregate semi-join: suppliers qualify through
     * an IN-subquery whose body is itself a HAVING-filtered aggregate
     * (volume of "small *" parts shipped). The aggregate reduces lineitem
@@ -2359,6 +2392,60 @@ object CoreQueries {
       |  AND l_suppkey BETWEEN sm // 4 AND sm // 2
       |""".stripMargin))
 
+  /** J8 — blocked edit-distance record linkage
+    * ([[graft.operators.FuzzyJoin]]): link a "dirty" registry (one
+    * deterministic character substitution for every third key) back to
+    * its clean source by levenshtein ≤ 1, candidates generated by the
+    * prefix/suffix pigeonhole — never an all-pairs comparison. The
+    * strings are md5-derived (12 hex chars keyed on c_custkey) so block
+    * values distribute uniformly at every scale factor and the same
+    * query text stays non-vacuous from sf0.001 to sf1; both engines
+    * compute standard Levenshtein, and the perturbation arithmetic
+    * (substr concat at position key % 12) is integer-exact on both.
+    */
+  val j8FuzzyJoin = QueryDef("j8_fuzzy_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val withBase = c.select(col("c_custkey").as("k"),
+        substring(md5(concat(lit("L"), col("c_custkey").cast("string"))
+          .cast("binary")), 1, 12).as("ls"),
+        (col("c_custkey") % 12).cast("int").as("pos"))
+      val leftT = withBase.select(col("k").as("lid"), col("ls"))
+      val rightT = withBase.select(col("k").as("rid"),
+        when(col("k") % 3 === 0,
+          concat(expr("substring(ls, 1, pos)"), lit("z"),
+            expr("substring(ls, pos + 2)")))
+          .otherwise(col("ls")).as("rs"))
+      graft.operators.FuzzyJoin
+        .join1(leftT, rightT, "lid", "ls", "rid", "rs")
+        .orderBy(col("lid"), col("rid"))
+    },
+    Some("""
+      |WITH b AS (
+      |  SELECT c_custkey AS k,
+      |         substr(md5('L' || CAST(c_custkey AS VARCHAR)), 1, 12) AS ls,
+      |         CAST(c_custkey % 12 AS INT) AS pos
+      |  FROM customer),
+      |l AS (SELECT k AS lid, ls FROM b),
+      |r AS (
+      |  SELECT k AS rid,
+      |         CASE WHEN k % 3 = 0
+      |              THEN substr(ls, 1, pos) || 'z' || substr(ls, pos + 2)
+      |              ELSE ls END AS rs
+      |  FROM b),
+      |cand AS (
+      |  SELECT DISTINCT lid, rid, ls, rs FROM (
+      |    SELECT l.lid, r.rid, l.ls, r.rs FROM l JOIN r
+      |      ON substr(l.ls, 1, 4) = substr(r.rs, 1, 4)
+      |    UNION
+      |    SELECT l.lid, r.rid, l.ls, r.rs FROM l JOIN r
+      |      ON substr(l.ls, 9, 4) = substr(r.rs, 9, 4)))
+      |SELECT lid, rid, CAST(levenshtein(ls, rs) AS INT) AS dist
+      |FROM cand
+      |WHERE levenshtein(ls, rs) <= 1
+      |ORDER BY lid, rid
+      |""".stripMargin))
+
   /** Memoized bucketed-table pair for K7: orders and lineitem written as
     * external tables bucketed (16 buckets) AND sorted on the join key —
     * the durable co-located layout that lets every subsequent
@@ -2442,5 +2529,6 @@ object CoreQueries {
     q20VolumeSuppliers, u4ExceptAll, w4DenseRank, q2CheapestSupplier,
     k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
-    u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin)
+    u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin,
+    j8FuzzyJoin, j9TimeTravel)
 }

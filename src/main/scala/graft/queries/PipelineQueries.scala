@@ -1719,6 +1719,128 @@ object PipelineQueries {
       |ORDER BY stage
       |""".stripMargin))
 
+  /** T20 — distinctive terms per language: TF·IDF with INTEGER-EXACT
+    * scoring so the ranking replays bit-for-bit under the oracle. The
+    * idf factor is floor(log2(N // df)) computed as `length(bin(x)) − 1`
+    * (pure integer/string ops — the ApproxQuantiles convention; a
+    * floating log's last-ulp rounding could flip ranks between
+    * engines), so ubiquitous tokens (df ≈ N) score 0 and drop out
+    * without a stopword list. N comes from parquet footer metadata
+    * ([[Tables.rowCount]]) — no hidden count() job. Scale: two
+    * token-keyed hash aggregates + one token-keyed join (stopword skew
+    * is AQE-splittable); the top-5 window partitions on lang — bounded
+    * cardinality, the t17 stance.
+    */
+  val t20TfidfTerms = QueryDef("t20_tfidf_terms",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = Tables.rowCount(s, dir, "documents")
+      val tok = docs.select(col("lang"), col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = tok.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfx = tok.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(dfx, "token")
+        .withColumn("ilog",
+          (length(bin(expr(s"CAST($n AS BIGINT) div df"))) - 1).cast("long"))
+        .withColumn("score", col("tf") * col("ilog"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("score").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("token"),
+          col("tf"), col("df"), col("score"))
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |tok AS (SELECT lang, doc_id, unnest(tk) AS token FROM toks),
+      |tf AS (SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfx AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |        FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |sc AS (SELECT lang, token, tf, df,
+      |         CAST(tf * (length(bin(n.n // df)) - 1) AS BIGINT) AS score
+      |       FROM tf JOIN dfx USING (token), n),
+      |rk AS (SELECT lang, token, tf, df, score,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY score DESC, token) AS rank FROM sc)
+      |SELECT lang, CAST(rank AS INT) AS rank, token, tf, df, score
+      |FROM rk WHERE rank <= 5
+      |ORDER BY lang, rank
+      |""".stripMargin))
+
+  /** Memoized persisted LSH index for D14: the corpus slice signed and
+    * banded once, written bucket-partitioned ([[graft.dedup.LshIndex]]).
+    * Memoized per (session, dir) so bench iterations probe, not rebuild
+    * (the s6/k6/k7 pattern).
+    */
+  private val lshStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def lshStoreDir(s: SparkSession, dir: String): String =
+    lshStoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-lshstore").toString + "/index"
+        graft.dedup.LshIndex.writeLshIndex(
+          t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", path)
+        path
+      })
+
+  /** D14 — LSH index SERVING path (the s6/s7 stance applied to dedup):
+    * near-dup candidates of an incoming batch answered FROM the
+    * persisted bucket-partitioned index must equal the banding recomputed
+    * from raw text — the oracle never sees the store, so a signature
+    * mis-signed at append time, a band row lost by the bucketed write, or
+    * a probe that prunes a bucket it needed all hash-mismatch. This is
+    * the operator that lets incremental ingest dedup against 100 TB of
+    * history without re-signaturing it: the corpus side is a
+    * directory-pruned read of ≤ batch×bands buckets. Bucket routing is a
+    * pure function of band_sig, so pruning can never drop a true
+    * candidate (equal sigs ⇒ equal bucket) — the pigeonhole argument
+    * LshIndexSpec pins alongside probe ≡ rebuild equivalence.
+    */
+  val d14LshStore = QueryDef("d14_lsh_store",
+    (s, dir) => {
+      val probes = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      graft.dedup.LshIndex
+        .probeLshIndex(s, probes, "doc_id", "text", lshStoreDir(s, dir))
+        .orderBy(col("probe_id"), col("corpus_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+      |  FROM sh WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           i -> coalesce(list_min(list_transform(hs,
+      |                  h -> (h * (i * 2 + 3) + 7919 * i) % 1000003)), 1000003)) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_idx,
+      |         array_to_string(sig[b.b*4+1:b.b*4+4], '-') AS band_sig
+      |  FROM sig, (SELECT unnest(range(4)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+      |  FROM bands p JOIN bands c
+      |    ON p.band_idx = c.band_idx AND p.band_sig = c.band_sig
+      |  WHERE p.doc_id % 3 = 0 AND c.doc_id % 3 <> 0)
+      |SELECT cand.probe_id, cand.corpus_id,
+      |       CAST(list_sum(list_transform(range(0, 16),
+      |              i -> CASE WHEN s1.sig[CAST(i AS INT)+1] = s2.sig[CAST(i AS INT)+1]
+      |                        THEN 1 ELSE 0 END)) AS INT) AS est_matches
+      |FROM cand
+      |JOIN sig s1 ON s1.doc_id = cand.probe_id
+      |JOIN sig s2 ON s2.doc_id = cand.corpus_id
+      |ORDER BY probe_id, corpus_id
+      |""".stripMargin))
+
   /** T19 — token-budget training-shard manifest: lay each language's
     * token stream out in doc_id order and cut it into 512-token shards,
     * reporting per-shard document count, token sum, and first/last doc
@@ -1736,6 +1858,57 @@ object PipelineQueries {
       graft.pipeline.ShardPacking.manifest(
           docs, "lang", "doc_id",
           TextAnalysis.tokenCount(col("text")).cast("long"), budget = 512L)
+        .orderBy(col("lang"), col("shard_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |v AS (SELECT lang, doc_id, CAST(len(tk) AS BIGINT) AS tok FROM toks),
+      |w AS (SELECT lang, doc_id, tok,
+      |        CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |               ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS start_off
+      |      FROM v)
+      |SELECT lang, CAST(start_off // 512 AS BIGINT) AS shard_id,
+      |       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok_sum,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM w
+      |GROUP BY lang, shard_id
+      |ORDER BY lang, shard_id
+      |""".stripMargin))
+
+  /** Memoized packed shard store for T21 (the k6/s6 read-path pattern):
+    * documents laid out by [[graft.pipeline.ShardPacking.writeShards]] —
+    * one directory per (lang, shard), one file per shard.
+    */
+  private val shardStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def shardStoreDir(s: SparkSession, dir: String): String =
+    shardStoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-shardstore").toString + "/shards"
+        graft.pipeline.ShardPacking.writeShards(
+          t(s, dir, "documents"), "lang", "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long"), budget = 512L,
+          path = path)
+        path
+      })
+
+  /** T21 — the shard store READ path: the per-shard manifest recomputed
+    * FROM the materialized layout (directory-partition columns and all)
+    * must equal the manifest computed from raw documents — any doc
+    * dropped, duplicated, or mis-routed by the packed write
+    * hash-mismatches. The oracle never sees the store (t19's
+    * cumulative-sum SQL over raw text); ShardPackingSpec separately
+    * pins the one-file-per-shard layout contract.
+    */
+  val t21ShardStore = QueryDef("t21_shard_store",
+    (s, dir) => {
+      val st = s.read.parquet(shardStoreDir(s, dir))
+      st.groupBy(col("lang"), col("shard_id").cast("bigint").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tok_sum"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
         .orderBy(col("lang"), col("shard_id"))
     },
     Some(s"""
@@ -1808,8 +1981,9 @@ object PipelineQueries {
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
     t9TopTokens, t10SplitAssignment, t11Chunking, t12HeavyHitters,
     t13Repetition, t14CmsEstimate, t15PiiRedact, t16CurationFunnel,
-    t17QuantilesByLang, t18ApproxQuantiles, t19ShardPacking,
-    d13SnapshotDiff, d10SketchCalibration,
+    t17QuantilesByLang, t18ApproxQuantiles, t19ShardPacking, t20TfidfTerms,
+    t21ShardStore,
+    d13SnapshotDiff, d14LshStore, d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs, d12Boilerplate,

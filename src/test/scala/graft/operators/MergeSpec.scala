@@ -125,6 +125,31 @@ class MergeSpec extends SparkSpec {
       ("4", "brand-new", 100L, None)))      // new PK opens
   }
 
+  test("J9 stateAsOf: interval boundaries are [valid_from, valid_to)") {
+    val store = scd2Store(
+      ("1", "A", "v0", -5L, Some(0L)),  // closed history
+      ("1", "A", "v1", 0L, Some(100L)), // closed at 100
+      ("1", "A", "v2", 100L, None),     // current
+      ("2", "B", "only", 0L, None))
+    def at(ts: Long): Set[(String, String)] =
+      Merge.stateAsOf(store, ts).collect()
+        .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(at(-5L) == Set(("1", "v0")),
+      s"at its open boundary a version is already live: ${at(-5L)}")
+    assert(at(-1L) == Set(("1", "v0")))
+    assert(at(0L) == Set(("1", "v1"), ("2", "only"))) // v0 closes AT 0
+    assert(at(99L) == Set(("1", "v1"), ("2", "only")))
+    assert(at(100L) == Set(("1", "v2"), ("2", "only"))) // v1 closes AT 100
+    assert(at(1000L) == Set(("1", "v2"), ("2", "only"))) // open covers
+    // every ts reconstructs at most one version per key
+    Seq(-5L, 0L, 50L, 100L, 500L).foreach { ts =>
+      val dup = Merge.stateAsOf(store, ts)
+        .groupBy("invoice_number", "reference_number").count()
+        .filter(col("count") > 1).count()
+      assert(dup == 0L, s"duplicate versions live at ts=$ts")
+    }
+  }
+
   test("J7 SCD2: redelivering the same batch is a no-op (idempotent)") {
     val store = scd2Store(("1", "A", "v1", 0L, None))
     val batch = inv(("1", "A", "v2", 1), ("2", "B", "n", 2))

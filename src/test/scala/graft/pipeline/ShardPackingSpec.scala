@@ -61,6 +61,39 @@ class ShardPackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("writeShards: one directory per (stratum, shard), ONE file per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards")
+    try {
+      val path = s"$dir/shards"
+      ShardPacking.writeShards(corpus.repartition(5), "lang", "doc_id",
+        col("tok_in"), budget, path)
+      val back = spark.read.parquet(path)
+      assert(back.count() == 9L, "every doc lands in exactly one shard")
+      // layout contract: a data loader reads shard k as ONE sequential file
+      val filesPerShard = back
+        .select(col("lang"), col("shard_id"), input_file_name().as("f"))
+        .distinct()
+        .groupBy(col("lang"), col("shard_id"))
+        .agg(count(lit(1)).as("nf"))
+        .collect().map(_.getLong(2))
+      assert(filesPerShard.nonEmpty && filesPerShard.forall(_ == 1L),
+        s"each shard must be one file, got ${filesPerShard.mkString(",")}")
+      // read-back assignment ≡ in-memory assignment
+      val fromStore = back.select(col("lang"), col("doc_id"),
+        col("shard_id").cast("long")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val direct = ShardPacking
+        .assign(corpus, "lang", "doc_id", col("tok_in"), budget)
+        .select("lang", "doc_id", "shard_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(fromStore == direct)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.iterator().asScala.toSeq).reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("non-positive budget is rejected") {
     intercept[IllegalArgumentException] {
       ShardPacking.assign(corpus, "lang", "doc_id", col("tok_in"), 0L)
