@@ -1735,12 +1735,21 @@ object PipelineQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val n = Tables.rowCount(s, dir, "documents")
-      val tok = docs.select(col("lang"), col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val tf = tok.groupBy(col("lang"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val dfx = tok.groupBy(col("token"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // ONE explode pass: per-(token, doc) occurrence counts feed both
+      // the tf rollup and the df count (a doc has one lang, so distinct
+      // (token, doc) rows ARE the document frequency) — without the
+      // checkpoint the two branches would each re-run the explode scan,
+      // doubling the most expensive stage at 100 TB
+      val perDoc = docs
+        .select(col("lang"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"), col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val tf = perDoc.groupBy(col("lang"), col("token"))
+        .agg(sum(col("c")).as("tf"))
+      val dfx = perDoc.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
       val scored = tf.join(dfx, "token")
         .withColumn("ilog",
           (length(bin(expr(s"CAST($n AS BIGINT) div df"))) - 1).cast("long"))
