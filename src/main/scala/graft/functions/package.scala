@@ -72,10 +72,27 @@ package object functions {
     */
   def zorder_key(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    zorder_key_n(Seq(a, b), bits)
+  }
+
+  /** N-dimensional Morton key: result bit `i·d + j` is dimension j's bit
+    * i — the round-robin interleave that generalizes [[zorder_key]] (the
+    * 2-D case is bit-identical). `d·bits` must fit a non-negative long
+    * (≤ 63). Three and four dimension clustering is the common case for
+    * fact-table stores filtered on (date, customer, region)-style
+    * predicate mixes; per-dimension resolution drops as dims are added
+    * (fixed key width), which is the standard z-order trade.
+    */
+  def zorder_key_n(dims: Seq[Column], bits: Int): Column = {
+    require(dims.size >= 2, s"need ≥ 2 dimensions, got ${dims.size}")
+    require(bits >= 1 && dims.size * bits <= 63,
+      s"${dims.size} dims × $bits bits must be in [1,63]")
+    val d = dims.size
     val terms = (0 until bits).flatMap { i =>
-      Seq(
-        shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(1L), 2 * i),
-        shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
+      dims.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftrightunsigned(c.cast("long"), i).bitwiseAND(1L),
+          i * d + j)
+      }
     }
     terms.reduce(_ bitwiseOR _)
   }
@@ -84,12 +101,19 @@ package object functions {
     * expressions — kept beside [[zorder_key]] so the two dialects can
     * never drift.
     */
-  def zorder_key_sql(a: String, b: String, bits: Int): String = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  def zorder_key_sql(a: String, b: String, bits: Int): String =
+    zorder_key_n_sql(Seq(a, b), bits)
+
+  /** DuckDB SQL for [[zorder_key_n]] — same round-robin interleave. */
+  def zorder_key_n_sql(dims: Seq[String], bits: Int): String = {
+    require(dims.size >= 2, s"need ≥ 2 dimensions, got ${dims.size}")
+    require(bits >= 1 && dims.size * bits <= 63,
+      s"${dims.size} dims × $bits bits must be in [1,63]")
+    val d = dims.size
     (0 until bits).flatMap { i =>
-      Seq(
-        s"(((CAST(($a) AS BIGINT) >> $i) & 1) << ${2 * i})",
-        s"(((CAST(($b) AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+      dims.zipWithIndex.map { case (c, j) =>
+        s"(((CAST(($c) AS BIGINT) >> $i) & 1) << ${i * d + j})"
+      }
     }.mkString("(", " | ", ")")
   }
 

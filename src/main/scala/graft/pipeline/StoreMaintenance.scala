@@ -101,13 +101,26 @@ object StoreMaintenance {
     */
   def compactZOrdered(spark: SparkSession, path: String,
       dimA: String, dimB: String, bits: Int = 10,
+      targetBytes: Long = 128L * 1024 * 1024): Long =
+    compactZOrderedN(spark, path, Seq(dimA, dimB), bits, targetBytes)
+
+  /** N-dimensional form of [[compactZOrdered]] (the 2-D signature above
+    * delegates here bit-identically): range-bin each dimension against
+    * its observed min/max, interleave with
+    * [[graft.functions.zorder_key_n]], range-partition + sort on the
+    * key. Three/four-dim clustering fits fact stores whose query mix
+    * filters on different dimension subsets; `dims.size × bits ≤ 63`.
+    */
+  def compactZOrderedN(spark: SparkSession, path: String,
+      dims: Seq[String], bits: Int = 10,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(dims.size >= 2, s"need ≥ 2 dims, got ${dims.size}")
     swapRewrite(spark, path, targetBytes) { (df, nFiles, tmp) =>
       import org.apache.spark.sql.functions.{col, lit, min, max, floor, least, greatest}
       val width = 1L << bits
-      val b = df.agg(
-        min(col(dimA).cast("double")), max(col(dimA).cast("double")),
-        min(col(dimB).cast("double")), max(col(dimB).cast("double"))).head()
+      val aggs = dims.flatMap(d =>
+        Seq(min(col(d).cast("double")), max(col(d).cast("double"))))
+      val b = df.agg(aggs.head, aggs.tail: _*).head()
       def bin(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
         val span = math.max(hi - lo, 0.0) + 1.0
         least(lit(width - 1), greatest(lit(0L),
@@ -115,10 +128,11 @@ object StoreMaintenance {
             .cast("long")))
       }
       val z =
-        if (b.isNullAt(0) || b.isNullAt(2)) lit(0L) // empty store / all-null dim
-        else graft.functions.zorder_key(
-          bin(col(dimA), b.getDouble(0), b.getDouble(1)),
-          bin(col(dimB), b.getDouble(2), b.getDouble(3)), bits)
+        if (dims.indices.exists(i => b.isNullAt(2 * i))) lit(0L) // empty / all-null dim
+        else graft.functions.zorder_key_n(
+          dims.zipWithIndex.map { case (d, i) =>
+            bin(col(d), b.getDouble(2 * i), b.getDouble(2 * i + 1))
+          }, bits)
       df.withColumn("__zkey", z)
         .repartitionByRange(nFiles, col("__zkey"))
         .sortWithinPartitions(col("__zkey"))

@@ -34,6 +34,57 @@ class ZorderSpec extends SparkSpec {
     assert(sqlGot == got, "zorder_key_sql drifted from zorder_key")
   }
 
+  test("zorder_key_n: 2-D case is bit-identical to zorder_key; SQL mirror agrees") {
+    val df = (for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b))
+      .toDF("a", "b")
+    val drift = df.select(
+        graft.functions.zorder_key(col("a"), col("b"), 5).as("z2"),
+        graft.functions.zorder_key_n(Seq(col("a"), col("b")), 5).as("zn"))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(drift == 0L)
+    df.createOrReplaceTempView("zn_pts")
+    val sqlDrift = spark.sql(
+      s"""SELECT ${graft.functions.zorder_key_n_sql(Seq("a", "b"), 5)} AS zs,
+         |${graft.functions.zorder_key_sql("a", "b", 5)} AS z2 FROM zn_pts
+         |""".stripMargin).filter(col("zs") =!= col("z2")).count()
+    assert(sqlDrift == 0L)
+  }
+
+  test("compactZOrderedN: a 3-D layout bounds ALL THREE dims per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-z3")
+    try {
+      val store = s"$dir/store"
+      val rows = for (a <- 0L until 16L; b <- 0L until 16L; c <- 0L until 16L)
+        yield (a, b, c)
+      rows.toDF("a", "b", "c").repartition(8).write.parquet(store)
+      // files must be smaller than one top-level octant (512 cells) or
+      // the curve necessarily spans a full dimension within a file
+      val n = StoreMaintenance.compactZOrderedN(spark, store,
+        Seq("a", "b", "c"), bits = 4, targetBytes = 512)
+      assert(n > 8, s"need files smaller than an octant, got $n")
+      val back = spark.read.parquet(store)
+      assert(back.count() == rows.size)
+      val boxes = back
+        .select(input_file_name().as("f"), col("a"), col("b"), col("c"))
+        .groupBy("f")
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"),
+          (max("c") - min("c")).as("sc"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      // every dimension's MEDIAN span must be bounded away from full:
+      // a linear sort would leave two of the three at span 15 everywhere
+      def medianSpan(sel: ((Long, Long, Long)) => Long) = {
+        val s = boxes.map(sel).sorted; s(s.length / 2)
+      }
+      assert(medianSpan(_._1) < 15 && medianSpan(_._2) < 15 &&
+        medianSpan(_._3) < 15,
+        s"3-D spans: ${medianSpan(_._1)}/${medianSpan(_._2)}/${medianSpan(_._3)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.iterator().asScala.toSeq).reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("compactZOrdered: rows preserved; files bound BOTH dims, not just one") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
     try {
