@@ -224,6 +224,14 @@ object GraftExtensions {
       |RETURN aggregate(sequence(0, bits - 1), 0L, (acc, i) ->
       |  acc | shiftleft(shiftright(a, i) & 1L, 2 * i)
       |      | shiftleft(shiftright(b, i) & 1L, 2 * i + 1))""",
+    // N-dimensional Morton interleave (graft.functions.zorder_key_n):
+    // dims as an array; bit i·d + j is dimension j's bit i
+    """CREATE OR REPLACE TEMPORARY FUNCTION zorder_key_n(dims ARRAY<BIGINT>, bits INT)
+      |RETURNS BIGINT
+      |RETURN aggregate(sequence(0, bits - 1), 0L, (acc, i) ->
+      |  acc | aggregate(sequence(0, size(dims) - 1), 0L, (a2, j) ->
+      |    a2 | shiftleft(shiftright(element_at(dims, j + 1), i) & 1L,
+      |                   i * size(dims) + j)))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION quantize_vec(v ARRAY<DOUBLE>)
       |RETURNS ARRAY<BIGINT>
       |RETURN transform(v, x -> CAST(round(x * 1000, 0) AS BIGINT))""",

@@ -152,6 +152,17 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.zorder_key(lit(5L), lit(3L), 3)).collect().head.getLong(0)
     assert(api == row.getLong(3), "SQL zorder_key drifted from the Column form")
 
+    // N-dim SQL form: 2-D case must equal zorder_key; 3-D vs Column form
+    val zn = spark.sql(
+      """SELECT zorder_key_n(array(5L, 3L), 3) AS z2,
+        |       zorder_key_n(array(5L, 3L, 6L), 3) AS z3""".stripMargin)
+      .collect().head
+    assert(zn.getLong(0) == 27L, "2-D zorder_key_n must match zorder_key")
+    val apiN = spark.range(1).select(
+      graft.functions.zorder_key_n(Seq(lit(5L), lit(3L), lit(6L)), 3))
+      .collect().head.getLong(0)
+    assert(zn.getLong(1) == apiN, "SQL zorder_key_n drifted from Column form")
+
     // redaction parity over real data shapes
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
     docs.createOrReplaceTempView("ext_docs3")
