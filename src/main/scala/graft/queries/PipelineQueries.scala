@@ -1884,6 +1884,96 @@ object PipelineQueries {
       |ORDER BY lang, shard_id
       |""".stripMargin))
 
+  /** T22 — corpus mixing to target proportions
+    * ([[graft.sampling.Sampling.mixToProportions]]): the pretraining
+    * data-mix step. Targets 40% en / 15% each of es-de-fr-zh; the
+    * operator derives integer ppm keep-rates that realize the largest
+    * corpus at that mix and cuts by the deterministic md5 Bernoulli, so
+    * DuckDB replays the exact keep-set. The gate reports per-language
+    * original size, applied rate, and kept count — realized mix is
+    * binomially tight around target (the scalable contract; an exact
+    * per-stratum cut would need a per-stratum global sort).
+    */
+  val t22CorpusMix = QueryDef("t22_corpus_mix",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shares = Seq("en" -> 400000L, "es" -> 150000L, "de" -> 150000L,
+        "fr" -> 150000L, "zh" -> 150000L)
+      graft.sampling.Sampling
+        .mixToProportions(docs, "lang", "doc_id", shares)
+        .groupBy(col("lang"), col("n_s").as("n_orig"), col("rate_ppm"))
+        .agg(count(lit(1)).as("n_kept"))
+        .select(col("lang"), col("n_orig"), col("rate_ppm"), col("n_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      |WITH sh(lang, share_ppm) AS (VALUES
+      |  ('en', CAST(400000 AS BIGINT)), ('es', 150000), ('de', 150000),
+      |  ('fr', 150000), ('zh', 150000)),
+      |cnt AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY 1),
+      |caps AS (
+      |  SELECT c.lang, n_s, share_ppm, n_s * 1000000 // share_ppm AS cap
+      |  FROM cnt c JOIN sh USING (lang)),
+      |nm AS (SELECT MIN(cap) AS n_max FROM caps),
+      |rates AS (
+      |  SELECT lang, n_s,
+      |         LEAST(1000000, n_max * share_ppm // n_s) AS rate_ppm
+      |  FROM caps, nm),
+      |kept AS (
+      |  SELECT d.lang FROM documents d JOIN rates r USING (lang)
+      |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 15) AS BIGINT)
+      |          % 1000000 < r.rate_ppm)
+      |SELECT r.lang, CAST(r.n_s AS BIGINT) AS n_orig,
+      |       CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+      |       (SELECT COUNT(*) FROM kept k WHERE k.lang = r.lang) AS n_kept
+      |FROM rates r
+      |ORDER BY lang
+      |""".stripMargin))
+
+  /** S8 — FILTERED vector search (metadata predicate + ANN, the
+    * "filtered ANN" serving feature): exact top-5 cosine neighbors among
+    * only the corpus rows passing `label % 2 = 0`. The predicate is a
+    * scan-stage filter FUSED BEFORE the distance computation — at 100 TB
+    * it prunes with footer stats / partition layout rather than scoring
+    * then discarding (post-filtering also under-fills k when the
+    * predicate is selective; pre-filtering cannot). Brute-force form —
+    * the exactness baseline the index-filtered path (s6/s7 + the same
+    * pushed filter) is graded against.
+    */
+  val s8AnnFiltered = QueryDef("s8_ann_filtered",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 20 === 0),
+          emb.filter(col("label") % 2 === 0),
+          "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      |WITH qv AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         ${dotSql("q.qv", "c.qv")} AS dot_q,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q, qv c
+      |  WHERE q.vec_id % 20 = 0 AND c.label % 2 = 0
+      |    AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dot_q, cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank
+      |""".stripMargin))
+
   /** Memoized packed shard store for T21 (the k6/s6 read-path pattern):
     * documents laid out by [[graft.pipeline.ShardPacking.writeShards]] —
     * one directory per (lang, shard), one file per shard.
@@ -1991,7 +2081,7 @@ object PipelineQueries {
     t9TopTokens, t10SplitAssignment, t11Chunking, t12HeavyHitters,
     t13Repetition, t14CmsEstimate, t15PiiRedact, t16CurationFunnel,
     t17QuantilesByLang, t18ApproxQuantiles, t19ShardPacking, t20TfidfTerms,
-    t21ShardStore,
+    t21ShardStore, t22CorpusMix, s8AnnFiltered,
     d13SnapshotDiff, d14LshStore, d10SketchCalibration,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,

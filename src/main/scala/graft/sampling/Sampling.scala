@@ -44,6 +44,42 @@ object Sampling {
     df.filter(hashUniformPpm(col(keyCol), salt) <
       least(lit(1000000L), greatest(lit(0L), weightPpm)))
 
+  /** Corpus mixing to target stratum proportions — the data-mixing step
+    * of a pretraining pipeline ("40% en, 15% each of es/de/fr/zh"):
+    * compute, per stratum, the deterministic keep-rate that yields the
+    * LARGEST corpus achievable at exactly the target mix
+    * (`n_max = min_s floor(n_s·10^6 / share_ppm_s)`, then
+    * `rate_ppm_s = min(10^6, floor(n_max·share_ppm_s / n_s))`), and keep
+    * rows by the same md5-uniform Bernoulli as [[hashSample]]. All rate
+    * arithmetic is integer (ppm shares, floor division) so any engine
+    * replays the exact keep-set; realized proportions are binomially
+    * tight around the targets — the scalable form (a per-stratum
+    * EXACT-count cut needs a per-stratum global sort; see
+    * [[stratifiedQuota]] for bounded quotas).
+    *
+    * Cost: one aggregate-only scan for the stratum counts (bounded
+    * output, broadcast back) + the filter scan. Returns the kept rows
+    * with `n_s` (stratum size) and `rate_ppm` attached.
+    */
+  def mixToProportions(df: DataFrame, stratumCol: String, keyCol: String,
+      sharesPpm: Seq[(String, Long)], salt: String = "mix"): DataFrame = {
+    require(sharesPpm.nonEmpty && sharesPpm.forall(_._2 > 0),
+      "every stratum share must be positive ppm")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = sharesPpm.toDF(stratumCol, "share_ppm")
+    val caps = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
+      .join(broadcast(shares), stratumCol)
+      .withColumn("cap", expr("n_s * CAST(1000000 AS BIGINT) div share_ppm"))
+    val rates = caps
+      .crossJoin(broadcast(caps.agg(min(col("cap")).as("n_max"))))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("n_max * share_ppm div n_s")))
+      .select(col(stratumCol), col("n_s"), col("rate_ppm"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashUniformPpm(col(keyCol), salt) < col("rate_ppm"))
+  }
+
   /** Per-stratum quota sample: the `quota` rows of each stratum with the
     * smallest (uniform, key) — deterministic, order-free, and exactly
     * `min(quota, |stratum|)` rows per stratum (language-balanced corpus

@@ -10,6 +10,36 @@ class SamplingSpec extends SparkSpec {
   private def docs = spark.read
     .parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("mixToProportions: binding stratum kept whole; mix near target; deterministic") {
+    // strata: a=600, b=300, c=100 rows; targets 50/30/20 → c binds
+    // (n_max = 100/0.2 = 500) → rates: a 500*0.5/600, b 500*0.3/300=0.5, c 1.0
+    val df = ((1L to 600L).map(i => (s"k$i", "a")) ++
+      (601L to 900L).map(i => (s"k$i", "b")) ++
+      (901L to 1000L).map(i => (s"k$i", "c")))
+      .toDF("k", "s")
+    val shares = Seq("a" -> 500000L, "b" -> 300000L, "c" -> 200000L)
+    val kept = Sampling.mixToProportions(df, "s", "k", shares)
+    val rates = kept.select("s", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("c") == 1000000L, "the binding stratum keeps everything")
+    assert(rates("a") == 500L * 500000L / 600L)
+    assert(rates("b") == 500000L)
+    val counts = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("c") == 100L)
+    // binomial tolerance around the targets (n ≈ 250/150/100)
+    assert(math.abs(counts("a") - 250L) < 60, s"a kept ${counts("a")}")
+    assert(math.abs(counts("b") - 150L) < 50, s"b kept ${counts("b")}")
+    // deterministic and partition-independent
+    val again = Sampling.mixToProportions(df.repartition(11), "s", "k", shares)
+      .select("k").as[String].collect().toSet
+    assert(again == kept.select("k").as[String].collect().toSet)
+    // zero/negative shares rejected
+    intercept[IllegalArgumentException] {
+      Sampling.mixToProportions(df, "s", "k", Seq("a" -> 0L))
+    }
+  }
+
   test("hash sample: deterministic, partition-independent, near the target fraction") {
     val a = Sampling.hashSample(docs, "doc_id", 300000L).select("doc_id")
       .collect().map(_.getLong(0)).toSet
