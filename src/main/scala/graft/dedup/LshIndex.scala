@@ -88,6 +88,54 @@ object LshIndex {
       .parquet(s"$path/bands")
   }
 
+  /** Reconcile the two halves of the index after an interrupted
+    * [[appendToLshIndex]] (the s7-chaos stance applied here): the append
+    * writes `sigs/` then `bands/`, so a crash between the two leaves
+    * documents that are SCORABLE but UNDISCOVERABLE — their band rows
+    * are missing, and every probe silently misses them (an inner join
+    * can't warn). Repair re-derives the missing band rows FROM the
+    * stored signatures (bands are a pure function of sig × meta, so
+    * nothing is lost) and, for the reverse inconsistency (band rows
+    * whose signature never committed — impossible under this module's
+    * write order but cheap to heal), rewrites `bands/` without the
+    * orphans via a crash-safe aside-swap. Idempotent; returns
+    * (#docs re-banded, #orphan docs dropped). Long-lived ingest hosts
+    * should call this on restart, the
+    * `StoreMaintenance.recoverInterruptedCompaction` discipline.
+    */
+  def repairLshIndex(spark: SparkSession, path: String): (Long, Long) = {
+    val m = readMeta(spark, path)
+    val sigs = spark.read.parquet(s"$path/sigs")
+    val bandIds = spark.read.parquet(s"$path/bands")
+      .select(col("doc_id")).distinct()
+    val missing = sigs.join(bandIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true) // pin BEFORE appending below changes the input
+    val nMissing = missing.count()
+    if (nMissing > 0)
+      Dedup.lshBands(missing, "doc_id", "sig", m.bands, m.rowsPerBand)
+        .withColumn("bucket", bucketOf(col("band_sig"), m.nBuckets))
+        .write.partitionBy("bucket").mode("append").parquet(s"$path/bands")
+    val sigIds = sigs.select(col("doc_id")).distinct()
+    val orphans = bandIds.join(sigIds, Seq("doc_id"), "left_anti")
+    val nOrphans = orphans.count()
+    if (nOrphans > 0) {
+      val bands = spark.read.parquet(s"$path/bands")
+      val clean = bands.join(sigIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(eager = true) // fully read before the swap below
+      val p = java.nio.file.Paths.get(s"$path/bands")
+      val tmp = p.resolveSibling("bands__repair_tmp")
+      val aside = p.resolveSibling("bands__repair_old")
+      clean.write.partitionBy("bucket")
+        .mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(p, aside,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      org.apache.hadoop.fs.FileUtil.fullyDelete(aside.toFile)
+    }
+    (nMissing, nOrphans)
+  }
+
   /** Near-dup candidates of a probe batch against the persisted corpus:
     * (probe_id, corpus_id, est_matches) where est_matches is the exact
     * count of agreeing signature positions (estimated Jaccard × k). The

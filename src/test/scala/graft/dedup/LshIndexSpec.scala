@@ -71,6 +71,53 @@ class LshIndexSpec extends SparkSpec {
     } finally { cleanup(a); cleanup(b) }
   }
 
+  test("repair: crash between sigs and bands heals; probes recover the lost docs") {
+    val path = tempIndex(); val ref = tempIndex()
+    try {
+      val half = corpus.filter(col("doc_id") <= 20)
+      val rest = corpus.filter(col("doc_id") > 20)
+      LshIndex.writeLshIndex(half, "doc_id", "text", path)
+      // simulate appendToLshIndex crashing AFTER sigs/, BEFORE bands/
+      val m = LshIndex.readMeta(spark, path)
+      Dedup.minhashSignatures(rest, "doc_id", "text", m.n, m.k)
+        .select(col("doc_id"), col("sig"))
+        .write.mode("append").parquet(s"$path/sigs")
+      LshIndex.writeLshIndex(corpus, "doc_id", "text", ref)
+      assert(probeSet(path) != probeSet(ref),
+        "the crashed append must be observably incomplete")
+      val (rebanded, orphaned) = LshIndex.repairLshIndex(spark, path)
+      assert(rebanded > 0 && orphaned == 0L, s"($rebanded, $orphaned)")
+      assert(probeSet(path) == probeSet(ref),
+        "repair must restore probe-equivalence to a full rebuild")
+      assert(LshIndex.repairLshIndex(spark, path) == ((0L, 0L)),
+        "second repair must be a no-op")
+    } finally { cleanup(path); cleanup(ref) }
+  }
+
+  test("repair: orphan band rows (no committed signature) are dropped") {
+    val path = tempIndex(); val ref = tempIndex()
+    try {
+      LshIndex.writeLshIndex(corpus, "doc_id", "text", path)
+      LshIndex.writeLshIndex(corpus, "doc_id", "text", ref)
+      val m = LshIndex.readMeta(spark, path)
+      // band rows for a doc whose signature never landed
+      val ghost = Seq((9999L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"))
+        .toDF("doc_id", "text")
+      Dedup.lshBands(
+          Dedup.minhashSignatures(ghost, "doc_id", "text", m.n, m.k),
+          "doc_id", "sig", m.bands, m.rowsPerBand)
+        .withColumn("bucket",
+          pmod(xxhash64(lit(42L), col("band_sig")), lit(m.nBuckets)).cast("int"))
+        .write.partitionBy("bucket").mode("append").parquet(s"$path/bands")
+      val (rebanded, orphaned) = LshIndex.repairLshIndex(spark, path)
+      assert(rebanded == 0L && orphaned == 1L, s"($rebanded, $orphaned)")
+      assert(probeSet(path) == probeSet(ref))
+      val ghosts = spark.read.parquet(s"$path/bands")
+        .filter(col("doc_id") === 9999L).count()
+      assert(ghosts == 0L, "orphan band rows must be physically gone")
+    } finally { cleanup(path); cleanup(ref) }
+  }
+
   test("probe read is bucket-pruned: fewer band files than the full store") {
     val path = tempIndex()
     try {
