@@ -68,9 +68,12 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val shares = sharesPpm.toDF(stratumCol, "share_ppm")
+    // checkpointed: caps feeds both the n_max reduction and the rate
+    // projection — without it each branch re-runs the counting scan
     val caps = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
       .join(broadcast(shares), stratumCol)
       .withColumn("cap", expr("n_s * CAST(1000000 AS BIGINT) div share_ppm"))
+      .localCheckpoint(eager = false)
     val rates = caps
       .crossJoin(broadcast(caps.agg(min(col("cap")).as("n_max"))))
       .withColumn("rate_ppm",
