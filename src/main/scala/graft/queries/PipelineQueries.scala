@@ -1093,6 +1093,73 @@ object PipelineQueries {
       |ORDER BY query_id, rank
       |""".stripMargin))
 
+  /** S9 — filtered ANN FROM THE INDEX (s4's multi-probe IVF with s8's
+    * metadata predicate): the corpus filter is fused BEFORE assignment
+    * and scoring, so excluded rows never cost a quantization, a list
+    * assignment, or a dot product — and k never under-fills, unlike
+    * post-filtering the top-k. This is the production serving shape:
+    * at 100 TB the filter prunes the index scan (partition/footer
+    * stats) and the probe reads only its lists. The oracle replays the
+    * full md5-centroid assignment with the same predicate.
+    */
+  val s9AnnIvfFiltered = QueryDef("s9_ann_ivf_filtered",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKProbe(emb, "vec_id", "embedding", 5,
+          nCentroids = Similarity.scaledCentroids(
+            Tables.rowCount(s, dir, "embeddings")), nprobe = 4,
+          queryFilter = col("vec_id") % 20 === 0,
+          corpusFilter = col("label") % 2 === 0)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      |WITH qvl AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |$annParamsSql,
+      |cent AS (
+      |  SELECT centroid_id,
+      |         greatest(1.0, sqrt(list_sum(list_transform(raw,
+      |           x -> CAST(x * x AS DOUBLE))))) AS nrm,
+      |         list_transform(raw,
+      |           x -> CAST(trunc(x * 1000.0 / nrm) AS BIGINT)) AS cv
+      |  FROM (
+      |    SELECT c.c AS centroid_id,
+      |           list_transform(range(0, 64),
+      |             d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
+      |                  % 2001 - 1000) AS raw
+      |    FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c)),
+      |ranks AS (
+      |  SELECT v.vec_id, v.label, v.qv, c.centroid_id,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |           ${dotSql("v.qv", "v.qv")} - 2 * ${dotSql("v.qv", "c.cv")}
+      |             + ${dotSql("c.cv", "c.cv")} ASC, c.centroid_id) AS rk
+      |  FROM qvl v CROSS JOIN cent c),
+      |assignq AS (
+      |  SELECT vec_id, qv, centroid_id FROM ranks
+      |  WHERE rk <= 4 AND vec_id % 20 = 0),
+      |assignc AS (
+      |  SELECT vec_id, qv, centroid_id FROM ranks
+      |  WHERE rk = 1 AND label % 2 = 0),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM assignq q JOIN assignc c
+      |    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank
+      |""".stripMargin))
+
   /** Trained centroids memoized per (session, dir): training runs
     * `iterations + 1` small jobs (the smallest-id init collect plus one
     * assign+mean pass per round), so it happens once per session, not
@@ -2087,6 +2154,6 @@ object PipelineQueries {
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs, d12Boilerplate,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
-    s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore,
+    s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore, s9AnnIvfFiltered,
     m1MediaMeta, m2MediaAnn, m3MediaFrames)
 }

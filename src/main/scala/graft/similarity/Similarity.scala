@@ -293,22 +293,28 @@ object Similarity {
     */
   def ivfTopKProbe(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, dims: Int = 64, nprobe: Int = 4,
-      queryFilter: Column = lit(true)): DataFrame =
+      queryFilter: Column = lit(true),
+      corpusFilter: Column = lit(true)): DataFrame =
     ivfTopKProbeWith(df, idCol, vecCol, k, ivfCentroids(nCentroids, dims),
-      nprobe, queryFilter)
+      nprobe, queryFilter, corpusFilter)
 
   /** [[ivfTopKProbe]] with caller-supplied centroids (e.g. trained via
     * [[trainIvfCentroids]]).
     */
   def ivfTopKProbeWith(df: DataFrame, idCol: String, vecCol: String, k: Int,
       cents: Seq[(Int, Seq[Long])], nprobe: Int = 4,
-      queryFilter: Column = lit(true)): DataFrame = {
+      queryFilter: Column = lit(true),
+      corpusFilter: Column = lit(true)): DataFrame = {
     val q = index(ivfAssignProbe(
       df.filter(queryFilter)
         .select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
       "query_id", "qv", cents, nprobe))
+    // metadata PRE-filter: excluded corpus rows are dropped at the scan,
+    // before quantization, assignment, or scoring — filtered vector
+    // search that never under-fills k and never scores a row it discards
     val c = index(ivfAssign(
-      widen(df).select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
+      widen(df).filter(corpusFilter)
+        .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
       "neighbor_id", "cv", cents))
     val scored = q.join(c, "centroid_id")
       .filter(col("query_id") =!= col("neighbor_id"))
