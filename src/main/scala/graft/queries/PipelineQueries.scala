@@ -1093,6 +1093,89 @@ object PipelineQueries {
       |ORDER BY query_id, rank
       |""".stripMargin))
 
+  /** T23 — BM25 retrieval scoring (integer-idf variant), the classic
+    * lexical search ranking over the corpus for a fixed 3-term query.
+    * Every piece is engine-exact: tf is computed SCAN-SIDE per document
+    * with an array filter (no explode, no shuffle of the vocabulary);
+    * the tf-saturation core is the exact rational
+    * `(k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl))` cleared of floats by
+    * multiplying through by `10·total_len` (k1=1.2, b=0.75 →
+    * numerator 22·tf·TL, denominator 10·TL·tf + 3·TL + 9·dl·N — all
+    * integers); idf is the dampened integer `floor(log2((N+1)/(df+1)))+1`
+    * (length-of-binary, the t20 convention — a float log's last ulp
+    * could flip ranks between engines). Per-term scores are one
+    * correctly-rounded double division each and the query score sums
+    * them in FIXED textual order, so both engines produce bit-identical
+    * doubles. Corpus stats (df per term, total length, N) reduce to ONE
+    * broadcast row — the whole query is one scan + one bounded agg +
+    * a top-10.
+    */
+  val t23Bm25 = QueryDef("t23_bm25",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = Tables.rowCount(s, dir, "documents")
+      val terms = Seq("join", "scan", "merge")
+      val base = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      val withTf = terms.foldLeft(
+        base.withColumn("dl", size(col("tk")).cast("long"))) {
+          case (df, term) => df.withColumn(s"tf_$term",
+            size(filter(col("tk"), x => x === term)).cast("long"))
+        }.drop("tk").localCheckpoint(eager = false) // stats + scores share it
+      val statAggs = sum(col("dl")).as("tl") +:
+        terms.map(tm =>
+          sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+      val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+      val scored = withTf.crossJoin(broadcast(stats))
+      val perTerm = terms.map { tm =>
+        val idf = (length(bin(expr(
+          s"CAST(${n + 1} AS BIGINT) div (df_$tm + 1)")))).cast("long")
+        (idf * (lit(22L) * col(s"tf_$tm") * col("tl")).cast("double") /
+          (lit(10L) * col("tl") * col(s"tf_$tm") + lit(3L) * col("tl") +
+            lit(9L) * col("dl") * lit(n)).cast("double")).as(s"s_$tm")
+      }
+      scored.select((col("doc_id") +: col("dl") +:
+          terms.map(tm => col(s"tf_$tm"))) ++ perTerm: _*)
+        .withColumn("score",
+          col("s_join") + col("s_scan") + col("s_merge"))
+        .drop("s_join", "s_scan", "s_merge")
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |base AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+      |         CAST(len(list_filter(tk, x -> x = 'join')) AS BIGINT) AS tf_join,
+      |         CAST(len(list_filter(tk, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+      |         CAST(len(list_filter(tk, x -> x = 'merge')) AS BIGINT) AS tf_merge
+      |  FROM toks),
+      |stats AS (
+      |  SELECT CAST(SUM(dl) AS BIGINT) AS tl, COUNT(*) AS n,
+      |         CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+      |         CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
+      |         CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+      |         (SELECT COUNT(*) FROM documents) AS n_all
+      |  FROM base),
+      |scored AS (
+      |  SELECT doc_id, dl, tf_join, tf_scan, tf_merge,
+      |    CAST(length(bin((n_all + 1) // (df_join + 1))) AS BIGINT)
+      |      * CAST(22 * tf_join * tl AS DOUBLE)
+      |      / CAST(10 * tl * tf_join + 3 * tl + 9 * dl * n_all AS DOUBLE)
+      |    + CAST(length(bin((n_all + 1) // (df_scan + 1))) AS BIGINT)
+      |      * CAST(22 * tf_scan * tl AS DOUBLE)
+      |      / CAST(10 * tl * tf_scan + 3 * tl + 9 * dl * n_all AS DOUBLE)
+      |    + CAST(length(bin((n_all + 1) // (df_merge + 1))) AS BIGINT)
+      |      * CAST(22 * tf_merge * tl AS DOUBLE)
+      |      / CAST(10 * tl * tf_merge + 3 * tl + 9 * dl * n_all AS DOUBLE)
+      |      AS score
+      |  FROM base, stats)
+      |SELECT doc_id, dl, tf_join, tf_scan, tf_merge, score
+      |FROM scored
+      |ORDER BY score DESC, doc_id
+      |LIMIT 10
+      |""".stripMargin))
+
   /** S9 — filtered ANN FROM THE INDEX (s4's multi-probe IVF with s8's
     * metadata predicate): the corpus filter is fused BEFORE assignment
     * and scoring, so excluded rows never cost a quantization, a list
@@ -2149,7 +2232,7 @@ object PipelineQueries {
     t13Repetition, t14CmsEstimate, t15PiiRedact, t16CurationFunnel,
     t17QuantilesByLang, t18ApproxQuantiles, t19ShardPacking, t20TfidfTerms,
     t21ShardStore, t22CorpusMix, s8AnnFiltered,
-    d13SnapshotDiff, d14LshStore, d10SketchCalibration,
+    d13SnapshotDiff, d14LshStore, d10SketchCalibration, t23Bm25,
     d1ExactDedup, d2JaccardPairs, d3MinhashLsh, d4Simhash, d4SimhashPairs,
     d5CosineNearDup, d6SharedWindows, d7DupClusters, d8CanonicalDocs,
     d9Contamination, d11BloomNewDocs, d12Boilerplate,
