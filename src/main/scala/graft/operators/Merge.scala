@@ -203,6 +203,40 @@ object Merge {
       .drop("__rn", "__ins")
   }
 
+  final case class CdcResult(result: DataFrame, applied: DataFrame)
+
+  /** J10 — batch CDC apply: net out a change feed (insert / update /
+    * delete rows, LAST change per PK wins by the ordinal) and apply it
+    * to the base table in one pass. Upsert semantics for I and U (a U
+    * on an absent key inserts — standard change-stream replay), D
+    * removes the key, and a D on an absent key is a no-op. This is the
+    * batch twin of [[graft.streaming.ChangeDataStream]]: the merge a
+    * downstream store runs to catch up from an accumulated change log,
+    * extending the reference's insert-only/upsert modes
+    * (consolidate_invoices.py:485-515, ARCHITECTURE.md:591-626) with
+    * the delete leg neither mode carries.
+    *
+    * Scale: netting is one PK-window over the BATCH (cost ∝ per-key
+    * duplicate depth, the [[dedupFirstWins]] stance — never the base
+    * table); the apply is one left-anti probe plus a union. Both are
+    * PK-equi shapes: AQE broadcasts the netted batch when it is small
+    * and skew-splits otherwise, and the base is never shuffled beyond
+    * the anti probe.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, pk: Seq[String],
+      opCol: String = "op", ordinalCol: String = "row_index"): CdcResult = {
+    val dataCols = base.columns.toSeq
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(col(ordinalCol).desc)
+    val net = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(eager = false) // anti probe + upsert slice share it
+    val upserts = net.filter(col(opCol) =!= "D")
+      .select(dataCols.map(col) :+ col(opCol): _*)
+    val kept = base.join(net.select(pk.map(col): _*), pk, "left_anti")
+      .select(dataCols.map(col) :+ lit("kept").as(opCol): _*)
+    CdcResult(result = kept.unionByName(upserts), applied = upserts)
+  }
+
   /** J5 — lenient re-parse of the consolidated side: rows that fail
     * validation are silently dropped from the merge probe set (they survive
     * physically in the append-only sink) — consolidate_invoices.py:577-587.

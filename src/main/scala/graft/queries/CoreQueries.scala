@@ -2509,6 +2509,134 @@ object CoreQueries {
       |ORDER BY o_orderpriority
       |""".stripMargin))
 
+  /** J10 — batch CDC apply ([[Merge.applyChanges]]): a change feed with
+    * insert / update / delete ops is netted (last change per PK wins by
+    * the ordinal) and replayed onto the base table. The feed carries a
+    * genuine netting case — every `ok % 11 == 0` key gets a FOLLOW-UP
+    * delete at a later ordinal, so an I/U superseded by a D must vanish
+    * from the result; the oracle replays the same window + anti-join
+    * algebra. Deletes are the leg neither of the reference's merge
+    * modes has (J1 insert-only, J3 upsert) and the one a change-log
+    * catch-up needs.
+    */
+  val j10CdcApply = QueryDef("j10_cdc_apply",
+    (s, dir) => {
+      val base = existingInv(s, dir)
+      val in = { InvoiceView.ensureShared(s, dir)
+        InvoiceView.clean(t(s, dir, "lineitem")) }.filter(col("ok") % 2 === 0)
+      val first = in
+        .withColumn("op", when(col("ok") % 7 === 0, "D")
+          .when((col("ok") % 7).isin(1, 2, 3), "U").otherwise("I"))
+        .withColumn("carrier_name",
+          when(col("op") === "U", concat(col("carrier_name"), lit("X")))
+            .otherwise(col("carrier_name")))
+      val followUpDeletes = in.filter(col("ok") % 11 === 0)
+        .withColumn("op", lit("D"))
+        .withColumn("row_index", col("row_index") + lit(1000000000L))
+      val changes = first.unionByName(followUpDeletes).drop("ok")
+      Merge.applyChanges(base, changes, InvoiceRecord.pk).result
+        .select(col("invoice_number"), col("reference_number"),
+          col("carrier_name"), col("total_amount"),
+          col("op").as("action"))
+        .orderBy(col("invoice_number"), col("reference_number"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql,
+      |chg AS (
+      |  SELECT row_index, invoice_number, reference_number,
+      |         CASE WHEN ok % 7 IN (1, 2, 3) THEN carrier_name || 'X'
+      |              ELSE carrier_name END AS carrier_name,
+      |         invoice_date, net_amount, tax_amount, total_amount,
+      |         CASE WHEN ok % 7 = 0 THEN 'D'
+      |              WHEN ok % 7 IN (1, 2, 3) THEN 'U'
+      |              ELSE 'I' END AS op
+      |  FROM inv WHERE ok % 2 = 0
+      |  UNION ALL
+      |  SELECT row_index + 1000000000, invoice_number, reference_number,
+      |         carrier_name, invoice_date, net_amount, tax_amount,
+      |         total_amount, 'D' AS op
+      |  FROM inv WHERE ok % 2 = 0 AND ok % 11 = 0),
+      |net AS (
+      |  SELECT * FROM (
+      |    SELECT chg.*, row_number() OVER (
+      |      PARTITION BY invoice_number, reference_number
+      |      ORDER BY row_index DESC) AS rn
+      |    FROM chg) WHERE rn = 1)
+      |SELECT invoice_number, reference_number, carrier_name,
+      |       CAST(total_amount AS DOUBLE) AS total_amount, action
+      |FROM (
+      |  SELECT e.invoice_number, e.reference_number, e.carrier_name,
+      |         e.total_amount, 'kept' AS action
+      |  FROM existing e
+      |  WHERE NOT EXISTS (SELECT 1 FROM net n
+      |    WHERE n.invoice_number = e.invoice_number
+      |      AND n.reference_number = e.reference_number)
+      |  UNION ALL
+      |  SELECT invoice_number, reference_number, carrier_name,
+      |         total_amount, op AS action
+      |  FROM net WHERE op <> 'D')
+      |ORDER BY invoice_number, reference_number
+      |""".stripMargin))
+
+  /** E6 — ordered conversion funnel over the event stream: users who
+    * viewed, then clicked STRICTLY after their first view, then
+    * purchased strictly after that first qualifying click. Each stage
+    * is one key-equi join against the previous stage's per-user min
+    * timestamp plus a hash aggregate — no windows, no per-user event
+    * sorting, every shape AQE-splittable; at 100 TB each stage's
+    * filter (`event_type = …`) rides partition pruning on an
+    * event-type-partitioned log. Timestamps compare on the epoch-nanos
+    * long axis (the [[Tables]] normalization), mirrored by
+    * `epoch_ns()` on the oracle side.
+    */
+  val e6Funnel = QueryDef("e6_funnel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      v.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("stage"), lit("view").as("step"), col("users"))
+        .unionByName(c.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("stage"), lit("click_after_view").as("step"),
+            col("users")))
+        .unionByName(p.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("stage"), lit("purchase_after_click").as("step"),
+            col("users")))
+        .orderBy(col("stage"))
+    },
+    Some("""
+      |WITH v AS (
+      |  SELECT user_id, MIN(epoch_ns(ts)) AS tv
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tc
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.tv
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tp
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.tc
+      |  GROUP BY e.user_id)
+      |SELECT stage, step, users FROM (
+      |  SELECT CAST(1 AS INT) AS stage, 'view' AS step,
+      |         COUNT(*) AS users FROM v
+      |  UNION ALL
+      |  SELECT CAST(2 AS INT), 'click_after_view', COUNT(*) FROM c
+      |  UNION ALL
+      |  SELECT CAST(3 AS INT), 'purchase_after_click', COUNT(*) FROM p)
+      |ORDER BY stage
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -2530,5 +2658,5 @@ object CoreQueries {
     k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
     u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin,
-    j8FuzzyJoin, j9TimeTravel)
+    j8FuzzyJoin, j9TimeTravel, j10CdcApply, e6Funnel)
 }

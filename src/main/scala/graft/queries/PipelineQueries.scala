@@ -2225,6 +2225,237 @@ object PipelineQueries {
       |ORDER BY lang, change
       |""".stripMargin))
 
+  /** T24 — Gopher-style quality-rule census: the standard pretraining
+    * heuristics (token-count bounds, mean-word-length bounds, stopword
+    * presence, top-token repetition cap) evaluated per document and
+    * rolled up per language. Every rule is INTEGER arithmetic on
+    * scan-stage expressions (mean word length `[2,8]` is
+    * `2·dl ≤ Σlen ≤ 8·dl`, the repetition cap `≤25%` is
+    * `4·maxtf ≤ dl`) — no floats, no shuffle beyond the bounded
+    * per-lang aggregate. `maxtf` scans the token array quadratically
+    * per row (distinct × filter) but stays in the scan stage, the t13
+    * repetition stance; Catalyst's CollapseProject keeps the tokenize
+    * from re-running per rule (aliases referenced more than once are
+    * not inlined).
+    */
+  val t24QualityRules = QueryDef("t24_quality_rules",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("lang"),
+          size(col("tk")).cast("long").as("dl"),
+          aggregate(col("tk"), lit(0L), (a, x) => a + length(x)).as("sumlen"),
+          coalesce(array_max(transform(array_distinct(col("tk")),
+            tt => size(filter(col("tk"), x => x === tt)))), lit(0))
+            .cast("long").as("maxtf"),
+          (array_contains(col("tk"), "the") || array_contains(col("tk"), "a"))
+            .as("has_stop"))
+      val rLen = col("dl").between(20L, 100L)
+      val rWl = col("sumlen") >= lit(2L) * col("dl") &&
+        col("sumlen") <= lit(8L) * col("dl") && col("dl") > 0
+      val rStop = col("has_stop")
+      val rRep = lit(4L) * col("maxtf") <= col("dl") && col("dl") > 0
+      def cnt(c: org.apache.spark.sql.Column, n: String) =
+        sum(when(c, 1L).otherwise(0L)).as(n)
+      base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          cnt(rLen, "pass_len"), cnt(rWl, "pass_word_len"),
+          cnt(rStop, "pass_stopword"), cnt(rRep, "pass_repetition"),
+          cnt(rLen && rWl && rStop && rRep, "keep"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |q AS (
+      |  SELECT lang,
+      |         CAST(len(tk) AS BIGINT) AS dl,
+      |         CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+      |              AS BIGINT) AS sumlen,
+      |         CAST(coalesce(list_max(list_transform(list_distinct(tk),
+      |                t -> len(list_filter(tk, x -> x = t)))), 0)
+      |              AS BIGINT) AS maxtf,
+      |         (list_contains(tk, 'the') OR list_contains(tk, 'a'))
+      |           AS has_stop
+      |  FROM toks)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dl BETWEEN 20 AND 100 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+      |  CAST(SUM(CASE WHEN sumlen >= 2 * dl AND sumlen <= 8 * dl AND dl > 0
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_len,
+      |  CAST(SUM(CASE WHEN has_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+      |  CAST(SUM(CASE WHEN 4 * maxtf <= dl AND dl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pass_repetition,
+      |  CAST(SUM(CASE WHEN dl BETWEEN 20 AND 100
+      |                 AND sumlen >= 2 * dl AND sumlen <= 8 * dl
+      |                 AND has_stop
+      |                 AND 4 * maxtf <= dl AND dl > 0
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS keep
+      |FROM q GROUP BY lang ORDER BY lang
+      |""".stripMargin))
+
+  /** T25 — unigram-LM surprisal scoring, the perplexity-proxy quality
+    * signal: a unigram model is fit on the corpus itself (token counts)
+    * and every document is scored by its mean per-token surprisal,
+    * surfacing the least-likely (most out-of-distribution) documents.
+    * The surprisal of a token with count `c` out of `N` is the INTEGER
+    * `length(bin(N div c))` — the dampened log₂ convention t20/t23 use,
+    * so both engines rank identically; the only float is the single
+    * correctly-rounded `bits/dl` division per document. One explode
+    * pass builds per-(doc, token) counts that feed BOTH the vocabulary
+    * fit and the scoring join (the t20 one-pass stance); the vocabulary
+    * join is token-keyed and AQE broadcasts it when the vocabulary is
+    * bounded — at open-vocabulary scale it shuffle-joins and stopword
+    * skew splits.
+    */
+  val t25UnigramSurprisal = QueryDef("t25_unigram_surprisal",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val perDoc = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // vocabulary fit + scoring share it
+      val vocab = perDoc.groupBy(col("token")).agg(sum(col("c")).as("vc"))
+      val nTotal = vocab.agg(sum(col("vc")).as("n"))
+      val vStats = vocab.crossJoin(broadcast(nTotal))
+        .withColumn("surp", length(bin(expr("n div vc"))).cast("long"))
+        .select(col("token"), col("surp"))
+      perDoc.join(vStats, "token")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("surp")).as("bits"), sum(col("c")).as("dl"))
+        .withColumn("score", col("bits").cast("double") / col("dl").cast("double"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+        .select(col("doc_id"), col("dl"), col("bits"), col("score"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+      |pd AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |vocab AS (SELECT token, CAST(SUM(c) AS BIGINT) AS vc FROM pd GROUP BY 1),
+      |n AS (SELECT CAST(SUM(vc) AS BIGINT) AS n FROM vocab),
+      |vs AS (SELECT token, CAST(length(bin(n.n // vc)) AS BIGINT) AS surp
+      |       FROM vocab, n),
+      |sc AS (SELECT doc_id, CAST(SUM(c * surp) AS BIGINT) AS bits,
+      |              CAST(SUM(c) AS BIGINT) AS dl
+      |       FROM pd JOIN vs USING (token) GROUP BY 1)
+      |SELECT doc_id, dl, bits,
+      |       CAST(bits AS DOUBLE) / CAST(dl AS DOUBLE) AS score
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 15
+      |""".stripMargin))
+
+  /** S10 — hybrid retrieval via reciprocal-rank fusion: the t23 BM25
+    * ranking and a length-normalized TF·IDF dot-product ranking (same
+    * integer-idf convention, NO tf saturation — a genuinely different
+    * ranker) are each cut to a top-20, then fused with the standard
+    * RRF(k=60): `Σ 1/(60 + rank)`, absent list ⇒ no contribution. Both
+    * scores come off ONE shared scan (the t23 tf frame); each top-20 is
+    * a global TakeOrdered (no full sort), and the rank window runs on
+    * the 20-row cut — bounded by construction, the t17 stance. The
+    * fusion join is 20×20 row-trivial. All floats are per-term
+    * correctly-rounded divisions summed in fixed textual order, so both
+    * engines produce bit-identical doubles.
+    */
+  val s10RrfFusion = QueryDef("s10_rrf_fusion",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = Tables.rowCount(s, dir, "documents")
+      val terms = Seq("join", "scan", "merge")
+      val base = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      val withTf = terms.foldLeft(
+        base.withColumn("dl", size(col("tk")).cast("long"))) {
+          case (df, term) => df.withColumn(s"tf_$term",
+            size(filter(col("tk"), x => x === term)).cast("long"))
+        }.drop("tk").localCheckpoint(eager = false)
+      val statAggs = sum(col("dl")).as("tl") +:
+        terms.map(tm =>
+          sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+      val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+      def idf(tm: String) = length(bin(expr(
+        s"CAST(${n + 1} AS BIGINT) div (df_$tm + 1)"))).cast("long")
+      val bm = terms.map { tm =>
+        idf(tm) * (lit(22L) * col(s"tf_$tm") * col("tl")).cast("double") /
+          (lit(10L) * col("tl") * col(s"tf_$tm") + lit(3L) * col("tl") +
+            lit(9L) * col("dl") * lit(n)).cast("double")
+      }.reduce(_ + _)
+      val ti = when(col("dl") > 0, terms.map { tm =>
+        (idf(tm) * idf(tm) * col(s"tf_$tm")).cast("double") /
+          col("dl").cast("double")
+      }.reduce(_ + _)).otherwise(lit(0.0))
+      val scored = withTf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), bm.as("s_bm"), ti.as("s_ti"))
+        .localCheckpoint(eager = false) // both top-20 cuts share it
+      def top20(scoreCol: String, rankName: String) = {
+        // rank window runs AFTER the global top-k cut: 20 rows, bounded
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col(scoreCol).desc, col("doc_id"))
+        scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(20)
+          .withColumn(rankName, row_number().over(w))
+          .select(col("doc_id"), col(rankName))
+      }
+      top20("s_bm", "r_bm25").join(top20("s_ti", "r_tfidf"),
+          Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_tfidf")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("r_bm25"), col("r_tfidf"), col("rrf"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |base AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+      |         CAST(len(list_filter(tk, x -> x = 'join')) AS BIGINT) AS tf_join,
+      |         CAST(len(list_filter(tk, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+      |         CAST(len(list_filter(tk, x -> x = 'merge')) AS BIGINT) AS tf_merge
+      |  FROM toks),
+      |stats AS (
+      |  SELECT CAST(SUM(dl) AS BIGINT) AS tl,
+      |         CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+      |         CAST(SUM(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
+      |         CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+      |         (SELECT COUNT(*) FROM documents) AS n_all
+      |  FROM base),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(length(bin((n_all + 1) // (df_join + 1))) AS BIGINT)
+      |      * CAST(22 * tf_join * tl AS DOUBLE)
+      |      / CAST(10 * tl * tf_join + 3 * tl + 9 * dl * n_all AS DOUBLE)
+      |    + CAST(length(bin((n_all + 1) // (df_scan + 1))) AS BIGINT)
+      |      * CAST(22 * tf_scan * tl AS DOUBLE)
+      |      / CAST(10 * tl * tf_scan + 3 * tl + 9 * dl * n_all AS DOUBLE)
+      |    + CAST(length(bin((n_all + 1) // (df_merge + 1))) AS BIGINT)
+      |      * CAST(22 * tf_merge * tl AS DOUBLE)
+      |      / CAST(10 * tl * tf_merge + 3 * tl + 9 * dl * n_all AS DOUBLE)
+      |      AS s_bm,
+      |    CASE WHEN dl > 0 THEN
+      |      CAST(length(bin((n_all + 1) // (df_join + 1)))
+      |           * length(bin((n_all + 1) // (df_join + 1))) * tf_join AS DOUBLE)
+      |        / CAST(dl AS DOUBLE)
+      |      + CAST(length(bin((n_all + 1) // (df_scan + 1)))
+      |           * length(bin((n_all + 1) // (df_scan + 1))) * tf_scan AS DOUBLE)
+      |        / CAST(dl AS DOUBLE)
+      |      + CAST(length(bin((n_all + 1) // (df_merge + 1)))
+      |           * length(bin((n_all + 1) // (df_merge + 1))) * tf_merge AS DOUBLE)
+      |        / CAST(dl AS DOUBLE)
+      |    ELSE CAST(0 AS DOUBLE) END AS s_ti
+      |  FROM base, stats),
+      |b1 AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY s_bm DESC, doc_id) AS r_bm25
+      |  FROM scored ORDER BY s_bm DESC, doc_id LIMIT 20),
+      |b2 AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY s_ti DESC, doc_id) AS r_tfidf
+      |  FROM scored ORDER BY s_ti DESC, doc_id LIMIT 20)
+      |SELECT COALESCE(b1.doc_id, b2.doc_id) AS doc_id,
+      |       CAST(r_bm25 AS INT) AS r_bm25, CAST(r_tfidf AS INT) AS r_tfidf,
+      |       COALESCE(CAST(1 AS DOUBLE) / (60 + r_bm25), CAST(0 AS DOUBLE))
+      |         + COALESCE(CAST(1 AS DOUBLE) / (60 + r_tfidf), CAST(0 AS DOUBLE))
+      |         AS rrf
+      |FROM b1 FULL OUTER JOIN b2 ON b1.doc_id = b2.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -2238,5 +2469,6 @@ object PipelineQueries {
     d9Contamination, d11BloomNewDocs, d12Boilerplate,
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
     s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore, s9AnnIvfFiltered,
-    m1MediaMeta, m2MediaAnn, m3MediaFrames)
+    m1MediaMeta, m2MediaAnn, m3MediaFrames,
+    t24QualityRules, t25UnigramSurprisal, s10RrfFusion)
 }

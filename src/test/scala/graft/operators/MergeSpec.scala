@@ -158,4 +158,37 @@ class MergeSpec extends SparkSpec {
     assert(twice.closed.isEmpty && twice.opened.isEmpty)
     assert(twice.result.count() == once.result.count())
   }
+
+  test("J10 CDC apply: last change per PK wins; D deletes; U/I upsert; D on absent key no-op") {
+    val base = inv(("1", "A", "old", 0), ("2", "B", "stay", 0), ("3", "C", "doomed", 0))
+    val changes = Seq(
+      ("1", "A", "updated", 10, "U"),  // existing key → replaced
+      ("3", "C", "x", 11, "D"),        // existing key → deleted
+      ("4", "D", "new", 12, "I"),      // absent key → inserted
+      ("5", "E", "ghost", 13, "D"),    // absent key delete → no-op
+      ("6", "F", "born", 14, "I"),     // I superseded by the later D ↓
+      ("6", "F", "dead", 15, "D"),
+      ("1", "A", "stale", 5, "U")      // earlier ordinal → loses netting
+    ).toDF("invoice_number", "reference_number", "carrier_name", "row_index", "op")
+    val r = Merge.applyChanges(base, changes, pk)
+    val byPk = r.result.collect()
+      .map(x => x.getAs[String]("invoice_number") ->
+        (x.getAs[String]("carrier_name"), x.getAs[String]("op"))).toMap
+    assert(byPk == Map(
+      "1" -> (("updated", "U")),
+      "2" -> (("stay", "kept")),
+      "4" -> (("new", "I"))))
+    assert(r.applied.collect().map(_.getAs[String]("invoice_number")).sorted
+      .sameElements(Array("1", "4")))
+  }
+
+  test("J10 CDC apply is idempotent: replaying the same netted feed changes nothing") {
+    val base = inv(("1", "A", "old", 0), ("2", "B", "stay", 0))
+    val changes = Seq(("1", "A", "v2", 10, "U"), ("3", "C", "n", 11, "I"))
+      .toDF("invoice_number", "reference_number", "carrier_name", "row_index", "op")
+    val once = Merge.applyChanges(base, changes, pk).result
+    val twice = Merge.applyChanges(once.drop("op"), changes, pk).result
+    assert(once.drop("op").orderBy("invoice_number").collect()
+      .sameElements(twice.drop("op").orderBy("invoice_number").collect()))
+  }
 }
