@@ -2225,6 +2225,82 @@ object PipelineQueries {
       |ORDER BY lang, change
       |""".stripMargin))
 
+  /** D15 — split-leakage audit: LSH near-dup candidate pairs (d3's
+    * banding, est. similarity ≥ 8/16 signature positions) whose two
+    * documents landed in DIFFERENT train/val/test splits (t10's
+    * md5-uniform assignment) — the held-out-contamination check every
+    * training pipeline needs before trusting its eval numbers, and a
+    * pure composition of two already-gated operators. Cost is two
+    * broadcast-able key joins on top of the banding join (the memoized
+    * signature frame is shared with d3/d10); never all-pairs.
+    */
+  val d15SplitLeakage = QueryDef("d15_split_leakage",
+    (s, dir) => {
+      val cands = Dedup.lshCandidatePairs(
+        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+      val u = graft.sampling.Sampling.hashUniformPpm(col("doc_id"), "split")
+      val splits = t(s, dir, "documents").select(col("doc_id"),
+        when(u < 900000L, "train").when(u < 950000L, "val")
+          .otherwise("test").as("split"))
+      cands.filter(col("est_matches") >= 8)
+        .join(splits.select(col("doc_id").as("id1"),
+          col("split").as("split1")), "id1")
+        .join(splits.select(col("doc_id").as("id2"),
+          col("split").as("split2")), "id2")
+        .filter(col("split1") =!= col("split2"))
+        .select(col("id1"), col("split1"), col("id2"), col("split2"),
+          col("est_matches"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+      |  FROM sh WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           i -> coalesce(list_min(list_transform(hs,
+      |                  h -> (h * (i * 2 + 3) + 7919 * i) % 1000003)), 1000003)) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_idx,
+      |         array_to_string(sig[b.b*4+1:b.b*4+4], '-') AS band_sig
+      |  FROM sig, (SELECT unnest(range(4)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+      |  FROM bands b1 JOIN bands b2
+      |    ON b1.band_idx = b2.band_idx AND b1.band_sig = b2.band_sig
+      |   AND b1.doc_id < b2.doc_id),
+      |est AS (
+      |  SELECT c.id1, c.id2,
+      |         CAST(list_sum(list_transform(range(0, 16),
+      |                i -> CASE WHEN s1.sig[CAST(i AS INT)+1] = s2.sig[CAST(i AS INT)+1]
+      |                          THEN 1 ELSE 0 END)) AS INT) AS est_matches
+      |  FROM cand c
+      |  JOIN sig s1 ON s1.doc_id = c.id1
+      |  JOIN sig s2 ON s2.doc_id = c.id2),
+      |splits AS (
+      |  SELECT doc_id,
+      |         CASE WHEN ppm < 900000 THEN 'train'
+      |              WHEN ppm < 950000 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id,
+      |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT)
+      |             % 1000000 AS ppm
+      |    FROM documents))
+      |SELECT e.id1, s1.split AS split1, e.id2, s2.split AS split2,
+      |       e.est_matches
+      |FROM est e
+      |JOIN splits s1 ON s1.doc_id = e.id1
+      |JOIN splits s2 ON s2.doc_id = e.id2
+      |WHERE e.est_matches >= 8 AND s1.split <> s2.split
+      |ORDER BY id1, id2
+      |""".stripMargin))
+
   /** T24 — Gopher-style quality-rule census: the standard pretraining
     * heuristics (token-count bounds, mean-word-length bounds, stopword
     * presence, top-token repetition cap) evaluated per document and
@@ -2470,5 +2546,5 @@ object PipelineQueries {
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
     s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore, s9AnnIvfFiltered,
     m1MediaMeta, m2MediaAnn, m3MediaFrames,
-    t24QualityRules, t25UnigramSurprisal, s10RrfFusion)
+    t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage)
 }
