@@ -118,6 +118,22 @@ object Merge {
         (col(validTo).isNull || col(validTo) > ts))
       .drop(validFrom, validTo)
 
+  /** J11 — SCD2 retention vacuum: drop CLOSED versions whose validity
+    * ended at or before the watermark. Invariant (the whole point): for
+    * every `ts ≥ watermark`, [[stateAsOf]] over the vacuumed store is
+    * IDENTICAL to [[stateAsOf]] over the full store — a version with
+    * `valid_to ≤ watermark` can cover no such `ts`, and open versions
+    * always survive. This is the store-maintenance lever that keeps a
+    * 100 TB history table bounded by the retention window instead of
+    * all-time churn: a pure scan-stage filter, no shuffle, and when the
+    * store is laid out by `valid_to` the dropped versions never even
+    * read (footer pruning). Time travel BELOW the watermark is
+    * forfeited — that is the retention contract.
+    */
+  def vacuumScd2(store: DataFrame, watermark: Long,
+      validTo: String = "valid_to"): DataFrame =
+    store.filter(col(validTo).isNull || col(validTo) > watermark)
+
   def scd2Upsert(store: DataFrame, incoming: DataFrame, pk: Seq[String],
       changeFields: Seq[String], batchTs: Long,
       validFrom: String = "valid_from", validTo: String = "valid_to",

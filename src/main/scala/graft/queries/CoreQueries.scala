@@ -2580,6 +2580,44 @@ object CoreQueries {
       |ORDER BY invoice_number, reference_number
       |""".stripMargin))
 
+  /** J11 — SCD2 retention vacuum ([[Merge.vacuumScd2]]): versions closed
+    * at or before the watermark are dropped, then the state is
+    * reconstructed AS OF a post-watermark timestamp from the VACUUMED
+    * store. The oracle states the invariant directly — the post-batch
+    * state computed by the full-outer upsert — so a vacuum that drops a
+    * version it still needed (or keeps a closed pre-image that leaks
+    * into reconstruction) hash-mismatches. The j9 stance applied to the
+    * retention path.
+    */
+  val j11Retention = QueryDef("j11_retention",
+    (s, dir) => {
+      val store0 = existingInv(s, dir)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      val m = Merge.scd2Upsert(store0, incomingUpsert(s, dir),
+        InvoiceRecord.pk, Seq("carrier_name", "total_amount"),
+        batchTs = 1000L)
+      val vacuumed = Merge.vacuumScd2(m.result, watermark = 1500L)
+      Merge.stateAsOf(vacuumed, 2000L)
+        .select(col("invoice_number"), col("reference_number"),
+          col("carrier_name"), col("total_amount"))
+        .orderBy(col("invoice_number"), col("reference_number"))
+    },
+    Some(s"""
+      |WITH ${InvoiceView.uniqSql},
+      |${InvoiceView.cleanSql},
+      |$existingSql,
+      |$incomingUpsertSql
+      |SELECT COALESCE(i.invoice_number, e.invoice_number) AS invoice_number,
+      |       COALESCE(i.reference_number, e.reference_number) AS reference_number,
+      |       CASE WHEN $upsertStatusSql IN ('new','updated') THEN i.carrier_name ELSE e.carrier_name END AS carrier_name,
+      |       CAST(CASE WHEN $upsertStatusSql IN ('new','updated') THEN i.total_amount ELSE e.total_amount END AS DOUBLE) AS total_amount
+      |FROM existing e
+      |FULL OUTER JOIN incoming i
+      |  ON e.invoice_number = i.invoice_number AND e.reference_number = i.reference_number
+      |ORDER BY invoice_number, reference_number
+      |""".stripMargin))
+
   /** E6 — ordered conversion funnel over the event stream: users who
     * viewed, then clicked STRICTLY after their first view, then
     * purchased strictly after that first qualifying click. Each stage
@@ -2658,5 +2696,5 @@ object CoreQueries {
     k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
     u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin,
-    j8FuzzyJoin, j9TimeTravel, j10CdcApply, e6Funnel)
+    j8FuzzyJoin, j9TimeTravel, j10CdcApply, e6Funnel, j11Retention)
 }

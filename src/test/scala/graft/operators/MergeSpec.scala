@@ -159,6 +159,22 @@ class MergeSpec extends SparkSpec {
     assert(twice.result.count() == once.result.count())
   }
 
+  test("J11 vacuum: asOf(ts >= watermark) identical pre/post vacuum; closed history below it dropped") {
+    val store = scd2Store(
+      ("1", "A", "v1", 0L, Some(100L)),   // closed before watermark → dropped
+      ("1", "A", "v2", 100L, Some(800L)), // closed before watermark → dropped
+      ("1", "A", "v3", 800L, None),       // open → kept
+      ("2", "B", "w1", 0L, Some(1200L)),  // closes AFTER watermark → kept
+      ("2", "B", "w2", 1200L, None))
+    val vac = Merge.vacuumScd2(store, watermark = 1000L)
+    assert(vac.count() == 3 && store.count() == 5)
+    for (ts <- Seq(1000L, 1100L, 1500L)) {
+      val full = Merge.stateAsOf(store, ts).orderBy("invoice_number").collect()
+      val pruned = Merge.stateAsOf(vac, ts).orderBy("invoice_number").collect()
+      assert(full.sameElements(pruned), s"asOf($ts) diverged after vacuum")
+    }
+  }
+
   test("J10 CDC apply: last change per PK wins; D deletes; U/I upsert; D on absent key no-op") {
     val base = inv(("1", "A", "old", 0), ("2", "B", "stay", 0), ("3", "C", "doomed", 0))
     val changes = Seq(
