@@ -2675,6 +2675,37 @@ object CoreQueries {
       |ORDER BY stage
       |""".stripMargin))
 
+  /** E7 — cohort retention: users grouped by first-active epoch-week,
+    * counted per week-offset of later activity — the standard retention
+    * triangle. Two hash aggregates and one key-equi join on user_id,
+    * all on the epoch-nanos long axis with integer week bucketing
+    * (`ts div 7·86400·10⁹`) so both engines bucket identically; no
+    * windows, no sorting beyond the bounded output.
+    */
+  val e7CohortRetention = QueryDef("e7_cohort_retention",
+    (s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 604800000000000L").as("w"))
+        .distinct()
+        .localCheckpoint(eager = false) // cohort fit + activity share it
+      val first = uw.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+      uw.join(first, "user_id")
+        .groupBy(col("w0"), (col("w") - col("w0")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("w0"), col("week_offset"))
+    },
+    Some("""
+      |WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |         epoch_ns(ts) // 604800000000000 AS w
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(w) AS w0 FROM uw GROUP BY user_id)
+      |SELECT f.w0, u.w - f.w0 AS week_offset, COUNT(*) AS n_users
+      |FROM uw u JOIN first f ON u.user_id = f.user_id
+      |GROUP BY f.w0, week_offset
+      |ORDER BY w0, week_offset
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -2696,5 +2727,6 @@ object CoreQueries {
     k4IntervalOverlap, o4ErrorHistogram, q11ImportantParts,
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
     u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin,
-    j8FuzzyJoin, j9TimeTravel, j10CdcApply, e6Funnel, j11Retention)
+    j8FuzzyJoin, j9TimeTravel, j10CdcApply, e6Funnel, j11Retention,
+    e7CohortRetention)
 }

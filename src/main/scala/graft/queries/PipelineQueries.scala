@@ -2301,6 +2301,97 @@ object PipelineQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  /** S11 — ANN recall@k evaluation: the multi-probe IVF answer (s4)
+    * measured against the exact brute-force top-5 (s1), per query —
+    * the acceptance metric a vector pipeline checks before trusting an
+    * index configuration at scale, here AS an operator so the
+    * measurement itself is distributed (a join of the two result sets,
+    * never a re-scan). recall_ppm is exact integer arithmetic; the
+    * oracle replays both rankers and the same join-count algebra.
+    */
+  val s11AnnRecall = QueryDef("s11_ann_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+      val exact = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", 5)
+      val approx = Similarity.ivfTopKProbe(emb, "vec_id", "embedding", 5,
+        nCentroids = Similarity.scaledCentroids(
+          Tables.rowCount(s, dir, "embeddings")), nprobe = 4,
+        queryFilter = col("vec_id") % 20 === 0)
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .withColumn("recall_ppm",
+          expr("hits * 1000000L div n_exact"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |$annParamsSql,
+      |cent AS (
+      |  SELECT centroid_id,
+      |         greatest(1.0, sqrt(list_sum(list_transform(raw,
+      |           x -> CAST(x * x AS DOUBLE))))) AS nrm,
+      |         list_transform(raw,
+      |           x -> CAST(trunc(x * 1000.0 / nrm) AS BIGINT)) AS cv
+      |  FROM (
+      |    SELECT c.c AS centroid_id,
+      |           list_transform(range(0, 64),
+      |             d -> CAST('0x' || substr(md5('ivf-' || c.c || '-' || d), 1, 7) AS BIGINT)
+      |                  % 2001 - 1000) AS raw
+      |    FROM (SELECT unnest(range((SELECT k FROM params))) AS c) c)),
+      |ex_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q, qv c
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM ex_scored) WHERE rank <= 5),
+      |ranks AS (
+      |  SELECT v.vec_id, v.qv, c.centroid_id,
+      |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |           ${dotSql("v.qv", "v.qv")} - 2 * ${dotSql("v.qv", "c.cv")}
+      |             + ${dotSql("c.cv", "c.cv")} ASC, c.centroid_id) AS rk
+      |  FROM qv v CROSS JOIN cent c),
+      |assignq AS (
+      |  SELECT vec_id, qv, centroid_id FROM ranks
+      |  WHERE rk <= 4 AND vec_id % 20 = 0),
+      |assignc AS (SELECT vec_id, qv, centroid_id FROM ranks WHERE rk = 1),
+      |ap_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM assignq q JOIN assignc c
+      |    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM ap_scored) WHERE rank <= 5)
+      |SELECT e.query_id, COUNT(*) AS n_exact,
+      |       CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+      |                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+      |       CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+      |                              THEN 1 ELSE 0 END), 0) * 1000000
+      |            // COUNT(*) AS BIGINT) AS recall_ppm
+      |FROM exact e LEFT JOIN approx a
+      |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id
+      |""".stripMargin))
+
   /** T24 — Gopher-style quality-rule census: the standard pretraining
     * heuristics (token-count bounds, mean-word-length bounds, stopword
     * presence, top-token repetition cap) evaluated per document and
@@ -2546,5 +2637,6 @@ object PipelineQueries {
     s1AnnBruteForce, s2AnnBucketed, s3AnnIvf, s4AnnIvfProbe,
     s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore, s9AnnIvfFiltered,
     m1MediaMeta, m2MediaAnn, m3MediaFrames,
-    t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage)
+    t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
+    s11AnnRecall)
 }

@@ -305,4 +305,48 @@ class PlanAuditSpec extends SparkSpec {
         s"runtime bloom filter must inject on the fact side:\n${p.take(1200)}")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("j10 CDC apply: netting windows only the batch; the apply is an anti-join") {
+    val p = plan("j10_cdc_apply")
+    assert(p.contains("LeftAnti"), "base must be probed with an anti-join")
+    assert(!p.contains("CartesianProduct"))
+    // the netting window sits behind the netted frame's checkpoint
+    // barrier (shared by the anti probe and the upsert slice), so the
+    // final plan carries no window at all — the base table provably
+    // never flows through one
+    val windows = SparkEntry.queries("j10_cdc_apply")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.isEmpty,
+      s"the base-side plan must carry no window, got ${windows.size}")
+  }
+
+  test("e6/e7: funnel and retention carry no window operators at all") {
+    for (q <- Seq("e6_funnel", "e7_cohort_retention")) {
+      val windows = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }
+      assert(windows.isEmpty, s"$q must stay join+aggregate only")
+    }
+  }
+
+  test("d15 split leakage inherits d3's banding: no cartesian, no nested loop") {
+    val p = plan("d15_split_leakage")
+    assert(!p.contains("CartesianProduct"), "d15 has a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "d15 has a nested-loop join")
+  }
+
+  test("t25/s10: the only cross product is the one-row stats broadcast; top-k cuts take, not sort") {
+    // t23's stance: a BroadcastNestedLoopJoin against a single-row
+    // aggregate is the cheapest way to hand every task the corpus
+    // stats — assert the build side is the aggregate, not the corpus
+    for (q <- Seq("t25_unigram_surprisal", "s10_rrf_fusion")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a true cartesian")
+    }
+    assert(plan("s10_rrf_fusion").contains("TakeOrderedAndProject"),
+      "s10 top-20 cuts must be TakeOrdered, not a global sort")
+  }
 }
