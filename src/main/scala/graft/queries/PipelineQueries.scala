@@ -2623,6 +2623,51 @@ object PipelineQueries {
       |ORDER BY rrf DESC, doc_id LIMIT 10
       |""".stripMargin))
 
+  /** M4 — multimodal exact dedup: duplicate media detected on the md5 of
+    * the BINARY payload itself (not any sidecar text), with canonical
+    * election by min id — d1's shape moved onto the opaque-binary
+    * column, which is how image/audio dedup actually runs at 100 TB
+    * (hash the bytes once at ingest, group on the fixed-width digest).
+    * A `doc_id % 7` slice re-lands under fresh ids (the double-ingested
+    * batch every crawl eventually produces), so the query is
+    * non-vacuous at every scale. The oracle groups by the synthesis
+    * pre-image (`md5(text)`) — the identical PARTITION of ids, since
+    * the payload is a pure function of the text — so the gate pins
+    * group membership, sizes, and canonical election; DuckDB has no
+    * blob md5 to replay the digest string itself.
+    */
+  val m4MediaDedup = QueryDef("m4_media_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.multimodal.Multimodal.synthesizeFromDocs(docs).toDF()
+      val reingested = graft.multimodal.Multimodal.synthesizeFromDocs(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L)).toDF()
+      media.unionByName(reingested)
+        .withColumn("chash", md5(col("content")))
+        .groupBy(col("chash"))
+        .agg(min(col("media_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("kind")).as("n_kinds"))
+        .filter(col("n_copies") > 1)
+        .select(col("canonical_id"), col("n_copies"), col("n_kinds"))
+        .orderBy(col("canonical_id"))
+    },
+    Some("""
+      |WITH m AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, md5(text) FROM documents
+      |  WHERE doc_id % 7 = 0)
+      |SELECT MIN(doc_id) AS canonical_id,
+      |       COUNT(*) AS n_copies,
+      |       CAST(COUNT(DISTINCT CASE doc_id % 3
+      |              WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |              ELSE 'video' END) AS BIGINT) AS n_kinds
+      |FROM m GROUP BY h HAVING COUNT(*) > 1
+      |ORDER BY canonical_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -2638,5 +2683,5 @@ object PipelineQueries {
     s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore, s9AnnIvfFiltered,
     m1MediaMeta, m2MediaAnn, m3MediaFrames,
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
-    s11AnnRecall)
+    s11AnnRecall, m4MediaDedup)
 }
