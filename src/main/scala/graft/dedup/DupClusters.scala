@@ -115,6 +115,46 @@ object DupClusters {
     * TOKEN COUNT is negated (always numeric) — negating the id would
     * break for string document ids (URLs/UUIDs, the common crawl case).
     */
+  /** Fixed-iteration integer PageRank over the undirected pair graph —
+    * the centrality signal that surfaces template/boilerplate hubs in a
+    * near-dup graph (a document similar to MANY others is structure,
+    * not content). All arithmetic is INTEGER ppm with a PINNED division
+    * order (contribution = `pr div deg` per edge, damped =
+    * `(1−d) + d·Σ div 10⁶`), so a SQL oracle replays every iteration
+    * bit-for-bit — floats would drift across engines after one damping
+    * multiply.
+    *
+    * Each iteration is ONE key-equi join (ranks ⋈ static adjacency) +
+    * one hash aggregate — the Pregel shape expressed declaratively, AQE
+    * skew-splittable on hub vertices; the adjacency (edges + out-degree)
+    * is built once and checkpointed, and each iteration's rank frame is
+    * lazily checkpointed so lineage doesn't stack with the iteration
+    * count. Iterations are a small fixed constant: curation centrality
+    * stabilizes in a few rounds and a fixed count is what an oracle can
+    * replay.
+    */
+  def pageRank(pairs: DataFrame, c1: String, c2: String,
+      iterations: Int = 3, dampingPpm: Long = 850000L): DataFrame = {
+    val edges = pairs.select(col(c1).as("src"), col(c2).as("dst"))
+      .unionByName(pairs.select(col(c2).as("src"), col(c1).as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg, "src").localCheckpoint(eager = false)
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iterations) {
+      ranks = ranks.join(adj, ranks("id") === adj("src"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("id"),
+          expr(s"${1000000L - dampingPpm}L + (${dampingPpm}L * s) div 1000000L")
+            .as("pr"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.join(deg.withColumnRenamed("src", "id"), "id")
+      .select(col("id"), col("deg"), col("pr").as("pr_ppm"))
+  }
+
   def canonicalPerCluster(members: DataFrame, docs: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val withTok = members.join(

@@ -2392,6 +2392,92 @@ object PipelineQueries {
       |ORDER BY e.query_id
       |""".stripMargin))
 
+  /** D16 — similarity-graph centrality ([[graft.dedup.DupClusters
+    * .pageRank]]): 3-iteration integer PageRank over the d3 LSH
+    * candidate-pair graph, surfacing template/boilerplate hubs (a
+    * document near-duplicate to MANY others is structure, not
+    * content). The LSH pair graph alone is pure CLIQUES on this corpus
+    * (dup clusters), where every node sits at PageRank's 10⁶ fixed
+    * point and a broken damping step would pass unnoticed — so the
+    * edge set also carries per-lang template-hub edges (the lang's
+    * min-id doc linked to its `doc_id % 25` members), giving the graph
+    * genuine star structure whose centers MUST rank above 10⁶ and
+    * leaves below it. The oracle unrolls all three iterations with the
+    * same pinned integer-division order, so every damping step replays
+    * bit-for-bit — the engine's demonstration that iterative Pregel-
+    * style graph algorithms reduce to per-round join+aggregate pairs
+    * the optimizer can split.
+    */
+  val d16SimilarityPagerank = QueryDef("d16_similarity_pagerank",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+      val hubs = docs.groupBy(col("lang")).agg(min(col("doc_id")).as("hub"))
+      val hubEdges = docs.filter(col("doc_id") % 25 === 0)
+        .join(hubs, "lang").filter(col("doc_id") =!= col("hub"))
+        .select(col("hub").as("id1"), col("doc_id").as("id2"))
+      val edges = cands.select(col("id1"), col("id2")).unionByName(hubEdges)
+      graft.dedup.DupClusters.pageRank(edges, "id1", "id2", iterations = 3)
+        .select(col("id").as("doc_id"), col("deg"), col("pr_ppm"))
+        .orderBy(col("pr_ppm").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+      |  FROM sh WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           i -> coalesce(list_min(list_transform(hs,
+      |                  h -> (h * (i * 2 + 3) + 7919 * i) % 1000003)), 1000003)) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_idx,
+      |         array_to_string(sig[b.b*4+1:b.b*4+4], '-') AS band_sig
+      |  FROM sig, (SELECT unnest(range(4)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+      |  FROM bands b1 JOIN bands b2
+      |    ON b1.band_idx = b2.band_idx AND b1.band_sig = b2.band_sig
+      |   AND b1.doc_id < b2.doc_id),
+      |hubs AS (SELECT lang, MIN(doc_id) AS hub FROM documents GROUP BY lang),
+      |pairs AS (
+      |  SELECT id1, id2 FROM cand
+      |  UNION ALL
+      |  SELECT h.hub AS id1, d.doc_id AS id2
+      |  FROM documents d JOIN hubs h ON d.lang = h.lang
+      |  WHERE d.doc_id % 25 = 0 AND d.doc_id <> h.hub),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pairs
+      |  UNION
+      |  SELECT id2, id1 FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS pr FROM deg),
+      |r1 AS (
+      |  SELECT e.dst AS id,
+      |         CAST(150000 + (850000 * SUM(r.pr // d.deg)) // 1000000 AS BIGINT) AS pr
+      |  FROM r0 r JOIN edges e ON r.id = e.src JOIN deg d ON d.src = e.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT e.dst AS id,
+      |         CAST(150000 + (850000 * SUM(r.pr // d.deg)) // 1000000 AS BIGINT) AS pr
+      |  FROM r1 r JOIN edges e ON r.id = e.src JOIN deg d ON d.src = e.src
+      |  GROUP BY e.dst),
+      |r3 AS (
+      |  SELECT e.dst AS id,
+      |         CAST(150000 + (850000 * SUM(r.pr // d.deg)) // 1000000 AS BIGINT) AS pr
+      |  FROM r2 r JOIN edges e ON r.id = e.src JOIN deg d ON d.src = e.src
+      |  GROUP BY e.dst)
+      |SELECT r3.id AS doc_id, d.deg, r3.pr AS pr_ppm
+      |FROM r3 JOIN deg d ON d.src = r3.id
+      |ORDER BY pr_ppm DESC, doc_id LIMIT 20
+      |""".stripMargin))
+
   /** T24 — Gopher-style quality-rule census: the standard pretraining
     * heuristics (token-count bounds, mean-word-length bounds, stopword
     * presence, top-token repetition cap) evaluated per document and
@@ -2683,5 +2769,5 @@ object PipelineQueries {
     s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore, s9AnnIvfFiltered,
     m1MediaMeta, m2MediaAnn, m3MediaFrames,
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
-    s11AnnRecall, m4MediaDedup)
+    s11AnnRecall, m4MediaDedup, d16SimilarityPagerank)
 }

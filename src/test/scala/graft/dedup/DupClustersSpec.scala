@@ -73,4 +73,23 @@ class DupClustersSpec extends SparkSpec {
       .as[(Long, Long, Long, Int)].collect().toSeq
     assert(got == Seq((1L, 3L, 2L, 5), (10L, 2L, 10L, 2)))
   }
+
+  test("pageRank: star center outranks leaves; cliques sit at the 1e6 fixed point; hand-checked") {
+    // star: 1-2, 1-3, 1-4; separate triangle clique: 10-11, 11-12, 10-12
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("id1", "id2")
+    val byId = DupClusters.pageRank(pairs, "id1", "id2", iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // clique nodes: deg 2, every iteration receives 2·(pr/2) = pr → fixed
+    for (id <- Seq(10L, 11L, 12L)) assert(byId(id) == ((2L, 1000000L)))
+    // star, hand-unrolled with the pinned integer divisions:
+    // r1: center 150000+850000·3 div 1 ... leaves get 150000+(850000·(10⁶ div 3))div 10⁶
+    // r1(center)=150000+(850000*3000000)/1e6=2700000; r1(leaf)=150000+(850000*333333)/1e6=433333
+    // r2(center)=150000+(850000*(433333*3))/1e6=1255000-? compute: 433333*3=1299999 → 150000+1104999=1254999
+    // r2(leaf)=150000+(850000*(2700000 div 3))/1e6=150000+765000=915000
+    // r3(center)=150000+(850000*(915000*3))/1e6=150000+2333250=2483250
+    assert(byId(1L) == ((3L, 2483250L)), s"center got ${byId(1L)}")
+    assert(byId(1L)._2 > 1000000L && byId(2L)._2 < 1000000L)
+    assert(byId(2L) == byId(3L) && byId(3L) == byId(4L))
+  }
 }
