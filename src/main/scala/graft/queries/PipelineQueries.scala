@@ -2392,6 +2392,41 @@ object PipelineQueries {
       |ORDER BY e.query_id
       |""".stripMargin))
 
+  /** T26 — incremental cardinality store ([[graft.sketch.Sketch
+    * .mergeKmvSketches]]): the corpus arrives as three batches, each is
+    * sketched independently, and the store accretes by sketch MERGE —
+    * never re-reading earlier batches. KMV's merge property makes the
+    * accreted store identical to a one-shot sketch of everything, and
+    * the gate proves exactly that: the oracle is the ONE-SHOT KMV
+    * computation (t4's), so any drift introduced by the incremental
+    * path — a lost minimum, a k-cut before the distinct, a batch
+    * double-merged — hash-mismatches. This is the 100 TB profiling
+    * story: per-batch work is O(batch), the store is k longs, and the
+    * estimate never degrades with the number of increments.
+    */
+  val t26IncrementalKmv = QueryDef("t26_incremental_kmv",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = (0 to 2)
+        .map(i => graft.sketch.Sketch.kmvSketch(
+          docs.filter(col("doc_id") % 3 === i), "text", 64))
+        .reduce((a, b) => graft.sketch.Sketch.mergeKmvSketches(a, b, 64))
+      graft.sketch.Sketch.estimateFromSketch(store, 64)
+        .withColumn("n_batches", lit(3))
+    },
+    Some(s"""
+      |WITH h AS (
+      |  SELECT DISTINCT CAST('0x' || substr(md5(text), 1, 10) AS BIGINT) AS hh
+      |  FROM documents),
+      |topk AS (SELECT hh FROM h ORDER BY hh LIMIT 64)
+      |SELECT CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+      |            ELSE ${63L * graft.sketch.Sketch.HashSpace} // MAX(hh) END
+      |       AS BIGINT) AS distinct_estimate,
+      |       COUNT(*) AS sketch_size,
+      |       CAST(3 AS INT) AS n_batches
+      |FROM topk
+      |""".stripMargin))
+
   /** D16 — similarity-graph centrality ([[graft.dedup.DupClusters
     * .pageRank]]): 3-iteration integer PageRank over the d3 LSH
     * candidate-pair graph, surfacing template/boilerplate hubs (a
@@ -2769,5 +2804,5 @@ object PipelineQueries {
     s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore, s9AnnIvfFiltered,
     m1MediaMeta, m2MediaAnn, m3MediaFrames,
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
-    s11AnnRecall, m4MediaDedup, d16SimilarityPagerank)
+    s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv)
 }

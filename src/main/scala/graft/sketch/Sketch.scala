@@ -37,12 +37,19 @@ object Sketch {
     df.select(hash40(col(valueCol)).as("h")).distinct()
       .orderBy(col("h")).limit(k)
 
-  /** Distinct-count estimate from the sketch: exact integers, identical
-    * on every engine. When fewer than k distinct hashes exist the count
-    * is exact (the sketch IS the distinct set).
+  /** Merge two KMV sketch frames (column `h`): distinct union cut back
+    * to the k minima. KMV's defining property — the k minima of a union
+    * are a pure function of the two sides' k minima — makes the merged
+    * store IDENTICAL to the sketch of the combined data, so an
+    * incremental cardinality store accreted batch by batch never drifts
+    * from a one-shot profile (t26 gates this end-to-end against the
+    * one-shot oracle).
     */
-  def kmvEstimate(df: DataFrame, valueCol: String, k: Int): DataFrame = {
-    val sk = kmvSketch(df, valueCol, k)
+  def mergeKmvSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b).distinct().orderBy(col("h")).limit(k)
+
+  /** Distinct-count estimate from an already-built sketch frame. */
+  def estimateFromSketch(sk: DataFrame, k: Int): DataFrame =
     // (k-1)·U stays < 2^53; DIV is true integer division (double
     // division + floor can flip at exact-divisor boundaries)
     sk.agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
@@ -51,7 +58,13 @@ object Sketch {
           .otherwise(expr(s"${(k - 1).toLong * HashSpace}L DIV hk"))
           .cast("long").as("distinct_estimate"),
         col("n").cast("long").as("sketch_size"))
-  }
+
+  /** Distinct-count estimate: exact integers, identical on every
+    * engine. When fewer than k distinct hashes exist the count is exact
+    * (the sketch IS the distinct set).
+    */
+  def kmvEstimate(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    estimateFromSketch(kmvSketch(df, valueCol, k), k)
 
   /** Typed `Aggregator` building a KMV sketch PER GROUP: the buffer is
     * the ascending k-minima of the distinct hashes seen so far, so

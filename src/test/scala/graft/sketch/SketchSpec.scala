@@ -27,10 +27,20 @@ class SketchSpec extends SparkSpec {
     val a = spark.range(0, 3000).select(concat(lit("a"), col("id")).as("s"))
     val b = spark.range(0, 3000).select(concat(lit("b"), col("id")).as("s"))
     val k = 128
-    val merged = Sketch.kmvSketch(a, "s", k).unionAll(Sketch.kmvSketch(b, "s", k))
-      .distinct().orderBy("h").limit(k).as[Long].collect().toSeq
+    val merged = Sketch.mergeKmvSketches(
+      Sketch.kmvSketch(a, "s", k), Sketch.kmvSketch(b, "s", k), k)
+      .as[Long].collect().toSeq
     val direct = Sketch.kmvSketch(a.unionAll(b), "s", k).as[Long].collect().toSeq
     assert(merged == direct)
+    // accreting in a different batch order lands on the SAME store
+    val c = spark.range(0, 500).select(concat(lit("c"), col("id")).as("s"))
+    def sk(d: org.apache.spark.sql.DataFrame) = Sketch.kmvSketch(d, "s", k)
+    val acc1 = Sketch.mergeKmvSketches(
+      Sketch.mergeKmvSketches(sk(a), sk(b), k), sk(c), k).as[Long].collect().toSeq
+    val acc2 = Sketch.mergeKmvSketches(
+      Sketch.mergeKmvSketches(sk(c), sk(a), k), sk(b), k).as[Long].collect().toSeq
+    assert(acc1 == acc2 &&
+      acc1 == Sketch.kmvSketch(a.unionAll(b).unionAll(c), "s", k).as[Long].collect().toSeq)
   }
 
   test("per-group KMV UDAF: one group agrees with the global sketch path") {
