@@ -2427,6 +2427,64 @@ object PipelineQueries {
       |FROM topk
       |""".stripMargin))
 
+  /** T27 — per-source curation scorecard: the one-pass quality dashboard
+    * a corpus owner reads before deciding which feeds to keep — doc
+    * count, language spread, exact-dup rate, mean quality score, and
+    * PII exposure, all per source. Every signal is a scan-stage
+    * expression already gated elsewhere (contentHash/d1, qualityScore/
+    * t_text_stats, email+phone counts/t15) composed under ONE grouped
+    * aggregate; ratios are integer ppm/milli with pinned division
+    * order. Bounded output (one row per source), no windows.
+    */
+  val t27SourceScorecard = QueryDef("t27_source_scorecard",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(TextAnalysis.contentHash(col("text")))
+            .as("distinct_contents"),
+          sum(TextAnalysis.qualityScore(col("text"))).as("sum_quality"),
+          sum((TextAnalysis.emailCount(col("text")) +
+            TextAnalysis.phoneCount(col("text"))).cast("long")).as("pii_hits"))
+        .withColumn("dup_ppm",
+          expr("(n_docs - distinct_contents) * 1000000L div n_docs"))
+        .withColumn("qual_mean_milli", expr("sum_quality * 1000L div n_docs"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |st AS (
+      |  SELECT source, lang, md5(text) AS h,
+      |         len(tk) AS n_tok, length(text) AS n_chr,
+      |         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_pun,
+      |         len(list_intersect(tk,
+      |           [${(TextAnalysis.EnglishStopwords ++ TextAnalysis.SpanishStopwords)
+                    .map("'" + _ + "'").mkString(",")}])) AS hits,
+      |         len(regexp_extract_all(text, '${TextAnalysis.EmailRegex}'))
+      |           + len(regexp_extract_all(text, '${TextAnalysis.PhoneRegex}')) AS pii
+      |  FROM toks),
+      |q AS (
+      |  SELECT source, lang, h, pii,
+      |         LEAST(100, n_tok)
+      |         + CASE WHEN n_tok > 0
+      |                THEN LEAST(100, CAST(FLOOR(hits * 500 / n_tok) AS INT))
+      |                ELSE 0 END
+      |         + 100 - CASE WHEN n_chr > 0
+      |                THEN LEAST(100, CAST(FLOOR(n_pun * 300 / n_chr) AS INT))
+      |                ELSE 0 END AS quality
+      |  FROM st)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       COUNT(DISTINCT h) AS distinct_contents,
+      |       CAST(SUM(quality) AS BIGINT) AS sum_quality,
+      |       CAST(SUM(pii) AS BIGINT) AS pii_hits,
+      |       CAST((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
+      |       CAST(SUM(quality) * 1000 // COUNT(*) AS BIGINT) AS qual_mean_milli
+      |FROM q GROUP BY source ORDER BY source
+      |""".stripMargin))
+
   /** D16 — similarity-graph centrality ([[graft.dedup.DupClusters
     * .pageRank]]): 3-iteration integer PageRank over the d3 LSH
     * candidate-pair graph, surfacing template/boilerplate hubs (a
@@ -2804,5 +2862,6 @@ object PipelineQueries {
     s5AnnIvfTrained, s6AnnIvfStore, s7AnnTrainedStore, s9AnnIvfFiltered,
     m1MediaMeta, m2MediaAnn, m3MediaFrames,
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
-    s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv)
+    s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
+    t27SourceScorecard)
 }
