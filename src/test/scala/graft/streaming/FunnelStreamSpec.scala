@@ -62,6 +62,26 @@ class FunnelStreamSpec extends SparkSpec {
     } finally deleteRecursively(base)
   }
 
+  test("replaying a batch id is idempotent (dynamic partition overwrite)") {
+    val base = Files.createTempDirectory("graft-funnel-replay")
+    try {
+      val path = s"$base/state"
+      val ms = unix_millis(col("ts").cast("timestamp"))
+      val bounds = corpus.agg(min(ms).as("lo"), max(ms).as("hi")).collect().head
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val b0 = corpus.filter(ms < mid)
+      val b1 = corpus.filter(ms >= mid)
+      FunnelStream.funnelSink(path)(b0, 0L)
+      FunnelStream.funnelSink(path)(b1, 1L)
+      def snap = FunnelStream.currentState(spark.read.parquet(path))
+        .orderBy("user_id").collect().toSeq
+      val before = snap
+      // crash-replay of batch 1: the foreachBatch host redelivers the id
+      FunnelStream.funnelSink(path)(b1, 1L)
+      assert(snap == before, "replayed batch must replace, not re-append")
+    } finally deleteRecursively(base)
+  }
+
   test("stage counts are batch-boundary invariant (2 uneven slices)") {
     val base = Files.createTempDirectory("graft-funnel2")
     try assert(runSliced(base, Seq(0.8)) == batchCounts(base))
