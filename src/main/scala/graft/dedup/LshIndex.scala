@@ -158,7 +158,7 @@ object LshIndex {
     val probeBuckets = pBands.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted // ≤ nBuckets — bounded
     val corpus = spark.read.parquet(s"$path/bands")
-      .filter(col("bucket").isin(probeBuckets.map(Integer.valueOf): _*))
+      .filter(col("bucket").isin(probeBuckets.toIndexedSeq.map(Integer.valueOf): _*))
     val cands = pBands
       .join(corpus, Seq("bucket", "band_idx", "band_sig"))
       .select(col("probe_id"), col("doc_id").as("corpus_id")).distinct()

@@ -41,7 +41,8 @@ object Merge {
     */
   def insertOnly(existing: DataFrame, incoming: DataFrame, pk: Seq[String],
       ordinalCol: Option[String] = Some("row_index")): Result = {
-    val cols = existing.columns.filterNot(c => c == "status" || ordinalCol.contains(c))
+    val cols = existing.columns.toSeq
+      .filterNot(c => c == "status" || ordinalCol.contains(c))
     val deduped = dedupFirstWins(incoming, pk, ordinalCol)
     val newRows = deduped
       .join(existing.select(pk.map(col): _*), pk, "left_anti")

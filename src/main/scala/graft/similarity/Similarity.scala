@@ -245,7 +245,7 @@ object Similarity {
     val q = index(widen(df)
       .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__qv")))
     var centroids: Seq[(Int, Seq[Long])] = q.orderBy(col("__id")).limit(k)
-      .collect().zipWithIndex
+      .collect().toIndexedSeq.zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](r.fieldIndex("__qv")).toSeq }
     require(centroids.nonEmpty, "trainIvfCentroids: empty corpus")
     // dims falls out of the init collect — no separate head() job

@@ -31,7 +31,7 @@ object StagedWorkbook {
       .schema(StructType((0 until 64).map(i =>
         StructField(s"_c$i", StringType))))
       .csv(path)
-    val cellCols = df.columns.map(col)
+    val cellCols = df.columns.toIndexedSeq.map(col)
     df.withColumn("cells", array(cellCols: _*))
       .withColumn("_row_num",
         row_number().over(org.apache.spark.sql.expressions.Window
