@@ -2675,6 +2675,52 @@ object CoreQueries {
       |ORDER BY stage
       |""".stripMargin))
 
+  private val dstoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dayPartitionedEvents(s: SparkSession, dir: String): String =
+    dstoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-daystore").toString + "/events"
+        t(s, dir, "events")
+          .withColumn("event_date",
+            expr("to_date(timestamp_micros(ts div 1000))"))
+          .write.partitionBy("event_date").parquet(path)
+        path
+      })
+
+  /** E8 — date-partitioned event store read path (the k6/k7 stance on
+    * the TIME axis): a day-range aggregation answered FROM the
+    * `event_date=`-partitioned store must equal the same aggregation
+    * over the raw events — the oracle never sees the store, so a row
+    * routed to the wrong day partition, dropped by the partitioned
+    * write, or double-read by the range scan hash-mismatches. The range
+    * filter is a PARTITION filter: the scan reads only the matching
+    * day directories (PartitionPruningSpec proves fewer files read),
+    * which is the primary pruning lever for an event log at 100 TB.
+    * Date derivation is the UTC civil date of the nanos instant,
+    * mirroring DuckDB's naive `CAST(ts AS DATE)`.
+    */
+  val e8DayStore = QueryDef("e8_day_partitioned_store",
+    (s, dir) => {
+      val store = s.read.parquet(dayPartitionedEvents(s, dir))
+      store.filter(col("event_date")
+          .between(lit("2024-01-02"), lit("2024-01-03")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(InvoiceView.m2(col("value")))
+            .cast(InvoiceRecord.money).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      |SELECT event_type, COUNT(*) AS n,
+      |       CAST(CAST(SUM(${InvoiceView.m2Sql("value")}) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-03'
+      |GROUP BY event_type
+      |ORDER BY event_type
+      |""".stripMargin))
+
   /** E7 — cohort retention: users grouped by first-active epoch-week,
     * counted per week-offset of later activity — the standard retention
     * triangle. Two hash aggregates and one key-equi join on user_id,
@@ -2728,5 +2774,5 @@ object CoreQueries {
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
     u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin,
     j8FuzzyJoin, j9TimeTravel, j10CdcApply, e6Funnel, j11Retention,
-    e7CohortRetention)
+    e7CohortRetention, e8DayStore)
 }
