@@ -2675,6 +2675,49 @@ object CoreQueries {
       |ORDER BY stage
       |""".stripMargin))
 
+  /** W7 — ENGINE-NATIVE session windows: the same 30-minute gap
+    * sessionization e2 builds from first principles (lag + cumulative
+    * sum), expressed with Spark's built-in `session_window` aggregate —
+    * one shuffle on the user key, then a per-key sorted merge pass
+    * (UpdatingSessions), no window-function stage at all. Boundary
+    * convention verified empirically: an event EXACTLY `gap` after the
+    * previous one merges (inclusive), matching e2's `<=` oracle; the
+    * oracle derives `window_end = MAX(ts) + gap`, the built-in's
+    * closing rule.
+    */
+  val w7SessionWindow = QueryDef("w7_session_window_builtin",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("tts"))
+      ev.groupBy(col("user_id"),
+          session_window(col("tts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start"),
+          unix_micros(col("w.end")).as("window_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""
+      |WITH o AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |             PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |           <= 1800000000 THEN 0 ELSE 1 END AS new_s
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, tus,
+      |         SUM(new_s) OVER (PARTITION BY user_id
+      |           ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM o
+      |)
+      |SELECT user_id, MIN(tus) AS session_start,
+      |       MAX(tus) + 1800000000 AS window_end,
+      |       COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start
+      |""".stripMargin))
+
   private val dstoreMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def dayPartitionedEvents(s: SparkSession, dir: String): String =
@@ -2774,5 +2817,5 @@ object CoreQueries {
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
     u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin,
     j8FuzzyJoin, j9TimeTravel, j10CdcApply, e6Funnel, j11Retention,
-    e7CohortRetention, e8DayStore)
+    e7CohortRetention, e8DayStore, w7SessionWindow)
 }
