@@ -349,4 +349,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("s10_rrf_fusion").contains("TakeOrderedAndProject"),
       "s10 top-20 cuts must be TakeOrdered, not a global sort")
   }
+
+  test("d16 PageRank rounds and the census/scorecard family stay window-free and cartesian-free") {
+    for (q <- Seq("d16_similarity_pagerank", "t24_quality_rules",
+        "t27_source_scorecard", "m4_media_dedup")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty, s"$q must carry no window operator")
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+    // census + scorecard + media dedup are single-aggregate shapes: no join
+    for (q <- Seq("t24_quality_rules", "t27_source_scorecard")) {
+      val joins = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+      assert(joins.isEmpty, s"$q must be one grouped aggregate, not a join")
+    }
+  }
 }
