@@ -2847,6 +2847,71 @@ object PipelineQueries {
       |ORDER BY canonical_id
       |""".stripMargin))
 
+  /** T28 — dedup savings: the measurement that tells a pretraining run
+    * what exact dedup actually buys — per language, raw vs effective
+    * (first-wins deduped) document and token counts and the savings in
+    * ppm. Keeper election is the d8 struct-argmax (min-doc_id row rides
+    * a single hash aggregate on content hash — no window); a
+    * `doc_id % 7` slice re-lands under fresh ids (the m4 convention) so
+    * savings are non-zero at every scale. Integer ppm with pinned
+    * division order.
+    */
+  val t28DedupSavings = QueryDef("t28_dedup_savings",
+    (s, dir) => {
+      val raw0 = t(s, dir, "documents")
+      val docs = raw0.unionByName(
+        raw0.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      val perDoc = docs.select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          TextAnalysis.contentHash(col("text")).as("h"))
+        .localCheckpoint(eager = false) // raw rollup + keeper election share it
+      val raw = perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("raw_tokens"))
+      val kept = perDoc.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tok"))).as("k"))
+        .groupBy(col("k.lang").as("lang"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("k.n_tok")).as("kept_tokens"))
+      raw.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("raw_tokens"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .withColumn("savings_ppm",
+          expr("(raw_tokens - kept_tokens) * 1000000L div raw_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH m AS (
+      |  SELECT lang, doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT lang, doc_id + 10000000, text FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |st AS (
+      |  SELECT lang, doc_id,
+      |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |                              x -> x <> '')) AS BIGINT) AS n_tok,
+      |         md5(text) AS h
+      |  FROM m),
+      |k AS (SELECT h, MIN(doc_id) AS kid FROM st GROUP BY h),
+      |kept AS (
+      |  SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+      |         CAST(SUM(s.n_tok) AS BIGINT) AS kept_tokens
+      |  FROM st s JOIN k ON s.h = k.h AND s.doc_id = k.kid
+      |  GROUP BY s.lang),
+      |raw AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_tok) AS BIGINT) AS raw_tokens
+      |  FROM st GROUP BY lang)
+      |SELECT raw.lang AS lang, n_docs, raw_tokens,
+      |       COALESCE(kept_docs, 0) AS kept_docs,
+      |       COALESCE(kept_tokens, 0) AS kept_tokens,
+      |       CAST((raw_tokens - COALESCE(kept_tokens, 0)) * 1000000
+      |            // raw_tokens AS BIGINT) AS savings_ppm
+      |FROM raw LEFT JOIN kept ON raw.lang = kept.lang
+      |ORDER BY raw.lang
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -2863,5 +2928,5 @@ object PipelineQueries {
     m1MediaMeta, m2MediaAnn, m3MediaFrames,
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
-    t27SourceScorecard)
+    t27SourceScorecard, t28DedupSavings)
 }
