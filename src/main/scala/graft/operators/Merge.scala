@@ -239,12 +239,19 @@ object Merge {
     * PK-equi shapes: AQE broadcasts the netted batch when it is small
     * and skew-splits otherwise, and the base is never shuffled beyond
     * the anti probe.
+    *
+    * Malformed feed rows (op outside I/U/D, including NULL) are DROPPED
+    * before netting: every surviving probe key is then a real I/U/D, so
+    * a corrupt row can neither delete its key (it would otherwise feed
+    * the anti probe but miss the `op =!= "D"` upsert slice) nor mask an
+    * earlier valid change for the same PK.
     */
   def applyChanges(base: DataFrame, changes: DataFrame, pk: Seq[String],
       opCol: String = "op", ordinalCol: String = "row_index"): CdcResult = {
     val dataCols = base.columns.toSeq
     val w = Window.partitionBy(pk.map(col): _*).orderBy(col(ordinalCol).desc)
-    val net = changes.withColumn("__rn", row_number().over(w))
+    val net = changes.filter(col(opCol).isin("I", "U", "D"))
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint(eager = false) // anti probe + upsert slice share it
     val upserts = net.filter(col(opCol) =!= "D")

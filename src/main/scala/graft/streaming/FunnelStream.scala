@@ -23,17 +23,57 @@ import org.apache.spark.sql.streaming.Trigger
   * append and the checkpoint commit replays the batch id, which then
   * replaces its own partition bit-for-bit instead of double-appending.
   *
-  * Correctness contract (documented, spec'd): micro-batches must be
-  * TIME-ORDERED log segments — no event in batch N+1 is earlier than any
-  * event in batch N (the log-replay / kafka-segment shape; arbitrary
-  * disorder WITHIN a batch is fine, the batch-local fold sorts it out).
-  * Under that contract a user's first-view time is final before any
-  * later-batch click is judged against it, and the streamed stage times
-  * equal the batch computation exactly — FunnelStreamSpec asserts
-  * streamed ≡ batch across different batch boundaries. An out-of-order
-  * source would need a watermark hold-back in front of this sink.
+  * Correctness contract (documented, spec'd, ENFORCED): micro-batches
+  * must be TIME-ORDERED log segments — no event in batch N+1 is earlier
+  * than any event in batch N (the log-replay / kafka-segment shape;
+  * arbitrary disorder WITHIN a batch is fine, the batch-local fold sorts
+  * it out). Under that contract a user's first-view time is final before
+  * any later-batch click is judged against it, and the streamed stage
+  * times equal the batch computation exactly — FunnelStreamSpec asserts
+  * streamed ≡ batch across different batch boundaries. The contract is
+  * checked at runtime: each batch's max event ts is persisted to a
+  * `_wm` sidecar store (batch_id-partitioned, so replays overwrite their
+  * own row), and a batch whose min ts precedes the max of any EARLIER
+  * batch fails fast with [[IllegalStateException]] instead of silently
+  * producing wrong stage counts. An out-of-order source needs a
+  * watermark hold-back in front of this sink.
   */
 object FunnelStream {
+
+  /** Fail fast if this batch breaks the time-ordered-segments contract,
+    * then record its (min, max) ts in the `_wm` sidecar. The check is a
+    * two-value driver-side compare: one row from this batch's agg, one
+    * from the sidecar scan (strictly earlier batch ids only, so a
+    * redelivered batch is judged against its predecessors, not itself).
+    */
+  private[streaming] def enforceOrderedAndRecord(ev: DataFrame,
+      wmPath: String, batchId: Long): Unit = {
+    val spark = ev.sparkSession
+    val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+    if (mm.isNullAt(0)) return // empty batch: nothing to order or record
+    val (bmin, bmax) = (mm.getLong(0), mm.getLong(1))
+    if (graft.pipeline.StoreMaintenance.committedPartCount(wmPath) > 0L) {
+      val prior = spark.read.parquet(wmPath)
+        .filter(col("batch_id") < batchId)
+        .agg(max(col("max_ts")).as("mx")).head()
+      if (!prior.isNullAt(0) && bmin < prior.getLong(0))
+        throw new IllegalStateException(
+          s"FunnelStream contract violation: batch $batchId has min ts " +
+            s"$bmin earlier than a prior batch's max ts ${prior.getLong(0)}" +
+            " — the source is not delivering time-ordered log segments")
+    }
+    val row = spark.range(1).select(lit(bmin).as("min_ts"),
+      lit(bmax).as("max_ts"), lit(batchId).as("batch_id"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try row.write.mode("overwrite").partitionBy("batch_id").parquet(wmPath)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 
   /** Current per-user funnel state from the version store: min per
     * column (see monotonicity argument above). `min` ignores nulls, so
@@ -59,6 +99,7 @@ object FunnelStream {
         rawEv.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
       case _ => rawEv
     }).localCheckpoint() // three stage folds share one source read
+    enforceOrderedAndRecord(ev, s"${storePath}_wm", batchId)
     val empty =
       graft.pipeline.StoreMaintenance.committedPartCount(storePath) == 0L
     val cur =

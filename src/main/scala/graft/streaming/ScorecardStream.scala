@@ -34,8 +34,14 @@ object ScorecardStream {
 
   val K = 256
 
-  /** One micro-batch reduced to per-source partials. */
-  def partials(batch: DataFrame, batchId: Long): DataFrame =
+  /** One micro-batch reduced to per-source partials. The KMV column is
+    * built by the bounded [[graft.sketch.Sketch.KmvAggregator]] (k longs
+    * per group in EVERY intermediate buffer, map-side partials included)
+    * — not collect_set+slice, whose pre-slice state is O(distinct hashes
+    * per source per batch).
+    */
+  def partials(batch: DataFrame, batchId: Long): DataFrame = {
+    val kmvAgg = udaf(graft.sketch.Sketch.KmvAggregator(K))
     batch
       .select(col("source"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("q"),
@@ -47,8 +53,9 @@ object ScorecardStream {
         sum(col("q")).as("sum_quality"),
         sum(col("pii")).as("pii_hits"),
         array_distinct(collect_list(col("lang"))).as("langs"),
-        slice(array_sort(collect_set(col("h"))), 1, K).as("kmv"))
+        kmvAgg(col("h")).as("kmv"))
       .withColumn("batch_id", lit(batchId))
+  }
 
   /** The foreachBatch sink: append this batch's partials. */
   def scorecardSink(storePath: String)(batch: DataFrame,
@@ -83,9 +90,14 @@ object ScorecardStream {
           1, K).as("kmv"))
       .select(col("source"), col("n_docs"),
         size(col("langs")).cast("long").as("n_langs"),
-        when(size(col("kmv")) < K, size(col("kmv")).cast("long"))
-          .otherwise(expr(s"${(K - 1).toLong * hs}L DIV element_at(kmv, -1)"))
-          .as("distinct_contents"),
+        // clamp at n_docs: above K the estimate can overshoot the doc
+        // count, which would flip dup_ppm negative — a sign the exact
+        // batch scorecard (t27) can never produce
+        least(
+          when(size(col("kmv")) < K, size(col("kmv")).cast("long"))
+            .otherwise(
+              expr(s"${(K - 1).toLong * hs}L DIV element_at(kmv, -1)")),
+          col("n_docs")).as("distinct_contents"),
         col("sum_quality"), col("pii_hits"))
       .withColumn("dup_ppm",
         expr("(n_docs - distinct_contents) * 1000000L div n_docs"))

@@ -198,6 +198,26 @@ class MergeSpec extends SparkSpec {
       .sameElements(Array("1", "4")))
   }
 
+  test("J10 CDC apply: malformed op rows (null / unknown) are dropped, never act as deletes") {
+    val base = inv(("1", "A", "keep", 0), ("2", "B", "also", 0))
+    val changes = Seq(
+      ("1", "A", "junk", 10, null.asInstanceOf[String]), // null op: dropped
+      ("2", "B", "junk", 11, "X"),                       // unknown op: dropped
+      ("3", "C", "new", 12, "I")                         // valid insert survives
+    ).toDF("invoice_number", "reference_number", "carrier_name", "row_index", "op")
+    val r = Merge.applyChanges(base, changes, pk)
+    val byPk = r.result.collect()
+      .map(x => x.getAs[String]("invoice_number") ->
+        (x.getAs[String]("carrier_name"), x.getAs[String]("op"))).toMap
+    // keys 1 and 2 must SURVIVE UNCHANGED — before the op filter their
+    // PKs fed the anti probe while missing the upsert slice, i.e. a
+    // malformed row silently deleted its key
+    assert(byPk == Map(
+      "1" -> (("keep", "kept")),
+      "2" -> (("also", "kept")),
+      "3" -> (("new", "I"))))
+  }
+
   test("J10 CDC apply is idempotent: replaying the same netted feed changes nothing") {
     val base = inv(("1", "A", "old", 0), ("2", "B", "stay", 0))
     val changes = Seq(("1", "A", "v2", 10, "U"), ("3", "C", "n", 11, "I"))

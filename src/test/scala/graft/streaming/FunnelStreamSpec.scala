@@ -82,6 +82,26 @@ class FunnelStreamSpec extends SparkSpec {
     } finally deleteRecursively(base)
   }
 
+  test("an out-of-order batch fails fast instead of silently corrupting counts") {
+    val base = Files.createTempDirectory("graft-funnel-ooo")
+    try {
+      val path = s"$base/state"
+      val ms = unix_millis(col("ts").cast("timestamp"))
+      val bounds = corpus.agg(min(ms).as("lo"), max(ms).as("hi")).collect().head
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val early = corpus.filter(ms < mid)
+      val late = corpus.filter(ms >= mid)
+      FunnelStream.funnelSink(path)(late, 0L) // later segment delivered first
+      val ex = intercept[IllegalStateException] {
+        FunnelStream.funnelSink(path)(early, 1L)
+      }
+      assert(ex.getMessage.contains("contract violation"))
+      // replaying the SAME id with the same segment is still fine — the
+      // check excludes the batch's own prior watermark row
+      FunnelStream.funnelSink(path)(late, 0L)
+    } finally deleteRecursively(base)
+  }
+
   test("stage counts are batch-boundary invariant (2 uneven slices)") {
     val base = Files.createTempDirectory("graft-funnel2")
     try assert(runSliced(base, Seq(0.8)) == batchCounts(base))
