@@ -566,6 +566,46 @@ object Dedup {
     * it must NEVER be broadcast: the pairs side post-aggregation is the
     * small side, and AQE picks the strategy at runtime.
     */
+  /** Cross-group n-gram vocabulary overlap matrix: for every pair of
+    * groups (sources, feeds, snapshots) the count of shared distinct
+    * word n-grams and the Jaccard similarity of the two vocabularies —
+    * the corpus-mixing diagnostic that surfaces mirrored / syndicated
+    * feeds BEFORE document-level dedup would (two mirrors share most of
+    * their vocabulary long before they share exact content hashes).
+    *
+    * Shape: one distinct over (group, shingle) — the only O(corpus)
+    * shuffle — then a shingle-keyed self-join whose per-shingle fan-out
+    * is bounded by the GROUP cardinality (each group contributes each
+    * shingle once), never by document frequency. With S groups a
+    * ubiquitous shingle costs S² intermediate rows — the size of the
+    * output matrix itself, the t17 bounded-domain stance — and the join
+    * is equi-keyed so AQE skew-splits a hot shingle. Per-group sizes
+    * are one row per group and broadcast explicitly.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val vocab = df
+      .select(col(groupCol).as("g"),
+        explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds sizes AND both join sides
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("sz"))
+    val inter = vocab.select(col("g").as("source_1"), col("s"))
+      .join(vocab.select(col("g").as("source_2"), col("s")), "s")
+      .filter(col("source_1") < col("source_2"))
+      .groupBy(col("source_1"), col("source_2"))
+      .agg(count(lit(1)).as("shared_grams"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("source_1"), col("sz").as("sz1"))),
+        "source_1")
+      .join(broadcast(sizes.select(col("g").as("source_2"), col("sz").as("sz2"))),
+        "source_2")
+      .select(col("source_1"), col("source_2"), col("shared_grams"),
+        col("sz1"), col("sz2"),
+        expr("shared_grams * 1000000L div (sz1 + sz2 - shared_grams)")
+          .as("jaccard_ppm"))
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       blockCols: Seq[String], maxDf: Long = 1000): DataFrame = {
     // one shingle computation, already exploded; per-doc set sizes derive

@@ -2912,6 +2912,81 @@ object PipelineQueries {
       |ORDER BY raw.lang
       |""".stripMargin))
 
+  /** T29 — cross-source vocabulary overlap matrix
+    * ([[graft.dedup.Dedup.sourceOverlap]]): pairwise shared-3-gram
+    * counts and vocabulary Jaccard for every source pair — the
+    * corpus-mixing diagnostic that flags mirrored/syndicated feeds
+    * before document-level dedup can (mirrors share vocabulary long
+    * before exact hashes collide; this corpus has ZERO cross-source
+    * exact dups at gate scale but rich n-gram overlap). One distinct
+    * over (source, gram), a gram-keyed self-join whose fan-out per gram
+    * is bounded by the SOURCE cardinality (each source posts a gram
+    * once), and broadcast per-source sizes. Output is the S² matrix.
+    */
+  val t29SourceOverlap = QueryDef("t29_source_overlap",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.sourceOverlap(docs, "source", "text", n = 3)
+        .orderBy(col("source_1"), col("source_2"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |v AS (SELECT DISTINCT source, unnest(sh) AS s FROM sh),
+      |sizes AS (SELECT source, COUNT(*) AS sz FROM v GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS source_1, b.source AS source_2,
+      |         COUNT(*) AS shared_grams
+      |  FROM v a JOIN v b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.source_1, i.source_2, i.shared_grams,
+      |       s1.sz AS sz1, s2.sz AS sz2,
+      |       CAST(i.shared_grams * 1000000 //
+      |            (s1.sz + s2.sz - i.shared_grams) AS BIGINT) AS jaccard_ppm
+      |FROM inter i
+      |JOIN sizes s1 ON i.source_1 = s1.source
+      |JOIN sizes s2 ON i.source_2 = s2.source
+      |ORDER BY source_1, source_2
+      |""".stripMargin))
+
+  /** T30 — fixed-size priority sample
+    * ([[graft.sampling.Sampling.prioritySample]]): 50 documents drawn
+    * with probability proportional to token count under the
+    * Duffield–Lund–Thorup scheme, each carrying the Horvitz–Thompson
+    * `est_w = max(w, τ)` that makes sampled subset-sums unbiased — the
+    * fixed-budget audit primitive (inspect exactly 50 docs, extrapolate
+    * token totals). All integer arithmetic; the oracle replays the
+    * exact sample, threshold, and estimator.
+    */
+  val t30PrioritySample = QueryDef("t30_priority_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sampling.Sampling.prioritySample(
+          docs, "doc_id", TextAnalysis.tokenCount(col("text")), k = 50)
+        .select(col("doc_id"), col("lang"), col("w"), col("priority"),
+          col("tau"), col("est_w"))
+        .orderBy(col("priority").desc, col("doc_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |b AS (
+      |  SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS w,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|psample'),
+      |              1, 10) AS BIGINT) AS h
+      |  FROM toks WHERE len(tk) > 0),
+      |p AS (SELECT doc_id, lang, w,
+      |             w * ${1L << 40} // (h + 1) AS priority FROM b),
+      |top AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 51),
+      |thr AS (SELECT CAST(CASE WHEN COUNT(*) = 51 THEN MIN(priority)
+      |                    ELSE 0 END AS BIGINT) AS tau FROM top),
+      |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id)
+      |        AS rk FROM top)
+      |SELECT doc_id, lang, w, priority, tau,
+      |       GREATEST(w, tau) AS est_w
+      |FROM r, thr WHERE rk <= 50
+      |ORDER BY priority DESC, doc_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -2928,5 +3003,5 @@ object PipelineQueries {
     m1MediaMeta, m2MediaAnn, m3MediaFrames,
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
-    t27SourceScorecard, t28DedupSavings)
+    t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample)
 }

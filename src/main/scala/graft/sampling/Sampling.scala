@@ -83,6 +83,48 @@ object Sampling {
       .filter(hashUniformPpm(col(keyCol), salt) < col("rate_ppm"))
   }
 
+  /** Fixed-size priority sample (Duffield–Lund–Thorup): each row draws
+    * a deterministic uniform `u` from md5(key|salt) and gets priority
+    * `q = w / u`; the sample is the k largest priorities and the
+    * threshold `τ` is the (k+1)-th. Reported `est_w = max(w, τ)` is the
+    * Horvitz–Thompson-style weight that makes any subset-sum over the
+    * sample an UNBIASED estimate of the same sum over the full corpus —
+    * the fixed-budget complement of [[weightedSample]] (which keeps a
+    * weight-proportional FRACTION, not a fixed count).
+    *
+    * Arithmetic is integer-exact and engine-portable: u is a 40-bit
+    * hash, `q = w·2^40 div (h+1)`, so the oracle replays the exact
+    * sample and estimator. Contract: weights must be positive and below
+    * 2^23 (q stays under 2^63); zero/negative-weight rows are excluded
+    * (DLT samples strictly positive weights).
+    *
+    * Scale: one scan + one global top-(k+1) (TakeOrdered — per-partition
+    * heaps then a k-sized driver merge, never a full sort); the rank
+    * window and threshold run on the (k+1)-row cut — bounded by
+    * construction, the t17 stance.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weight: Column, k: Int,
+      salt: String = "psample"): DataFrame = {
+    val base = df
+      .withColumn("w", weight.cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("__h",
+        conv(substring(md5(concat(col(keyCol).cast("string"),
+          lit("|" + salt))), 1, 10), 16, 10).cast("long"))
+      .withColumn("priority", expr(s"w * ${1L << 40}L div (__h + 1)"))
+      .drop("__h")
+    val top = base.orderBy(col("priority").desc, col(keyCol)).limit(k + 1)
+      .localCheckpoint(eager = false) // threshold + rank share the cut
+    val thr = top.agg(count(lit(1)).as("n"), min(col("priority")).as("mn"))
+      .select(when(col("n") === k + 1, col("mn")).otherwise(lit(0L))
+        .as("tau"))
+    val ranked = top.withColumn("__rk", row_number().over(
+      Window.orderBy(col("priority").desc, col(keyCol))))
+    ranked.filter(col("__rk") <= k).drop("__rk")
+      .crossJoin(broadcast(thr))
+      .withColumn("est_w", greatest(col("w"), col("tau")))
+  }
+
   /** Per-stratum quota sample: the `quota` rows of each stratum with the
     * smallest (uniform, key) — deterministic, order-free, and exactly
     * `min(quota, |stratum|)` rows per stratum (language-balanced corpus

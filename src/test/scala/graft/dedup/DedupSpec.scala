@@ -285,4 +285,26 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("n_boiler"), r.getAs[Long]("boiler_ppm"))).toSeq
     assert(re == out)
   }
+
+  test("sourceOverlap: mirrored feeds outrank disjoint ones; sizes and jaccard exact") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy dog"), // mirror of a
+      ("b", "completely different words appear in this sentence"),
+      ("c", "completely different words appear in this sentence"),
+      ("d", "nothing here matches any other feed at all ever")
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(df, "source", "text", 3)
+      .orderBy("source_1", "source_2").collect()
+      .map(r => (r.getAs[String]("source_1"), r.getAs[String]("source_2"),
+        r.getAs[Long]("shared_grams"), r.getAs[Long]("sz1"),
+        r.getAs[Long]("sz2"), r.getAs[Long]("jaccard_ppm"))).toSeq
+    // a: 7 grams; b: 7 + 5 = 12; c: 5; d: 7. Pairs sharing nothing
+    // (anything × d, a × c) never materialize — inverted-index shape.
+    assert(out == Seq(
+      ("a", "b", 7L, 7L, 12L, 7L * 1000000L / 12L),
+      ("b", "c", 5L, 12L, 5L, 5L * 1000000L / 12L)))
+    // the full-mirror pair dominates the partial one
+    assert(out.head._6 > out(1)._6)
+  }
 }

@@ -80,6 +80,39 @@ class SamplingSpec extends SparkSpec {
     assert(u.distinct.length > 950, "uniforms must spread (few collisions)")
   }
 
+  test("priority sample: fixed size, threshold = (k+1)-th priority, HT estimator sane") {
+    val df = docs.select(col("doc_id"), col("text"))
+    val w = length(col("text")).cast("long")
+    val k = 10
+    val out = Sampling.prioritySample(df, "doc_id", w, k)
+      .orderBy(col("priority").desc, col("doc_id")).collect()
+    assert(out.length == k)
+    // τ sits between the sample's smallest priority and 0
+    val tau = out.head.getAs[Long]("tau")
+    assert(out.forall(_.getAs[Long]("tau") == tau)) // one global threshold
+    assert(out.forall(_.getAs[Long]("priority") >= tau) && tau > 0)
+    // est_w = max(w, τ) row-wise
+    assert(out.forall(r =>
+      r.getAs[Long]("est_w") ==
+        math.max(r.getAs[Long]("w"), tau)))
+    // deterministic and partition-independent
+    val re = Sampling.prioritySample(df.repartition(7), "doc_id", w, k)
+      .orderBy(col("priority").desc, col("doc_id")).collect()
+    assert(re.map(_.getAs[Long]("doc_id")).sameElements(
+      out.map(_.getAs[Long]("doc_id"))))
+    // HT subset-sum estimate of total weight lands within 3x on this
+    // corpus (a deterministic draw — the bound guards gross estimator
+    // bugs like summing w instead of est_w, not statistical noise)
+    val est = out.map(_.getAs[Long]("est_w")).sum
+    val total = df.select(sum(w)).collect().head.getLong(0)
+    assert(est > total / 3 && est < total * 3, s"est=$est total=$total")
+    // a corpus smaller than k is returned whole with est_w = w (τ = 0)
+    val tiny = Sampling.prioritySample(df.limit(4), "doc_id", w, k).collect()
+    assert(tiny.length == 4)
+    assert(tiny.forall(r => r.getAs[Long]("tau") == 0L &&
+      r.getAs[Long]("est_w") == r.getAs[Long]("w")))
+  }
+
   test("weighted sample: 0 keeps nothing, 1e6 keeps all, monotone in weight") {
     val df = Seq.tabulate(500)(i => (i.toLong, i % 7)).toDF("k", "w7")
     def ids(weight: org.apache.spark.sql.Column) =
