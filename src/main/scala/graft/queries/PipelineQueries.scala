@@ -2987,6 +2987,42 @@ object PipelineQueries {
       |ORDER BY priority DESC, doc_id
       |""".stripMargin))
 
+  /** T31 — robust outlier census ([[graft.sketch.RobustStats
+    * .madCensus]]): per-language median / MAD / max-robust-z over token
+    * counts, with the z>3 outlier count — the length-anomaly gate a
+    * corrupt feed can't drag past itself (50% breakdown point, vs 0%
+    * for a mean/stddev cut). Doubled-unit integer medians make every
+    * value engine-exact; this uniform synthetic corpus has NO z>3 tail
+    * (n_out_z3 = 0 is the true answer — the spec proves the detection
+    * leg on planted spikes), while med2/mad4/max_z_milli pin the full
+    * arithmetic chain against the oracle.
+    */
+  val t31MadCensus = QueryDef("t31_mad_census",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sketch.RobustStats.madCensus(
+          docs, "lang", TextAnalysis.tokenCount(col("text")))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |v AS (SELECT lang, CAST(len(tk) AS BIGINT) AS x FROM toks),
+      |med AS (SELECT lang, CAST(quantile_cont(2 * x, 0.5) AS BIGINT) AS med2
+      |        FROM v GROUP BY 1),
+      |dev AS (SELECT v.lang, x, abs(2 * x - med2) AS dev2, med2
+      |        FROM v JOIN med USING (lang)),
+      |mad AS (SELECT lang, CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+      |        FROM dev GROUP BY 1)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |       any_value(d.med2) AS med2, any_value(m.mad4) AS mad4,
+      |       MAX(CASE WHEN m.mad4 > 0 THEN 2000 * d.dev2 // m.mad4 END)
+      |         AS max_z_milli,
+      |       CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_out_z3
+      |FROM dev d JOIN mad m USING (lang)
+      |GROUP BY d.lang ORDER BY d.lang
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3003,5 +3039,6 @@ object PipelineQueries {
     m1MediaMeta, m2MediaAnn, m3MediaFrames,
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
-    t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample)
+    t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
+    t31MadCensus)
 }
