@@ -566,6 +566,39 @@ object Dedup {
     * it must NEVER be broadcast: the pairs side post-aggregation is the
     * small side, and AQE picks the strategy at runtime.
     */
+  /** Edit-distance verification stage for candidate near-dup pairs —
+    * the second stage of the classic two-stage dedup: a cheap blocker
+    * (LSH banding, simhash bands) proposes candidates, and exact
+    * Levenshtein CONFIRMS them, killing the banding false-positives a
+    * signature estimate lets through. Levenshtein is O(L²) per pair, so
+    * it must never touch the corpus directly; bounding it to the
+    * blocker's output and to a `prefix`-char window caps the DP at
+    * prefix² cells per candidate — the verify-stage budget, not a scan
+    * cost. Both joins are id-equi (AQE picks broadcast vs shuffle and
+    * skew-splits a hot document).
+    *
+    * `verified` is `edit_dist ≤ maxDistPpm·max(len)` on the compared
+    * prefixes; `edit_sim_ppm` is the normalized similarity
+    * `(len − dist)/len`, integer-exact on any engine.
+    */
+  def editVerifiedPairs(cands: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, prefix: Int = 200,
+      maxDistPpm: Long = 200000L): DataFrame = {
+    val p = docs.select(col(idCol), substring(col(textCol), 1, prefix).as("__p"))
+    cands
+      .join(p.select(col(idCol).as("id1"), col("__p").as("p1")), "id1")
+      .join(p.select(col(idCol).as("id2"), col("__p").as("p2")), "id2")
+      .withColumn("edit_dist", levenshtein(col("p1"), col("p2")).cast("long"))
+      .withColumn("plen",
+        greatest(length(col("p1")), length(col("p2"))).cast("long"))
+      .withColumn("edit_sim_ppm",
+        when(col("plen") === 0L, 1000000L) // two empty prefixes: identical
+          .otherwise(expr("(plen - edit_dist) * 1000000L div plen")))
+      .withColumn("verified",
+        col("edit_dist") * 1000000L <= col("plen") * maxDistPpm)
+      .drop("p1", "p2")
+  }
+
   /** Cross-group n-gram vocabulary overlap matrix: for every pair of
     * groups (sources, feeds, snapshots) the count of shared distinct
     * word n-grams and the Jaccard similarity of the two vocabularies —

@@ -3023,6 +3023,69 @@ object PipelineQueries {
       |GROUP BY d.lang ORDER BY d.lang
       |""".stripMargin))
 
+  /** D17 — edit-distance verification of the LSH candidates
+    * ([[graft.dedup.Dedup.editVerifiedPairs]]): classic two-stage
+    * near-dup dedup — d3's banded MinHash proposes, exact Levenshtein
+    * over a 200-char prefix confirms, killing banding false positives
+    * before a merge acts on them. The O(L²) DP is paid ONLY on the
+    * blocker's output with a capped prefix (≤40k cells per pair), never
+    * against the corpus; the text joins are id-equi and AQE-managed.
+    * Also the cross-engine pin for Levenshtein itself (Spark
+    * commons-text vs DuckDB, incl. CJK text).
+    */
+  val d17EditVerified = QueryDef("d17_edit_verified",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+      Dedup.editVerifiedPairs(cands, docs, "doc_id", "text", prefix = 200)
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+      |  FROM sh WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           i -> coalesce(list_min(list_transform(hs,
+      |                  h -> (h * (i * 2 + 3) + 7919 * i) % 1000003)), 1000003)) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_idx,
+      |         array_to_string(sig[b.b*4+1:b.b*4+4], '-') AS band_sig
+      |  FROM sig, (SELECT unnest(range(4)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+      |  FROM bands b1 JOIN bands b2
+      |    ON b1.band_idx = b2.band_idx AND b1.band_sig = b2.band_sig
+      |   AND b1.doc_id < b2.doc_id),
+      |est AS (
+      |  SELECT c.id1, c.id2,
+      |         CAST(list_sum(list_transform(range(0, 16),
+      |                i -> CASE WHEN s1.sig[CAST(i AS INT)+1] = s2.sig[CAST(i AS INT)+1]
+      |                          THEN 1 ELSE 0 END)) AS INT) AS est_matches
+      |  FROM cand c
+      |  JOIN sig s1 ON s1.doc_id = c.id1
+      |  JOIN sig s2 ON s2.doc_id = c.id2),
+      |p AS (SELECT doc_id, substr(text, 1, 200) AS pfx FROM documents),
+      |v AS (
+      |  SELECT e.id1, e.id2, e.est_matches,
+      |         CAST(levenshtein(p1.pfx, p2.pfx) AS BIGINT) AS edit_dist,
+      |         CAST(GREATEST(length(p1.pfx), length(p2.pfx)) AS BIGINT) AS plen
+      |  FROM est e
+      |  JOIN p p1 ON p1.doc_id = e.id1
+      |  JOIN p p2 ON p2.doc_id = e.id2)
+      |SELECT id1, id2, est_matches, edit_dist, plen,
+      |       CASE WHEN plen = 0 THEN 1000000
+      |            ELSE (plen - edit_dist) * 1000000 // plen END AS edit_sim_ppm,
+      |       edit_dist * 1000000 <= plen * 200000 AS verified
+      |FROM v ORDER BY id1, id2
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3040,5 +3103,5 @@ object PipelineQueries {
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
-    t31MadCensus)
+    t31MadCensus, d17EditVerified)
 }

@@ -286,6 +286,34 @@ class DedupSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("editVerifiedPairs: confirms near-dups, rejects banding false positives") {
+    val docs = Seq(
+      (1L, doc1), (2L, doc1Near),   // near pair: 1 char token differs
+      (3L, doc2), (4L, "unrelated text that only a bad blocker would pair")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L, 15), (3L, 4L, 1))
+      .toDF("id1", "id2", "est_matches")
+    val out = Dedup.editVerifiedPairs(cands, docs, "doc_id", "text")
+      .orderBy("id1").collect()
+    val near = out(0)
+    assert(near.getAs[Long]("edit_dist") == 3L) // dog → cat
+    assert(near.getAs[Boolean]("verified"))
+    assert(near.getAs[Long]("edit_sim_ppm") > 900000L)
+    val far = out(1)
+    assert(!far.getAs[Boolean]("verified")) // the blocker's false positive dies
+    assert(far.getAs[Long]("edit_sim_ppm") < 600000L)
+    // prefix cap bounds the DP: divergence beyond the window is invisible
+    val longDocs = Seq(
+      (1L, "same prefix " * 30 + "tail A"),
+      (2L, "same prefix " * 30 + "completely different ending")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.editVerifiedPairs(
+      Seq((1L, 2L, 16)).toDF("id1", "id2", "est_matches"),
+      longDocs, "doc_id", "text", prefix = 100).collect().head
+    assert(capped.getAs[Long]("edit_dist") == 0L &&
+      capped.getAs[Boolean]("verified"))
+  }
+
   test("sourceOverlap: mirrored feeds outrank disjoint ones; sizes and jaccard exact") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog"),
