@@ -3086,6 +3086,60 @@ object PipelineQueries {
       |FROM v ORDER BY id1, id2
       |""".stripMargin))
 
+  /** J12 — incremental materialized-rollup maintenance
+    * ([[graft.pipeline.IncrementalRollup]]): a per-priority (count, sum)
+    * rollup of `orders` is kept current from a retractable CDC feed —
+    * inserts, deletes, and GROUP-MOVING updates (the case that corrupts
+    * naive delta schemes) — touching only Δ, never the base. The feed is
+    * carved deterministically from the table (k%4=0 inserts; k%10=1
+    * deletes; k%10=2 updates moved to a synthetic group at +500 cents),
+    * and the oracle recomputes the applied state from scratch: any
+    * missed retraction, double-counted assertion, or undrained group
+    * hash-mismatches. Maintenance is one Δ scan + one group-bounded
+    * aggregate + one group-equi merge — the O(Δ) dashboard-refresh
+    * contract at 100 TB.
+    */
+  val j12IncrementalRollup = QueryDef("j12_incremental_rollup",
+    (s, dir) => {
+      val ir = graft.pipeline.IncrementalRollup
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("grp"),
+          round(col("o_totalprice") * 100, 0).cast("decimal(18,0)")
+            .cast("long").as("v"))
+        .localCheckpoint(eager = false) // base split + three feed slices
+      val base = orders.filter(col("k") % 4 =!= 0)
+      val nullS = lit(null).cast("string")
+      val nullL = lit(null).cast("long")
+      val inserts = orders.filter(col("k") % 4 === 0)
+        .select(lit("I").as("op"), col("grp"), col("v"),
+          nullS.as("old_grp"), nullL.as("old_v"))
+      val deletes = base.filter(col("k") % 10 === 1)
+        .select(lit("D").as("op"), nullS.as("grp"), nullL.as("v"),
+          col("grp").as("old_grp"), col("v").as("old_v"))
+      val updates = base.filter(col("k") % 10 === 2)
+        .select(lit("U").as("op"),
+          concat(lit("MOVED-"), substring(col("grp"), 1, 1)).as("grp"),
+          (col("v") + 500L).as("v"),
+          col("grp").as("old_grp"), col("v").as("old_v"))
+      val feed = inserts.unionByName(deletes).unionByName(updates)
+      val prior = ir.recompute(base, "grp", "v")
+      ir.maintain(prior, feed, "grp", "v").orderBy(col("grp"))
+    },
+    Some("""
+      |WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS grp,
+      |         CAST(CAST(ROUND(o_totalprice * 100) AS DECIMAL(18,0)) AS BIGINT) AS v
+      |  FROM orders),
+      |base AS (SELECT * FROM o WHERE k % 4 <> 0),
+      |applied AS (
+      |  SELECT grp, v FROM base WHERE k % 10 NOT IN (1, 2)
+      |  UNION ALL SELECT grp, v FROM o WHERE k % 4 = 0
+      |  UNION ALL SELECT 'MOVED-' || substr(grp, 1, 1) AS grp, v + 500 AS v
+      |    FROM base WHERE k % 10 = 2)
+      |SELECT grp, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sum
+      |FROM applied GROUP BY grp ORDER BY grp
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3103,5 +3157,5 @@ object PipelineQueries {
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
-    t31MadCensus, d17EditVerified)
+    t31MadCensus, d17EditVerified, j12IncrementalRollup)
 }
