@@ -3140,6 +3140,67 @@ object PipelineQueries {
       |FROM applied GROUP BY grp ORDER BY grp
       |""".stripMargin))
 
+  /** T32 — bigram-LM surprisal scoring, the CONDITIONAL extension of
+    * t25's unigram model: every document is scored by its mean
+    * per-bigram surprisal `−log₂ p(w2 | w1)` under a model fit on the
+    * corpus itself, surfacing documents whose token TRANSITIONS are
+    * out-of-distribution (word salad scores high even when every
+    * individual token is common — the failure mode a unigram score
+    * can't see). Context counts derive from the same bigram frame
+    * (`c1(w1) = Σ_w2 c2(w1,w2)`), so the model is a proper conditional,
+    * and surprisal is the integer `length(bin(c1 div c2))` — the
+    * dampened-log₂ convention of t20/t23/t25; the only float is one
+    * correctly-rounded `bits/nb` division per doc. One explode pass
+    * builds per-doc bigram counts feeding BOTH the fit and the scoring
+    * join; the vocabulary joins are token-keyed, AQE-managed.
+    */
+  val t32BigramSurprisal = QueryDef("t32_bigram_surprisal",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pd = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1)," +
+            " i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false) // model fit + scoring share it
+      val c2 = pd.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c2"))
+      val c1 = pd.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+      val cond = c2.join(c1, "w1")
+        .withColumn("surp", length(bin(expr("c1 div c2"))).cast("long"))
+        .select(col("w1"), col("w2"), col("surp"))
+      pd.join(cond, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("surp")).as("bits"), sum(col("c")).as("nb"))
+        .withColumn("score",
+          col("bits").cast("double") / col("nb").cast("double"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+        .select(col("doc_id"), col("nb"), col("bits"), col("score"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |ix AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+      |       FROM toks WHERE len(tk) >= 2),
+      |pr AS (SELECT doc_id, tk[CAST(i AS INT)] AS w1,
+      |              tk[CAST(i AS INT) + 1] AS w2 FROM ix),
+      |pd AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM pr GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c2 FROM pd GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM pd GROUP BY 1),
+      |vs AS (SELECT c2.w1, c2.w2,
+      |              CAST(length(bin(c1.c1 // c2.c2)) AS BIGINT) AS surp
+      |       FROM c2 JOIN c1 USING (w1)),
+      |sc AS (SELECT doc_id, CAST(SUM(c * surp) AS BIGINT) AS bits,
+      |              CAST(SUM(c) AS BIGINT) AS nb
+      |       FROM pd JOIN vs USING (w1, w2) GROUP BY 1)
+      |SELECT doc_id, nb, bits,
+      |       CAST(bits AS DOUBLE) / CAST(nb AS DOUBLE) AS score
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 15
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3157,5 +3218,5 @@ object PipelineQueries {
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
-    t31MadCensus, d17EditVerified, j12IncrementalRollup)
+    t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal)
 }
