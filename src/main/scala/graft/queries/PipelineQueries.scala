@@ -3201,6 +3201,91 @@ object PipelineQueries {
       |FROM sc ORDER BY score DESC, doc_id LIMIT 15
       |""".stripMargin))
 
+  /** S12 — MMR-diversified retrieval ([[Similarity.mmrDiversify]]):
+    * a brute-force top-10 pool per probe (vec_id % 50) re-ranked to 3
+    * picks by maximal marginal relevance with λ = ½ — relevance minus
+    * worst redundancy against what's already picked. The oracle
+    * unrolls both greedy rounds (the s5 unrolled-k-means precedent)
+    * with identical IEEE double arithmetic over exact integer dots, so
+    * every pick and every score replays bit-for-bit.
+    */
+  val s12MmrRerank = QueryDef("s12_mmr_rerank",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pool = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", 10)
+      Similarity.mmrDiversify(pool, emb, "vec_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("mmr_rank"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q, qv c
+      |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      |pool AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM scored) WHERE rank <= 10),
+      |ps AS (
+      |  SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+      |         CASE WHEN ${dotSql("va.qv", "va.qv")} > 0 AND ${dotSql("vb.qv", "vb.qv")} > 0
+      |              THEN CAST(${dotSql("va.qv", "vb.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("va.qv", "va.qv")} * ${dotSql("vb.qv", "vb.qv")} AS DOUBLE))
+      |         END AS sim
+      |  FROM pool a JOIN pool b
+      |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+      |  JOIN qv va ON va.vec_id = a.neighbor_id
+      |  JOIN qv vb ON vb.vec_id = b.neighbor_id),
+      |s1 AS (SELECT query_id, neighbor_id, cosine AS mmr_score
+      |       FROM pool WHERE rank = 1),
+      |c2 AS (
+      |  SELECT ps.query_id, ps.a AS neighbor_id, pl.cosine,
+      |         MAX(ps.sim) AS maxsim
+      |  FROM ps
+      |  JOIN s1 ON ps.query_id = s1.query_id AND ps.b = s1.neighbor_id
+      |  JOIN pool pl ON pl.query_id = ps.query_id AND pl.neighbor_id = ps.a
+      |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+      |                    WHERE x.query_id = ps.query_id
+      |                      AND x.neighbor_id = ps.a)
+      |  GROUP BY 1, 2, 3),
+      |s2 AS (
+      |  SELECT query_id, neighbor_id,
+      |         0.5 * cosine - 0.5 * maxsim AS mmr_score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY 0.5 * cosine - 0.5 * maxsim DESC, neighbor_id) AS rn
+      |        FROM c2) WHERE rn = 1),
+      |sel2 AS (SELECT query_id, neighbor_id FROM s1
+      |         UNION ALL SELECT query_id, neighbor_id FROM s2),
+      |c3 AS (
+      |  SELECT ps.query_id, ps.a AS neighbor_id, pl.cosine,
+      |         MAX(ps.sim) AS maxsim
+      |  FROM ps
+      |  JOIN sel2 ON ps.query_id = sel2.query_id AND ps.b = sel2.neighbor_id
+      |  JOIN pool pl ON pl.query_id = ps.query_id AND pl.neighbor_id = ps.a
+      |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+      |                    WHERE x.query_id = ps.query_id
+      |                      AND x.neighbor_id = ps.a)
+      |  GROUP BY 1, 2, 3),
+      |s3 AS (
+      |  SELECT query_id, neighbor_id,
+      |         0.5 * cosine - 0.5 * maxsim AS mmr_score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY 0.5 * cosine - 0.5 * maxsim DESC, neighbor_id) AS rn
+      |        FROM c3) WHERE rn = 1)
+      |SELECT query_id, CAST(1 AS INT) AS mmr_rank, neighbor_id, mmr_score FROM s1
+      |UNION ALL
+      |SELECT query_id, CAST(2 AS INT), neighbor_id, mmr_score FROM s2
+      |UNION ALL
+      |SELECT query_id, CAST(3 AS INT), neighbor_id, mmr_score FROM s3
+      |ORDER BY query_id, mmr_rank
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3218,5 +3303,6 @@ object PipelineQueries {
     t24QualityRules, t25UnigramSurprisal, s10RrfFusion, d15SplitLeakage,
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
-    t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal)
+    t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
+    s12MmrRerank)
 }

@@ -115,6 +115,64 @@ object Similarity {
     *
     * Returns (query_id, rank, neighbor_id, dot_q, cosine).
     */
+  /** Maximal-marginal-relevance diversification of a retrieval pool:
+    * greedily select `k` results where each pick maximizes
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` (λ = ½) — the re-rank that
+    * stops a near-dup-heavy corpus from filling the whole top-k with
+    * one document's clones. `pool` is a per-query candidate cut
+    * `(query_id, neighbor_id, cosine, rank)` from any first-stage
+    * retriever; all MMR work is bounded by the POOL (≤ |pool|² pairwise
+    * sims per query, ≤ k unrolled selection rounds), never the corpus —
+    * the two-stage contract, like [[graft.dedup.Dedup
+    * .editVerifiedPairs]] for dedup.
+    *
+    * Each greedy round is a join + bounded aggregate + struct-argmax
+    * (the d8 election shape — no windows over unbounded partitions);
+    * doubles are single correctly-rounded IEEE ops of exact integer
+    * dots, so an oracle replays every score and every pick. Rank-1's
+    * score is its plain relevance (no diversity term exists yet).
+    */
+  def mmrDiversify(pool: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val qv = index(corpus.select(col(idCol).as("__mid"),
+      quantize(col(vecCol)).as("__mv")))
+    val p = pool.select(col("query_id"), col("neighbor_id"), col("cosine"),
+      col("rank")).localCheckpoint(eager = false)
+    val sims = p.select(col("query_id"), col("neighbor_id").as("a"))
+      .join(p.select(col("query_id"), col("neighbor_id").as("b")), "query_id")
+      .filter(col("a") =!= col("b"))
+      .join(qv.select(col("__mid").as("a"), col("__mv").as("va")), "a")
+      .join(qv.select(col("__mid").as("b"), col("__mv").as("vb")), "b")
+      .select(col("query_id"), col("a"), col("b"),
+        cosineFromQ(dotQ(col("va"), col("vb")),
+          normSqQ(col("va")), normSqQ(col("vb"))).as("sim"))
+      .localCheckpoint(eager = false) // every greedy round re-reads it
+    var sel = p.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1).as("mmr_rank"), col("cosine").as("mmr_score"))
+    for (r <- 2 to k) {
+      val selIds = sel.select(col("query_id"), col("neighbor_id"))
+      val remaining = p.join(selIds, Seq("query_id", "neighbor_id"),
+        "left_anti")
+      val scored = remaining
+        .join(sims.withColumnRenamed("a", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .join(selIds.withColumnRenamed("neighbor_id", "b"),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("cosine"))
+        .agg(max(col("sim")).as("maxsim"))
+        .withColumn("score",
+          lit(0.5) * col("cosine") - lit(0.5) * col("maxsim"))
+      val pick = scored.groupBy(col("query_id"))
+        .agg(max(struct(col("score"), (-col("neighbor_id")).as("nid")))
+          .as("w"))
+        .select(col("query_id"), (-col("w.nid")).as("neighbor_id"),
+          lit(r).as("mmr_rank"), col("w.score").as("mmr_score"))
+      sel = sel.unionByName(pick)
+    }
+    sel
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),

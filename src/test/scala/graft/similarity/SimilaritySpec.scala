@@ -189,6 +189,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top(1).getAs[Long]("neighbor_id") == 1L) // near second
   }
 
+  test("MMR diversification demotes the clone a plain top-k would keep") {
+    val mvecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // the query
+      (1L, Array(0.9f, 0.43f, 0.0f, 0.0f)),    // most relevant
+      (2L, Array(0.89f, 0.44f, 0.0f, 0.0f)),   // near-clone of 1 (sim ≈ 1)
+      (3L, Array(0.6f, -0.8f, 0.0f, 0.0f)))    // less relevant, diverse
+      .toDF("vec_id", "embedding")
+    val pool = Similarity.bruteForceTopK(
+      mvecs.filter(col("vec_id") === 100L), mvecs, "vec_id", "embedding", 3)
+    // relevance alone ranks the clone second…
+    assert(pool.orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+      .toSeq == Seq(1L, 2L, 3L))
+    // …MMR (λ=½) puts the diverse doc second and the clone last
+    val mmr = Similarity.mmrDiversify(pool, mvecs, "vec_id", "embedding", 3)
+      .orderBy("mmr_rank").collect()
+    assert(mmr.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 2L))
+    // rank-1 score is plain relevance; the clone's final score carries
+    // the redundancy penalty (negative: sim to pick 1 exceeds relevance)
+    assert(mmr(0).getAs[Double]("mmr_score") > 0.9)
+    assert(mmr(2).getAs[Double]("mmr_score") < 0.0)
+  }
+
   test("cosine near-dup pairs pass the exact integer threshold test") {
     val df = vecs.toDF("vec_id", "embedding")
     val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 990000L)
