@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
@@ -566,6 +567,59 @@ object Dedup {
     * it must NEVER be broadcast: the pairs side post-aggregation is the
     * small side, and AQE picks the strategy at runtime.
     */
+  /** Content-defined chunking over the TOKEN stream (gear-CDC style):
+    * a position whose trailing 3-token WINDOW hashes to 0 (mod
+    * `modulus`) CLOSES its chunk, so boundaries are pure functions of
+    * local content — insert a paragraph into a document and every chunk
+    * outside the edit's ±2-token neighborhood keeps its identity, which
+    * is exactly what byte-offset (fixed-size) chunking destroys. This
+    * is the storage/transfer dedup primitive that catches PARTIAL
+    * overlap document-level dedup (d1) cannot: two docs sharing a
+    * boilerplate paragraph share those chunks verbatim. The window (not
+    * a single token) is load-bearing on small-vocabulary corpora: with
+    * V distinct tokens a per-token gear has only V possible hash
+    * values, and one unlucky vocabulary yields zero boundaries
+    * anywhere; the 3-gram context space is V³.
+    *
+    * Expected chunk length is ~`modulus` tokens. Returns one row per
+    * chunk: `(id, carry…, chunk_idx, chunk_hash, n_tok)`.
+    *
+    * Scale: boundary flags are computed in array land inside the scan
+    * stage; the running boundary count is a window PARTITIONED BY
+    * DOCUMENT ordered by position — bounded by document length, the
+    * t17 stance, never a corpus-wide partition; chunk reassembly is a
+    * hash aggregate whose per-group state is one expected-`modulus`-
+    * token chunk.
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Seq.empty, modulus: Int = 16): DataFrame = {
+    val flags = transform(sequence(lit(1), size(col("tk"))), i =>
+      when(i >= 3,
+        (shingleHash(concat_ws(" ", slice(col("tk"), i - 2, lit(3))))
+          % modulus === 0).cast("int"))
+        .otherwise(lit(0)))
+    val tokPos = df
+      .select((col(idCol) +: carryCols.map(col)) :+
+        TextAnalysis.tokens(col(textCol)).as("tk"): _*)
+      .withColumn("fl", flags)
+      .select((col(idCol) +: carryCols.map(col)) :+
+        posexplode(arrays_zip(col("tk"), col("fl"))).as(Seq("pos", "z")): _*)
+      .select((col(idCol) +: carryCols.map(col)) ++
+        Seq(col("pos"), col("z.tk").as("tok"), col("z.fl").as("is_b")): _*)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // the boundary position CLOSES its chunk: its running-sum includes
+    // itself, so subtracting is_b keeps it in the chunk it terminates
+    val withIdx = tokPos.withColumn("chunk_idx",
+      (sum(col("is_b")).over(w) - col("is_b")).cast("long"))
+    withIdx
+      .groupBy((col(idCol) +: carryCols.map(col)) :+ col("chunk_idx"): _*)
+      .agg(
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).cast("binary")).as("chunk_hash"),
+        count(lit(1)).as("n_tok"))
+  }
+
   /** Edit-distance verification stage for candidate near-dup pairs —
     * the second stage of the classic two-stage dedup: a cheap blocker
     * (LSH banding, simhash bands) proposes candidates, and exact

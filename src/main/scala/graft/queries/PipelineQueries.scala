@@ -3286,6 +3286,66 @@ object PipelineQueries {
       |ORDER BY query_id, mmr_rank
       |""".stripMargin))
 
+  /** T33 — content-defined chunk dedup census
+    * ([[graft.dedup.Dedup.contentDefinedChunks]]): the corpus cut into
+    * gear-CDC token chunks (expected ~16 tokens; a position whose
+    * trailing 3-token window hashes to 0 mod 16 closes its chunk) and
+    * deduplicated at CHUNK granularity —
+    * the storage/transfer savings measurement that sees the partial
+    * overlap (shared paragraphs between near-dups) document-level d1 /
+    * t28 cannot. Boundaries are pure functions of local content, so an
+    * edit re-chunks only its neighborhood. Per-language: chunk counts,
+    * distinct chunks, dup ppm, and token-weighted storage savings.
+    */
+  val t33CdcChunks = QueryDef("t33_cdc_chunks",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contentDefinedChunks(docs, "doc_id", "text", Seq("lang"), 16)
+        .groupBy(col("lang"), col("chunk_hash"))
+        .agg(count(lit(1)).as("cnt"), max(col("n_tok")).as("nt"))
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_chunks"),
+          count(lit(1)).as("distinct_chunks"),
+          sum(col("cnt") * col("nt")).as("tok_total"),
+          sum(col("nt")).as("tok_stored"))
+        .select(col("lang"), col("n_chunks"), col("distinct_chunks"),
+          expr("(n_chunks - distinct_chunks) * 1000000L div n_chunks")
+            .as("dup_chunk_ppm"),
+          col("tok_total"), col("tok_stored"),
+          expr("(tok_total - tok_stored) * 1000000L div tok_total")
+            .as("savings_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |ix AS (SELECT doc_id, lang, tk, unnest(range(1, len(tk) + 1)) AS i
+      |       FROM toks WHERE len(tk) > 0),
+      |tp AS (SELECT doc_id, lang, tk, CAST(i AS INT) AS pos,
+      |              tk[CAST(i AS INT)] AS tok FROM ix),
+      |b AS (SELECT doc_id, lang, pos, tok,
+      |        CASE WHEN pos >= 3 AND
+      |                  CAST('0x' || substr(md5(
+      |                    array_to_string(tk[pos-2:pos], ' ')), 1, 7) AS BIGINT)
+      |                  % 16 = 0 THEN 1 ELSE 0 END AS is_b FROM tp),
+      |c AS (SELECT *, SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos)
+      |                - is_b AS chunk_idx FROM b),
+      |ch AS (SELECT doc_id, lang, chunk_idx,
+      |              md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
+      |              COUNT(*) AS n_tok
+      |       FROM c GROUP BY 1, 2, 3),
+      |g AS (SELECT lang, h, COUNT(*) AS cnt, MAX(n_tok) AS nt
+      |      FROM ch GROUP BY 1, 2)
+      |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+      |       COUNT(*) AS distinct_chunks,
+      |       CAST((SUM(cnt) - COUNT(*)) * 1000000 // SUM(cnt) AS BIGINT)
+      |         AS dup_chunk_ppm,
+      |       CAST(SUM(cnt * nt) AS BIGINT) AS tok_total,
+      |       CAST(SUM(nt) AS BIGINT) AS tok_stored,
+      |       CAST((SUM(cnt * nt) - SUM(nt)) * 1000000 // SUM(cnt * nt)
+      |            AS BIGINT) AS savings_ppm
+      |FROM g GROUP BY lang ORDER BY lang
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3304,5 +3364,5 @@ object PipelineQueries {
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
-    s12MmrRerank)
+    s12MmrRerank, t33CdcChunks)
 }

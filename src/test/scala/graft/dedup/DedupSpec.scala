@@ -286,6 +286,34 @@ class DedupSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("contentDefinedChunks: boundaries are content-local; shared paragraphs share chunks") {
+    // a long base document and a copy with one word inserted mid-stream:
+    // chunks before the edit's neighborhood must keep their hashes
+    val words = (1 to 120).map(i => s"w${i % 37}")
+    val edited = words.take(60) ++ Seq("INSERTED") ++ words.drop(60)
+    val df = Seq((1L, words.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = Dedup.contentDefinedChunks(df, "doc_id", "text")
+      .collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_hash")).toSet
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_hash")).toSet
+    // both docs chunked into several pieces, most shared despite the edit
+    assert(h1.size > 3, s"doc1 only ${h1.size} chunks")
+    val shared = h1.intersect(h2)
+    assert(shared.nonEmpty && shared.size >= h1.size / 2,
+      s"shared ${shared.size} of ${h1.size}")
+    assert(h1 != h2) // the edit's own chunk DID change
+    // deterministic + partition-independent
+    val re = Dedup.contentDefinedChunks(df.repartition(5), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_hash"))).sorted.toSeq
+    assert(re == ch.map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+      r.getAs[String]("chunk_hash"))).sorted.toSeq)
+    // chunk token counts partition the document
+    val n1 = ch.filter(_.getLong(0) == 1L).map(_.getAs[Long]("n_tok")).sum
+    assert(n1 == 120L)
+  }
+
   test("editVerifiedPairs: confirms near-dups, rejects banding false positives") {
     val docs = Seq(
       (1L, doc1), (2L, doc1Near),   // near pair: 1 char token differs
