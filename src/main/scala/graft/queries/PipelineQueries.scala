@@ -3346,6 +3346,62 @@ object PipelineQueries {
       |FROM g GROUP BY lang ORDER BY lang
       |""".stripMargin))
 
+  /** T34 — cross-group score calibration
+    * ([[graft.sketch.ApproxQuantiles.calibratedRankPpm]]): every doc's
+    * quality score converted to a PERCENTILE RANK within its own
+    * language, from the bounded log-histogram — "83rd percentile of its
+    * group" transfers across corpora whose raw score scales don't. The
+    * gate reports the per-language decile census of the calibrated
+    * ranks (ties share floor-convention ranks, so the census pins the
+    * whole histogram→rank chain). No per-group window over the data —
+    * the grid is windowed (≤1024 cells/group) and broadcast back, the
+    * skew-free calibration form.
+    */
+  val t34CalibratedQuality = QueryDef("t34_calibrated_quality",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.qualityScore(col("text")).cast("long").as("q"))
+      graft.sketch.ApproxQuantiles.calibratedRankPpm(docs, "lang", "q")
+        .groupBy(col("lang"),
+          expr("rank_ppm div 100000").as("decile"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("decile"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |st AS (
+      |  SELECT lang,
+      |         len(tk) AS n_tok, length(text) AS n_chr,
+      |         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_pun,
+      |         len(list_intersect(tk,
+      |           [${(TextAnalysis.EnglishStopwords ++ TextAnalysis.SpanishStopwords)
+                    .map("'" + _ + "'").mkString(",")}])) AS hits
+      |  FROM toks),
+      |q AS (
+      |  SELECT lang,
+      |         LEAST(100, n_tok)
+      |         + CASE WHEN n_tok > 0
+      |                THEN LEAST(100, CAST(FLOOR(hits * 500 / n_tok) AS INT))
+      |                ELSE 0 END
+      |         + 100 - CASE WHEN n_chr > 0
+      |                THEN LEAST(100, CAST(FLOOR(n_pun * 300 / n_chr) AS INT))
+      |                ELSE 0 END AS v
+      |  FROM st),
+      |b AS (SELECT lang, ${graft.sketch.ApproxQuantiles.logBinSql("v", 4)} AS id
+      |      FROM q WHERE v >= 0),
+      |hist AS (SELECT lang, id, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |cum AS (SELECT lang, id,
+      |          SUM(c) OVER (PARTITION BY lang ORDER BY id) - c AS cum_below,
+      |          SUM(c) OVER (PARTITION BY lang) AS n
+      |        FROM hist),
+      |r AS (SELECT b.lang, cum_below * 1000000 // n AS rank_ppm
+      |      FROM b JOIN cum USING (lang, id))
+      |SELECT lang, CAST(rank_ppm // 100000 AS BIGINT) AS decile,
+      |       COUNT(*) AS n_docs
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3364,5 +3420,5 @@ object PipelineQueries {
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
-    s12MmrRerank, t33CdcChunks)
+    s12MmrRerank, t33CdcChunks, t34CalibratedQuality)
 }

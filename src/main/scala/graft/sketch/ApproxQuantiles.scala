@@ -88,6 +88,40 @@ object ApproxQuantiles {
         binEstimate(col("id"), subBits).as("q_est"))
   }
 
+  /** Per-row PERCENTILE RANK within its group, from the same bounded
+    * log-histogram — the cross-group score calibration step: a quality
+    * score of 180 means nothing comparable between an `en` and a `zh`
+    * corpus with different score distributions, but "83rd percentile of
+    * its own group" does, so mixing/filtering thresholds transfer
+    * across sources. `rank_ppm = 10⁶ · (#rows in a strictly lower bin)
+    * div n` — the floor convention: ties within a bin share a rank, and
+    * every value is integer-exact on any engine.
+    *
+    * Plan shape: one hash aggregate to the (group, bin) grid, windows
+    * over the ≤ 64·2^subBits cells per group (bounded — skew-immune by
+    * construction), then one BROADCAST join of the grid back to the
+    * rows — per-row calibration with NO per-group window over the data
+    * (a percent_rank window would pin each group on one reducer; this
+    * is the skew-free form). Rows with null/negative values are
+    * dropped, mirroring [[quantilesByGroup]].
+    */
+  def calibratedRankPpm(df: DataFrame, groupCol: String, valueCol: String,
+      subBits: Int = 4): DataFrame = {
+    val base = df.withColumn("__v", col(valueCol).cast("long"))
+      .filter(col("__v").isNotNull && col("__v") >= 0)
+      .withColumn("__id", logBin(col("__v"), subBits))
+    val hist = base.groupBy(col(groupCol), col("__id"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum_below",
+        sum("c").over(Window.partitionBy(groupCol).orderBy("__id")) - col("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy(groupCol)))
+      .select(col(groupCol), col("__id"), col("cum_below"), col("n"))
+    base.join(broadcast(cum), Seq(groupCol, "__id"))
+      .withColumn("rank_ppm", expr("cum_below * 1000000L div n"))
+      .drop("__v", "__id", "cum_below", "n")
+  }
+
   /** DuckDB SQL emitting the identical bin id over a SQL expression —
     * kept beside [[logBin]] so the dialects can't drift. `>>`/`<<` are
     * DuckDB's shift operators; `length(bin(v)) - 1` is the same

@@ -32,6 +32,29 @@ class RobustStatsSpec extends SparkSpec {
     assert(rb.getAs[Long]("n_out_z3") == 0L)
   }
 
+  test("calibratedRankPpm: monotone in value, bounded, comparable across scales") {
+    // two groups with the SAME shape at different scales: calibration
+    // must assign corresponding elements the same rank
+    val a = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).map(("a", _))
+    val b = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).map(x => ("b", x * 100L))
+    val df = (a ++ b).toDF("g", "v")
+    val out = ApproxQuantiles.calibratedRankPpm(df, "g", "v")
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("v"), r.getAs[Long]("rank_ppm")))
+    val ra = out.filter(_._1 == "a").map(_._3).toSeq
+    val rb = out.filter(_._1 == "b").map(_._3).toSeq
+    // monotone non-decreasing in value, within [0, 1e6)
+    assert(ra.zip(ra.tail).forall { case (x, y) => x <= y })
+    assert(ra.forall(r => r >= 0 && r < 1000000L))
+    // small values sit in exact bins (v < 16), so the two same-shape
+    // groups calibrate identically where binning is exact
+    assert(ra.head == 0L && rb.head == 0L)
+    assert(ra == Seq(0L, 125000L, 250000L, 375000L, 500000L, 625000L,
+      750000L, 875000L))
+    // b's coarse high bins may merge ties but ranks stay ordered
+    assert(rb.zip(rb.tail).forall { case (x, y) => x <= y })
+  }
+
   test("even-count interpolation stays integer-exact; partition-independent") {
     // x = 3,4,5,6 → median 4.5 → med2 = 9; dev2 = |2x−9| = 3,1,1,3 →
     // mad4 = median(2·dev2) = median(6,2,2,6) = 4 (= 4·MAD, MAD = 1)
