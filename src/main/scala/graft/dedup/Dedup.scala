@@ -567,6 +567,33 @@ object Dedup {
     * it must NEVER be broadcast: the pairs side post-aggregation is the
     * small side, and AQE picks the strategy at runtime.
     */
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * shingles whose FIRST occurrence (by id order) is this document —
+    * the derivativeness signal that ranks a corpus by how much each doc
+    * adds over everything ingested before it. A verbatim re-post scores
+    * 0; boilerplate-heavy pages score low; genuinely new content scores
+    * near 10⁶ ppm. Complements pairwise dedup: no pair enumeration at
+    * all, so it sees diffuse derivativeness (a doc stitched from many
+    * sources) that no single near-dup pair exposes.
+    *
+    * Shape: one distinct shingle explode, one min-aggregate per shingle
+    * (first owner), one shingle-keyed equi-join back (AQE-splittable on
+    * hot boilerplate grams), one per-doc aggregate. All integer.
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, carry: Seq[String] = Seq.empty): DataFrame = {
+    val ex = shingleRows(df, idCol, textCol, n, carry)
+      .localCheckpoint(eager = false) // first-owner agg + join share it
+    val first = ex.groupBy(col("s")).agg(min(col(idCol)).as("__first"))
+    ex.join(first, "s")
+      .groupBy(col(idCol) +: carry.map(col): _*)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .withColumn("novelty_ppm",
+        expr("novel_grams * 1000000L div n_grams"))
+  }
+
   /** Content-defined chunking over the TOKEN stream (gear-CDC style):
     * a position whose trailing 3-token WINDOW hashes to 0 (mod
     * `modulus`) CLOSES its chunk, so boundaries are pure functions of

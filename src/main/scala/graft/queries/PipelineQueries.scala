@@ -3402,6 +3402,39 @@ object PipelineQueries {
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2
       |""".stripMargin))
 
+  /** T35 — document novelty ranking ([[graft.dedup.Dedup
+    * .noveltyScores]]): the 15 MOST DERIVATIVE documents — those whose
+    * distinct 3-grams were almost all seen in earlier (lower-id) docs.
+    * Verbatim re-posts score 0 ppm; content stitched from many sources
+    * scores low with NO single near-dup pair to betray it — the signal
+    * pairwise dedup (d2/d3/d17) structurally can't produce. One
+    * first-owner aggregate + one gram-keyed join, no pair space.
+    */
+  val t35Novelty = QueryDef("t35_novelty",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.noveltyScores(docs, "doc_id", "text", 3, carry = Seq("lang"))
+        .orderBy(col("novelty_ppm"), col("doc_id"))
+        .limit(15)
+        .select(col("doc_id"), col("lang"), col("n_grams"),
+          col("novel_grams"), col("novelty_ppm"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |ex AS (SELECT DISTINCT doc_id, lang, unnest(sh) AS s FROM sh),
+      |first AS (SELECT s, MIN(doc_id) AS fd FROM ex GROUP BY 1),
+      |sc AS (
+      |  SELECT ex.doc_id, ex.lang, COUNT(*) AS n_grams,
+      |         CAST(SUM(CASE WHEN fd = ex.doc_id THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS novel_grams
+      |  FROM ex JOIN first USING (s)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_grams, novel_grams,
+      |       novel_grams * 1000000 // n_grams AS novelty_ppm
+      |FROM sc ORDER BY novelty_ppm, doc_id LIMIT 15
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3420,5 +3453,5 @@ object PipelineQueries {
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
-    s12MmrRerank, t33CdcChunks, t34CalibratedQuality)
+    s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty)
 }

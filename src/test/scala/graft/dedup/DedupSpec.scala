@@ -286,6 +286,26 @@ class DedupSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("noveltyScores: re-posts score 0; stitched docs score low with no dup pair") {
+    val df = Seq(
+      (1L, doc1),                        // original: fully novel
+      (2L, doc2),                        // different original: fully novel
+      (3L, doc1),                        // verbatim re-post of 1 → 0 ppm
+      // stitched half from 1 and half from 2 — derivative, but NOT a
+      // near-dup of either half's source alone
+      (4L, doc1.split(" ").take(5).mkString(" ") + " " +
+        doc2.split(" ").take(5).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("novelty_ppm")).toMap
+    assert(out(1L) == 1000000L && out(2L) == 1000000L)
+    assert(out(3L) == 0L)
+    // the stitch: grams inside each half are old; only the 2 grams
+    // spanning the seam are new → low but nonzero
+    assert(out(4L) > 0L && out(4L) < 500000L, s"stitched=${out(4L)}")
+  }
+
   test("contentDefinedChunks: boundaries are content-local; shared paragraphs share chunks") {
     // a long base document and a copy with one word inserted mid-stream:
     // chunks before the edit's neighborhood must keep their hashes
