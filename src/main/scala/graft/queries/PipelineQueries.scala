@@ -3435,6 +3435,56 @@ object PipelineQueries {
       |FROM sc ORDER BY novelty_ppm, doc_id LIMIT 15
       |""".stripMargin))
 
+  /** E9 — interarrival anomaly census: [[graft.sketch.RobustStats
+    * .madCensus]] applied to per-user event gaps, grouped by the
+    * arriving event's type — the robust tail census that flags burst /
+    * stall anomalies per event class without a threshold to tune
+    * (median/MAD can't be dragged by the bursts themselves, t31's
+    * argument on the time axis). Per-user lag windows are user-bounded
+    * (the e2 shape); gaps ride the micros axis (`ts DIV 1000` ≡
+    * `epoch_us`, the e2 truncation convention). Event times are
+    * near-Poisson, so genuine z>3 tails EXIST here — the detection leg
+    * t31's uniform corpus couldn't exercise under the oracle.
+    */
+  val e9GapAnomaly = QueryDef("e9_gap_anomaly",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("tus"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val gaps = ev
+        .withColumn("ptus", lag(col("tus"), 1).over(w))
+        .filter(col("ptus").isNotNull)
+        .select(col("event_type"), expr("(tus - ptus) DIV 1000").as("gap_ms"))
+      graft.sketch.RobustStats.madCensus(gaps, "event_type", col("gap_ms"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      |WITH g AS (
+      |  SELECT event_type,
+      |         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |            PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |           // 1000 AS x
+      |  FROM events),
+      |v AS (SELECT event_type, x FROM g WHERE x IS NOT NULL),
+      |med AS (SELECT event_type,
+      |          CAST(quantile_cont(2 * x, 0.5) AS BIGINT) AS med2
+      |        FROM v GROUP BY 1),
+      |dev AS (SELECT v.event_type, abs(2 * x - med2) AS dev2, med2
+      |        FROM v JOIN med USING (event_type)),
+      |mad AS (SELECT event_type,
+      |          CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+      |        FROM dev GROUP BY 1)
+      |SELECT d.event_type, COUNT(*) AS n_docs,
+      |       any_value(d.med2) AS med2, any_value(m.mad4) AS mad4,
+      |       MAX(CASE WHEN m.mad4 > 0 THEN 2000 * d.dev2 // m.mad4 END)
+      |         AS max_z_milli,
+      |       CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_out_z3
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3453,5 +3503,6 @@ object PipelineQueries {
     s11AnnRecall, m4MediaDedup, d16SimilarityPagerank, t26IncrementalKmv,
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
-    s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty)
+    s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
+    e9GapAnomaly)
 }
