@@ -696,11 +696,17 @@ object Dedup {
     * is equi-keyed so AQE skew-splits a hot shingle. Per-group sizes
     * are one row per group and broadcast explicitly.
     */
-  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val vocab = df
-      .select(col(groupCol).as("g"),
-        explode(shingles(col(textCol), n)).as("s"))
+  def sourceOverlap(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    // positional rows, not the array-land shingles() expression: the
+    // convenience form re-evaluates the tokenizer per lambda reference
+    // once projections collapse (the :208 pitfall) — measured 4.1 s of
+    // a 4.4 s query on this leg alone at sf0.1; the explode+lead form
+    // tokenizes once and was 0.4 s. The (group, gram) distinct then
+    // collapses positional duplicates in the same shuffle.
+    val vocab = positionalShingleRows(df, idCol, textCol, n,
+        carry = Seq(groupCol))
+      .select(col(groupCol).as("g"), col("s"))
       .distinct()
       .localCheckpoint(eager = false) // feeds sizes AND both join sides
     val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("sz"))

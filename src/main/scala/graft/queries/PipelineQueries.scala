@@ -2926,7 +2926,7 @@ object PipelineQueries {
   val t29SourceOverlap = QueryDef("t29_source_overlap",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      Dedup.sourceOverlap(docs, "source", "text", n = 3)
+      Dedup.sourceOverlap(docs, "source", "doc_id", "text", n = 3)
         .orderBy(col("source_1"), col("source_2"))
     },
     Some(s"""

@@ -110,6 +110,9 @@ object ApproxQuantiles {
     val base = df.withColumn("__v", col(valueCol).cast("long"))
       .filter(col("__v").isNotNull && col("__v") >= 0)
       .withColumn("__id", logBin(col("__v"), subBits))
+      .localCheckpoint(eager = false) // grid build + row join share the
+      // scan — without this the (often expensive) value expression and
+      // binning run twice, once per consumer
     val hist = base.groupBy(col(groupCol), col("__id"))
       .agg(count(lit(1)).as("c"))
     val cum = hist

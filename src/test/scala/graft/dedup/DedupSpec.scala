@@ -370,7 +370,9 @@ class DedupSpec extends SparkSpec {
       ("c", "completely different words appear in this sentence"),
       ("d", "nothing here matches any other feed at all ever")
     ).toDF("source", "text")
-    val out = Dedup.sourceOverlap(df, "source", "text", 3)
+    val out = Dedup.sourceOverlap(
+      df.withColumn("rid", monotonically_increasing_id()),
+      "source", "rid", "text", 3)
       .orderBy("source_1", "source_2").collect()
       .map(r => (r.getAs[String]("source_1"), r.getAs[String]("source_2"),
         r.getAs[Long]("shared_grams"), r.getAs[Long]("sz1"),
