@@ -370,4 +370,61 @@ class PlanAuditSpec extends SparkSpec {
       assert(joins.isEmpty, s"$q must be one grouped aggregate, not a join")
     }
   }
+
+  test("t30 priority sample: top-(k+1) is TakeOrdered; the only window runs on the bounded cut") {
+    val p = plan("t30_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the (k+1) cut must be TakeOrdered (per-partition heaps), not a global sort")
+    // the rank window and threshold join exist, but only ABOVE the
+    // 51-row cut — no window may consume the corpus-sized input
+    val lp = SparkEntry.queries("t30_priority_sample")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.foreach { w =>
+      val hasLimitBelow = w.collectFirst {
+        case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => ()
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => ()
+      }.isDefined
+      assert(hasLimitBelow, "t30's window must sit above the k+1 limit")
+    }
+  }
+
+  test("t34 calibration carries no per-group window over the DATA — only over the bounded grid") {
+    val df = SparkEntry.queries("t34_calibrated_quality")(spark, sfDir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // both windows must consume the (group, bin) AGGREGATE, i.e. have an
+    // Aggregate below them — a window directly over the scan would be
+    // the percent_rank shape that pins each group on one reducer
+    windows.foreach { w =>
+      val overAgg = w.collectFirst {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => ()
+      }.isDefined
+      assert(overAgg, "t34 window must run over the bounded histogram grid")
+    }
+    assert(windows.nonEmpty, "expected grid windows in t34")
+  }
+
+  test("new pair/join shapes (t29, d17, t35, j12, e9) are cartesian-free; t29/t35 carry no strategy hint on corpus sides") {
+    for (q <- Seq("t29_source_overlap", "d17_edit_verified", "t35_novelty",
+        "j12_incremental_rollup", "t33_cdc_chunks")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+    // t35's first-owner side is O(distinct grams) — strategy must stay
+    // with AQE, same rule as d2's sizes side
+    val analyzed = SparkEntry.queries("t35_novelty")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "t35 must not force a broadcast of the gram-owner table")
+    // e9 / t33 windows are per-user / per-doc partitions (bounded), and
+    // j12's maintenance side has no window at all
+    val j12w = SparkEntry.queries("j12_incremental_rollup")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(j12w.isEmpty, "j12 netting must be aggregate-only, no window")
+  }
 }
