@@ -61,24 +61,72 @@ object Dedup {
     * materialize it first (`localCheckpoint`), as the streaming ingest
     * sink does.
     */
+  /** Outcome of a driver-side bloom build over a key column. */
+  private sealed trait BloomBuild
+  private case object BloomOversize extends BloomBuild
+  private case object BloomEmptyKeys extends BloomBuild
+  private final case class BloomBytes(bytes: Array[Byte]) extends BloomBuild
+
   def bloomNewRows(corpus: DataFrame, incoming: DataFrame, keyCol: String,
-      expectedCorpusKeys: Long, fpp: Double = 0.03): DataFrame = {
+      expectedCorpusKeys: Long, fpp: Double = 0.03): DataFrame =
+    buildKeyBloom(corpus, keyCol, expectedCorpusKeys, fpp) match {
+      // oversize: the plain anti-join is strictly better — same result
+      case BloomOversize =>
+        incoming.join(corpus.select(col(keyCol)), Seq(keyCol), "left_anti")
+      // empty corpus: everything is new
+      case BloomEmptyKeys => incoming
+      case BloomBytes(bytes) =>
+        val mc = mightContainCol(bytes, keyCol)
+        val definitelyNew = incoming.filter(!mc)
+        val confirmedNew = incoming.filter(mc).join(
+          corpus.select(col(keyCol)), Seq(keyCol), "left_anti")
+        definitelyNew.unionByName(confirmedNew)
+    }
+
+  /** Bloom-pruned SEMI join — the keep-matching complement of
+    * [[bloomNewRows]], and the general join-REDUCTION lever: keep the
+    * `fact` rows whose `keyCol` appears in `keys`, with the fact side
+    * shrunk SCAN-STAGE by a codegen'd `might_contain` before any
+    * exchange. At 100 TB this is the difference between shuffling the
+    * whole fact table into a semi join and shuffling only the matching
+    * sliver (plus an fpp-sized sliver of false positives, which the
+    * exact semi join then removes — the bloom can only divert
+    * definite-non-members away from the join, never change the result).
+    * The same machinery Spark's own runtime join filters inject, here
+    * as an explicit operator with caller-controlled sizing from footer
+    * counts. Oversized key sets fall back to the plain semi join; an
+    * empty key set matches nothing.
+    */
+  def bloomSemiJoin(fact: DataFrame, keys: DataFrame, keyCol: String,
+      expectedKeys: Long, fpp: Double = 0.03): DataFrame =
+    buildKeyBloom(keys, keyCol, expectedKeys, fpp) match {
+      case BloomOversize =>
+        fact.join(keys.select(col(keyCol)), Seq(keyCol), "left_semi")
+      case BloomEmptyKeys => fact.limit(0)
+      case BloomBytes(bytes) =>
+        fact.filter(mightContainCol(bytes, keyCol))
+          .join(keys.select(col(keyCol)), Seq(keyCol), "left_semi")
+    }
+
+  /** Aggregate `keys.keyCol` into one driver-held bloom (mergeable
+    * map-side partials; see [[bloomNewRows]]'s scaladoc for the sizing
+    * and clamp story).
+    */
+  private def buildKeyBloom(keys: DataFrame, keyCol: String,
+      expectedKeys: Long, fpp: Double): BloomBuild = {
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val n = math.max(expectedCorpusKeys, 1L)
+    val n = math.max(expectedKeys, 1L)
     // standard bloom sizing: m = -n ln(p) / (ln 2)^2
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     // Above ~2^31 bits (a 256 MB driver-held literal) the bloom stops
     // being a sensible broadcast; building one that the clamp below
     // would saturate anyway costs a corpus pass to divert nothing.
-    // The plain anti-join is strictly better there — same result.
-    if (numBits > (1L << 31))
-      return incoming.join(corpus.select(col(keyCol)), Seq(keyCol),
-        "left_anti")
+    if (numBits > (1L << 31)) return BloomOversize
     // unresolved column expression — resolves against whichever side's
-    // plan it lands in (corpus aggregate / incoming filter)
+    // plan it lands in (key-side aggregate / probe-side filter)
     def keyHash = new XxHash64(Seq(expression(col(keyCol))), 42L)
     // Spark SILENTLY Math.min-clamps BloomFilterAggregate's sizing
     // against the runtime-join-filter maxima (defaults 4M items / 64M
@@ -93,7 +141,7 @@ object Dedup {
     // filters (a larger-than-default bloom, never a wrong result) — the
     // clamps are session-global state and Spark offers no per-query
     // scope for them.
-    val conf = corpus.sparkSession.conf
+    val conf = keys.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val bloomBytes = bloomClampLock.synchronized {
@@ -101,25 +149,27 @@ object Dedup {
       try {
         conf.set(itemsKey, math.max(n, saved(0)._2.toLong).toString)
         conf.set(bitsKey, math.max(numBits, saved(1)._2.toLong).toString)
-        corpus
+        keys
           .agg(column(new BloomFilterAggregate(keyHash,
             Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
           .head().getAs[Array[Byte]]("bf")
       } finally saved.foreach { case (k, v) => conf.set(k, v) }
     }
-    // an empty corpus aggregates to a NULL bloom; might_contain(null, x)
+    // an empty key set aggregates to a NULL bloom; might_contain(null, x)
     // is null, which a filter would treat as FALSE on both branches and
-    // silently drop the whole batch — the correct answer is "all new"
-    if (bloomBytes == null) return incoming
-    val mightContain = column(new BloomFilterMightContain(
-      Literal.create(bloomBytes,
-        org.apache.spark.sql.types.BinaryType),
-      keyHash))
-    val definitelyNew = incoming.filter(!mightContain)
-    val candidates = incoming.filter(mightContain)
-    val confirmedNew = candidates.join(
-      corpus.select(col(keyCol)), Seq(keyCol), "left_anti")
-    definitelyNew.unionByName(confirmedNew)
+    // silently misroute every row — callers handle the empty case
+    // explicitly instead
+    if (bloomBytes == null) BloomEmptyKeys else BloomBytes(bloomBytes)
+  }
+
+  /** Codegen'd `might_contain(bloom, xxhash64(keyCol))` predicate. */
+  private def mightContainCol(bloomBytes: Array[Byte],
+      keyCol: String): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    column(new BloomFilterMightContain(
+      Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(expression(col(keyCol))), 42L)))
   }
 
   /** Within-document repetition ratio — the training-data quality signal

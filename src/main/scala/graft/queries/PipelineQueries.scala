@@ -3485,6 +3485,38 @@ object PipelineQueries {
       |GROUP BY d.event_type ORDER BY d.event_type
       |""".stripMargin))
 
+  /** J13 — bloom-pruned semi join ([[graft.dedup.Dedup
+    * .bloomSemiJoin]]): lineitem reduced to the rows of URGENT orders
+    * with the fact side cut SCAN-STAGE by a codegen'd `might_contain`
+    * before any exchange — the explicit form of the runtime join
+    * filters Spark injects, sized from footer counts. The bloom can
+    * only divert definite-non-members away from the exact semi join,
+    * so the oracle is the plain `IN` subquery: any fpp leakage or
+    * misrouted row hash-mismatches. Output is the per-returnflag
+    * census of the reduced fact.
+    */
+  val j13BloomSemiJoin = QueryDef("j13_bloom_semi_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Dedup.bloomSemiJoin(li, urgent, "l_orderkey",
+          expectedKeys = Tables.rowCount(s, dir, "orders"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      |SELECT l_returnflag, COUNT(*) AS n_items,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3504,5 +3536,5 @@ object PipelineQueries {
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
-    e9GapAnomaly)
+    e9GapAnomaly, j13BloomSemiJoin)
 }
