@@ -71,12 +71,30 @@ object ApproxQuantiles {
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[(Int, Int, Int)] = Seq((0, 1, 4), (1, 2, 4), (2, 3, 4)),
       subBits: Int = 4): DataFrame = {
-    import df.sparkSession.implicits._
-    val vals = df
-      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val hist = histogram(df, groupCol, valueCol, subBits)
+    quantilesFromHistogram(hist, qs, subBits)
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** The (group, bin, count) grid for `valueCol` — the MERGEABLE state
+    * behind [[quantilesByGroup]]: two grids over disjoint row sets sum
+    * cell-wise into the grid of their union, so incremental/streaming
+    * accretion is a plain grouped sum (the KMV-merge property, for
+    * quantiles). Nulls and negatives dropped.
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      subBits: Int = 4): DataFrame =
+    df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull && col("v") >= 0)
-    val hist = vals.select(col("g"), logBin(col("v"), subBits).as("id"))
+      .select(col("g"), logBin(col("v"), subBits).as("id"))
       .groupBy(col("g"), col("id")).agg(count(lit(1)).as("c"))
+
+  /** Quantile resolution from an accreted `(g, id, c)` grid — shared by
+    * the one-shot [[quantilesByGroup]] and the streaming partial store.
+    */
+  def quantilesFromHistogram(hist: DataFrame, qs: Seq[(Int, Int, Int)],
+      subBits: Int): DataFrame = {
+    import hist.sparkSession.implicits._
     val cum = hist
       .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("id")))
       .withColumn("n", sum("c").over(Window.partitionBy("g")))
@@ -84,7 +102,7 @@ object ApproxQuantiles {
     cum.crossJoin(broadcast(spec))
       .where(col("cum") >= expr("(n * num + den - 1) div den"))
       .groupBy(col("g"), col("qi")).agg(min(col("id")).as("id"))
-      .select(col("g").as(groupCol), col("qi"),
+      .select(col("g"), col("qi"),
         binEstimate(col("id"), subBits).as("q_est"))
   }
 
