@@ -240,6 +240,24 @@ object GraftExtensions {
       |RETURN CASE WHEN long_array_dot(a, a) > 0 AND long_array_dot(b, b) > 0
       |  THEN CAST(long_array_dot(a, b) AS DOUBLE)
       |       / sqrt(CAST(long_array_dot(a, a) * long_array_dot(b, b) AS DOUBLE))
+      |  END""",
+    // t30's Duffield–Lund–Thorup priority: w·2^40 div (h40+1) over the
+    // keyed 40-bit md5 uniform — SQL-only users can replicate the
+    // priority sample with ORDER BY sample_priority(...) DESC LIMIT k+1
+    """CREATE OR REPLACE TEMPORARY FUNCTION sample_priority(k STRING, w BIGINT)
+      |RETURNS BIGINT
+      |RETURN w * 1099511627776L div
+      |  (CAST(conv(substr(md5(concat(k, '|psample')), 1, 10), 16, 10)
+      |        AS BIGINT) + 1)""",
+    // d17's normalized edit similarity over capped prefixes
+    """CREATE OR REPLACE TEMPORARY FUNCTION edit_sim_ppm(a STRING, b STRING, pfx INT)
+      |RETURNS BIGINT
+      |RETURN CASE
+      |  WHEN greatest(length(substr(a, 1, pfx)), length(substr(b, 1, pfx))) = 0
+      |    THEN 1000000L
+      |  ELSE (greatest(length(substr(a, 1, pfx)), length(substr(b, 1, pfx)))
+      |        - levenshtein(substr(a, 1, pfx), substr(b, 1, pfx))) * 1000000L
+      |       div greatest(length(substr(a, 1, pfx)), length(substr(b, 1, pfx)))
       |  END""").map(_.stripMargin)
 
   /** One-call SQL setup on a LIVE session: the three native expressions

@@ -133,6 +133,33 @@ class GraftExtensionsSpec extends SparkSpec {
         graft.text.TextAnalysis.subwordCount(col("text")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(swSql == swApi)
+
+    // priority sampling: SQL priorities equal the operator's, so
+    // ORDER BY sample_priority DESC LIMIT k reproduces the t30 sample
+    val prSql = spark.sql(
+      """SELECT doc_id, sample_priority(CAST(doc_id AS STRING),
+        |         CAST(token_count(text) AS BIGINT)) p
+        |FROM ext_docs2 WHERE token_count(text) > 0""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prApi = graft.sampling.Sampling.prioritySample(docs, "doc_id",
+        graft.text.TextAnalysis.tokenCount(col("text")), k = 79)
+      .select("doc_id", "priority")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prApi.forall { case (id, p) => prSql(id) == p })
+    assert(prApi.nonEmpty)
+
+    // edit similarity: SQL composition equals editVerifiedPairs' column
+    import spark.implicits._
+    val pairSql = spark.sql(
+      """SELECT edit_sim_ppm('the quick brown fox', 'the quick brown cat', 200) a,
+        |       edit_sim_ppm('', '', 200) b""".stripMargin).collect().head
+    val pairApi = graft.dedup.Dedup.editVerifiedPairs(
+        Seq((1L, 2L)).toDF("id1", "id2"),
+        Seq((1L, "the quick brown fox"), (2L, "the quick brown cat"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text").select("edit_sim_ppm").collect().head.getLong(0)
+    assert(pairSql.getLong(0) == pairApi)
+    assert(pairSql.getLong(1) == 1000000L) // two empty prefixes: identical
   }
 
   test("PII and zorder SQL surface agrees with the Scala API") {
