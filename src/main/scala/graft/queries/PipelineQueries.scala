@@ -3517,6 +3517,90 @@ object PipelineQueries {
       |GROUP BY l_returnflag ORDER BY l_returnflag
       |""".stripMargin))
 
+  /** S13 — random-projection ANN with measured recall
+    * ([[Similarity.randomProjection]]): embeddings compressed 64 → 16
+    * dims by a deterministic Rademacher ±1 matrix (JL sign projection),
+    * top-5 answered in the PROJECTED space, and recall scored against
+    * the exact full-dimension top-5 per probe — the 4×-smaller-vector
+    * lever with its accuracy cost measured, not assumed. Projection is
+    * scan-stage (one codegen'd integer dot per output dim against a
+    * literal row); the oracle regenerates the same matrix from the same
+    * md5 parity and replays every projected coordinate exactly.
+    */
+  val s13RpRecall = QueryDef("s13_rp_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 20 === 0), emb, "vec_id", "embedding", 5)
+      val proj = Similarity.randomProjection(emb, "vec_id", "embedding",
+        outDims = 16, inDims = 64)
+      val approx = Similarity.topKFromQuantized(
+        proj.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("query_id"), col("pv").as("qv")),
+        proj.select(col("vec_id").as("neighbor_id"), col("pv").as("cv")), 5)
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000L div n_exact"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |rp AS (
+      |  SELECT i.i AS i,
+      |         list_transform(range(0, 64),
+      |           j -> CASE WHEN CAST('0x' || substr(md5('rp-' || i.i || '-' || j),
+      |                               1, 1) AS INT) % 2 = 0
+      |                     THEN 1 ELSE -1 END) AS r
+      |  FROM (SELECT unnest(range(16)) AS i) i),
+      |pvec AS (
+      |  SELECT vec_id, list(CAST(d AS BIGINT) ORDER BY i) AS pv
+      |  FROM (SELECT v.vec_id, r.i,
+      |               list_dot_product(CAST(v.qv AS DOUBLE[]),
+      |                                CAST(r.r AS DOUBLE[])) AS d
+      |        FROM qv v, rp r)
+      |  GROUP BY vec_id),
+      |ex_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q, qv c
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM ex_scored) WHERE rank <= 5),
+      |ap_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.pv", "q.pv")} > 0 AND ${dotSql("c.pv", "c.pv")} > 0
+      |              THEN CAST(${dotSql("q.pv", "c.pv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.pv", "q.pv")} * ${dotSql("c.pv", "c.pv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM pvec q, pvec c
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM ap_scored) WHERE rank <= 5)
+      |SELECT e.query_id, COUNT(*) AS n_exact,
+      |       CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+      |                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+      |       CAST(COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+      |                              THEN 1 ELSE 0 END), 0) * 1000000
+      |            // COUNT(*) AS BIGINT) AS recall_ppm
+      |FROM exact e LEFT JOIN approx a
+      |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3536,5 +3620,5 @@ object PipelineQueries {
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
-    e9GapAnomaly, j13BloomSemiJoin)
+    e9GapAnomaly, j13BloomSemiJoin, s13RpRecall)
 }

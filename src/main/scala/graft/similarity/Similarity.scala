@@ -174,11 +174,19 @@ object Similarity {
   }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      quantize(col(vecCol)).as("qv"))
-    val c = index(widen(corpus).select(col(idCol).as("neighbor_id"),
-      quantize(col(vecCol)).as("cv")))
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    topKFromQuantized(
+      queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("qv")),
+      index(widen(corpus).select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("cv"))), k)
+
+  /** Exact top-k over ALREADY-quantized integer vectors — the shared
+    * scoring core of [[bruteForceTopK]] and any alternate vector space
+    * (e.g. [[randomProjection]]'s). `q` must be (query_id, qv),
+    * `c` (neighbor_id, cv), both integer arrays.
+    */
+  def topKFromQuantized(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -198,6 +206,38 @@ object Similarity {
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.neighbor_id"), col("col.dot_q"), col("col.cosine"))
+  }
+
+  /** Deterministic Rademacher (±1) matrix for [[randomProjection]]:
+    * entry (i, j) is +1 when the first hex digit of md5("rp-i-j") is
+    * even — reproducible on any engine from the same md5 arithmetic
+    * (the SQL mirror is `CAST('0x'||substr(md5(...),1,1) AS INT)%2=0`).
+    */
+  def rademacherMatrix(outDims: Int, inDims: Int): Array[Array[Long]] =
+    Array.tabulate(outDims, inDims) { (i, j) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp-$i-$j".getBytes("UTF-8"))
+      if ((((d(0) >> 4) & 0xf) % 2) == 0) 1L else -1L
+    }
+
+  /** Johnson–Lindenstrauss sign random projection: quantized vectors
+    * compressed `inDims → outDims` by a deterministic ±1 matrix — the
+    * memory/bandwidth lever for 100 TB ANN (a 4× smaller vector means
+    * 4× more index in page cache and 4× cheaper pair scoring), with JL
+    * distance preservation in expectation and recall measured, not
+    * assumed (the s13 gate scores projected-space answers against the
+    * exact full-dimension top-k). Each output coordinate is one
+    * codegen'd integer dot with a LITERAL matrix row — scan-stage, no
+    * joins, exact longs on any engine.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, inDims: Int): DataFrame = {
+    val rows = rademacherMatrix(outDims, inDims)
+    // quantize ONCE behind a projection boundary, then one native dot
+    // per output dim against the literal row (the :39 index stance)
+    index(widen(df).select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .select(col(idCol), array((0 until outDims).map(i =>
+        dotQ(col("__qv"), typedlit(rows(i).toSeq))): _*).as("pv")))
   }
 
   /** LSH-bucketed ANN: search only within the query's sign bucket. At scale

@@ -189,6 +189,38 @@ class SimilaritySpec extends SparkSpec {
     assert(top(1).getAs[Long]("neighbor_id") == 1L) // near second
   }
 
+  test("random projection: deterministic ±1 matrix; real structure survives, noise doesn't have to") {
+    val m = Similarity.rademacherMatrix(4, 8)
+    assert(m.length == 4 && m.forall(_.length == 8))
+    assert(m.flatten.forall(v => v == 1L || v == -1L))
+    assert(m.flatten.toSeq == Similarity.rademacherMatrix(4, 8).flatten.toSeq)
+    // a near-identical twin stays the projected-space top-1 even at 4×
+    // compression — JL preserves STRUCTURE; the s13 gate's low recall
+    // on the synthetic corpus reflects noise-level neighbors, not a
+    // broken projection
+    val base = Array.tabulate(64)(j => math.sin(j * 1.7).toFloat)
+    val twin = base.clone(); twin(0) = twin(0) + 0.01f
+    val far = Array.tabulate(64)(j => math.cos(j * 2.3).toFloat)
+    val df = Seq((1L, base), (2L, twin), (3L, far),
+      (4L, Array.tabulate(64)(j => math.sin(j * 0.9).toFloat)))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjection(df, "vec_id", "embedding", 16, 64)
+    val top = Similarity.topKFromQuantized(
+      proj.filter(col("vec_id") === 1L)
+        .select(col("vec_id").as("query_id"), col("pv").as("qv")),
+      proj.select(col("vec_id").as("neighbor_id"), col("pv").as("cv")), 3)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 2L,
+      s"twin must stay top-1 after projection, got ${top.toSeq}")
+    assert(top(0).getAs[Double]("cosine") > 0.99)
+    // projection is partition-independent (pure scan-stage expression)
+    def pvs(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("vec_id").collect()
+        .map(r => r.getSeq[Long](r.fieldIndex("pv")).toList).toSeq
+    assert(pvs(Similarity.randomProjection(df.repartition(3), "vec_id",
+      "embedding", 16, 64)) == pvs(proj))
+  }
+
   test("MMR diversification demotes the clone a plain top-k would keep") {
     val mvecs = Seq(
       (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // the query
