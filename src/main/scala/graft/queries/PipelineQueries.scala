@@ -3601,6 +3601,47 @@ object PipelineQueries {
       |ORDER BY e.query_id
       |""".stripMargin))
 
+  /** T36 — per-language fixed-size priority sample
+    * ([[graft.sampling.Sampling.prioritySampleByGroup]]): t30's DLT
+    * scheme within each language — 10 docs per lang, each stratum with
+    * its own threshold and Horvitz–Thompson weights, so per-stratum
+    * token totals extrapolate unbiasedly from the balanced sample.
+    * Selection is the window-free grouped top-k aggregate (map-side
+    * k-slot partials — a mega-stratum splits like any hash aggregate);
+    * the oracle ranks per-lang with a window, which is fine THERE:
+    * DuckDB replays sf-scale data, the Spark plan is the one that must
+    * survive 100×.
+    */
+  val t36StratifiedPriority = QueryDef("t36_stratified_priority",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sampling.Sampling.prioritySampleByGroup(
+          docs, "lang", "doc_id", TextAnalysis.tokenCount(col("text")),
+          k = 10)
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |b AS (
+      |  SELECT lang, doc_id, CAST(len(tk) AS BIGINT) AS w,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|psample'),
+      |              1, 10) AS BIGINT) AS h
+      |  FROM toks WHERE len(tk) > 0),
+      |p AS (SELECT lang, doc_id, w,
+      |             w * ${1L << 40} // (h + 1) AS priority FROM b),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY priority DESC, doc_id) AS rk FROM p),
+      |thr AS (
+      |  SELECT lang,
+      |         CAST(COALESCE(MAX(CASE WHEN rk = 11 THEN priority END), 0)
+      |              AS BIGINT) AS tau
+      |  FROM r WHERE rk <= 11 GROUP BY lang)
+      |SELECT r.lang, CAST(rk AS INT) AS rank, doc_id, w, priority, tau,
+      |       GREATEST(w, tau) AS est_w
+      |FROM r JOIN thr USING (lang) WHERE rk <= 10
+      |ORDER BY lang, rank
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3620,5 +3661,5 @@ object PipelineQueries {
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
-    e9GapAnomaly, j13BloomSemiJoin, s13RpRecall)
+    e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority)
 }

@@ -125,6 +125,43 @@ object Sampling {
       .withColumn("est_w", greatest(col("w"), col("tau")))
   }
 
+  /** Per-STRATUM fixed-size priority sample: [[prioritySample]]'s DLT
+    * scheme independently within each group — k rows per stratum, each
+    * with its stratum's own threshold `τ_g` and Horvitz–Thompson
+    * `est_w = max(w, τ_g)`, so per-stratum subset sums stay unbiased
+    * (balanced corpus construction that can still extrapolate each
+    * source's token totals). Selection is the WINDOW-FREE
+    * [[PriorityTopKAggregator]]: map-side k-slot partials per stratum
+    * per task, so a mega-stratum splits like any hash aggregate instead
+    * of pinning a reducer; τ and the sample cut are array arithmetic on
+    * the ≤(k+1)-slot result — nothing corpus-sized is ever ranked.
+    * Output: (group, rank, id, w, priority, tau, est_w), rank 1-based
+    * by (priority desc, id asc).
+    */
+  def prioritySampleByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      weight: Column, k: Int, salt: String = "psample"): DataFrame = {
+    val base = df
+      .withColumn("w", weight.cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("__h",
+        conv(substring(md5(concat(col(keyCol).cast("string"),
+          lit("|" + salt))), 1, 10), 16, 10).cast("long"))
+      .withColumn("priority", expr(s"w * ${1L << 40}L div (__h + 1)"))
+    val topk = udaf(PriorityTopKAggregator(k + 1))
+    base.groupBy(col(groupCol))
+      .agg(topk(col("priority"), col(keyCol).cast("long"), col("w"))
+        .as("arr"))
+      .select(col(groupCol),
+        when(size(col("arr")) === k + 1,
+          element_at(col("arr"), k + 1).getField("priority"))
+          .otherwise(0L).as("tau"),
+        posexplode(slice(col("arr"), 1, k)))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(keyCol), col("col.w").as("w"),
+        col("col.priority").as("priority"), col("tau"),
+        greatest(col("col.w"), col("tau")).as("est_w"))
+  }
+
   /** Per-stratum quota sample: the `quota` rows of each stratum with the
     * smallest (uniform, key) — deterministic, order-free, and exactly
     * `min(quota, |stratum|)` rows per stratum (language-balanced corpus

@@ -113,6 +113,36 @@ class SamplingSpec extends SparkSpec {
       r.getAs[Long]("est_w") == r.getAs[Long]("w")))
   }
 
+  test("grouped priority sample: k per stratum, per-stratum thresholds, ≡ window form") {
+    val df = docs.select(col("doc_id"), col("lang"), col("text"))
+    val w = length(col("text")).cast("long")
+    val k = 4
+    val out = Sampling.prioritySampleByGroup(df, "lang", "doc_id", w, k)
+      .orderBy("lang", "rank").collect()
+    val byLang = out.groupBy(_.getString(0))
+    // every stratum yields min(k, |stratum|) rows with its OWN tau
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length <= k && rows.nonEmpty, s"$lang: ${rows.length}")
+      assert(rows.map(_.getAs[Long]("tau")).distinct.length == 1)
+      rows.foreach(r => assert(r.getAs[Long]("est_w") ==
+        math.max(r.getAs[Long]("w"), r.getAs[Long]("tau"))))
+    }
+    // the aggregator form equals the window form per stratum
+    val base = df.withColumn("w", w).filter(col("w") > 0)
+      .withColumn("priority",
+        expr(s"w * ${1L << 40}L div (CAST(conv(substring(md5(concat(" +
+          s"CAST(doc_id AS STRING), '|psample')), 1, 10), 16, 10) AS BIGINT) + 1)"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("priority").desc, col("doc_id"))
+    val wf = base.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id")).orderBy("lang", "rk")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val af = out.map(r => (r.getString(0), r.getAs[Int]("rank"),
+      r.getAs[Long]("doc_id"))).toSeq
+    assert(af == wf, "aggregator selection must equal the window form")
+  }
+
   test("weighted sample: 0 keeps nothing, 1e6 keeps all, monotone in weight") {
     val df = Seq.tabulate(500)(i => (i.toLong, i % 7)).toDF("k", "w7")
     def ids(weight: org.apache.spark.sql.Column) =
