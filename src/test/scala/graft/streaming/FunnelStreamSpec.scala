@@ -102,6 +102,39 @@ class FunnelStreamSpec extends SparkSpec {
     } finally deleteRecursively(base)
   }
 
+  test("crash between the _wm write and the state write replays cleanly") {
+    val base = Files.createTempDirectory("graft-funnel-wmcrash")
+    try {
+      val path = s"$base/state"
+      val ms = unix_millis(col("ts").cast("timestamp"))
+      val bounds = corpus.agg(min(ms).as("lo"), max(ms).as("hi")).collect().head
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val b0 = corpus.filter(ms < mid)
+      val b1 = corpus.filter(ms >= mid)
+      FunnelStream.funnelSink(path)(b0, 0L)
+      // simulate the crash window: batch 1's watermark lands, the state
+      // write never happens (funnelSink writes the _wm sidecar FIRST)
+      val ev1 = b1.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+      FunnelStream.enforceOrderedAndRecord(ev1, s"${path}_wm", 1L)
+      // foreachBatch redelivers batch 1: the ordering check must judge
+      // it against batch 0 only (its own orphaned wm row is excluded),
+      // and the full replay must land the same state as a clean run
+      FunnelStream.funnelSink(path)(b1, 1L)
+      val got = FunnelStream.currentState(spark.read.parquet(path))
+        .orderBy("user_id").collect().toSeq
+      val clean = Files.createTempDirectory("graft-funnel-wmclean")
+      try {
+        FunnelStream.funnelSink(s"$clean/state")(b0, 0L)
+        FunnelStream.funnelSink(s"$clean/state")(b1, 1L)
+        val want = FunnelStream
+          .currentState(spark.read.parquet(s"$clean/state"))
+          .orderBy("user_id").collect().toSeq
+        assert(got == want, "post-crash replay must equal the clean run")
+      } finally deleteRecursively(clean)
+    } finally deleteRecursively(base)
+  }
+
   test("stage counts are batch-boundary invariant (2 uneven slices)") {
     val base = Files.createTempDirectory("graft-funnel2")
     try assert(runSliced(base, Seq(0.8)) == batchCounts(base))
