@@ -617,6 +617,42 @@ object Dedup {
     * it must NEVER be broadcast: the pairs side post-aggregation is the
     * small side, and AQE picks the strategy at runtime.
     */
+  /** Containment (truncation) pairs: document A whose token stream is a
+    * strict PREFIX of document B's — the truncated re-post / partial
+    * mirror signal. Exact dedup (d1) misses it (hashes differ), and LSH
+    * misses aggressive truncations (a 50% cut drops Jaccard to ~0.5,
+    * under the banding threshold). Blocking is exact: a contained doc
+    * shares its first `prefixTokens` tokens with its container, so
+    * pairs join on the md5 of that prefix — candidates are
+    * prefix-families only, never all-pairs — and the O(len) string
+    * verify runs on candidates alone (the d17 two-stage stance). Docs
+    * with fewer than `prefixTokens` tokens are out of scope.
+    *
+    * Input is (id, tokens) so callers control normalization; the verify
+    * compares single-space joins, i.e. containment in the normalized
+    * token stream. Returns strict containment only (n_a < n_b) —
+    * equal-content pairs are d1's job.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, toksCol: String,
+      prefixTokens: Int = 8): DataFrame = {
+    val j = df.filter(size(col(toksCol)) >= prefixTokens)
+      .select(col(idCol), size(col(toksCol)).cast("long").as("n"),
+        concat_ws(" ", col(toksCol)).as("tj"),
+        md5(concat_ws(" ", slice(col(toksCol), 1, prefixTokens))
+          .cast("binary")).as("pk"))
+      .localCheckpoint(eager = false) // both join sides share the scan
+    j.select(col(idCol).as("contained_id"), col("n").as("n_a"),
+        col("tj").as("tja"), col("pk"))
+      .join(j.select(col(idCol).as("container_id"), col("n").as("n_b"),
+        col("tj").as("tjb"), col("pk")), "pk")
+      .filter(col("n_a") < col("n_b"))
+      // strict token-prefix: the container continues with a space then
+      // its next token right where the contained doc ends
+      .filter(expr("substring(tjb, 1, length(tja) + 1) = concat(tja, ' ')"))
+      .select(col("contained_id"), col("container_id"), col("n_a"),
+        col("n_b"), expr("n_a * 1000000L div n_b").as("coverage_ppm"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
     * shingles whose FIRST occurrence (by id order) is this document —
     * the derivativeness signal that ranks a corpus by how much each doc

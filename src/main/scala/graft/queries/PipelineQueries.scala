@@ -3642,6 +3642,47 @@ object PipelineQueries {
       |ORDER BY lang, rank
       |""".stripMargin))
 
+  /** D18 — truncation/containment detection ([[graft.dedup.Dedup
+    * .containmentPairs]]): finds documents whose token stream is a
+    * strict prefix of another's — the truncated re-post exact dedup
+    * can't hash-match and aggressive cuts hide from LSH (50% truncation
+    * ⇒ Jaccard ~0.5, under the banding threshold). The corpus has no
+    * natural truncations, so the gate re-ingests a half-length slice
+    * (doc_id % 13, the m4 planted-structure stance) and must recover
+    * exactly those pairs plus any same-prefix structure. Blocking on
+    * the exact 8-token prefix hash keeps candidates to prefix families.
+    */
+  val d18Containment = QueryDef("d18_containment",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      val trunc = base
+        .filter(col("doc_id") % 13 === 0 && size(col("tk")) >= 16)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("slice(tk, 1, size(tk) div 2)").as("tk"))
+      Dedup.containmentPairs(base.unionByName(trunc), "doc_id", "tk", 8)
+        .orderBy(col("contained_id"), col("container_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |aug AS (
+      |  SELECT doc_id, tk FROM toks
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, tk[1:CAST(len(tk) // 2 AS INT)]
+      |  FROM toks WHERE doc_id % 13 = 0 AND len(tk) >= 16),
+      |j AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+      |         array_to_string(tk, ' ') AS tj,
+      |         md5(array_to_string(tk[1:8], ' ')) AS pk
+      |  FROM aug WHERE len(tk) >= 8)
+      |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+      |       a.n AS n_a, b.n AS n_b,
+      |       a.n * 1000000 // b.n AS coverage_ppm
+      |FROM j a JOIN j b ON a.pk = b.pk AND a.n < b.n
+      |WHERE substr(b.tj, 1, CAST(length(a.tj) + 1 AS INT)) = a.tj || ' '
+      |ORDER BY contained_id, container_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3661,5 +3702,6 @@ object PipelineQueries {
     t27SourceScorecard, t28DedupSavings, t29SourceOverlap, t30PrioritySample,
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
-    e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority)
+    e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
+    d18Containment)
 }

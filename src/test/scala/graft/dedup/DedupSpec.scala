@@ -286,6 +286,31 @@ class DedupSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("containmentPairs: strict token-prefix only; no char-boundary false positives") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, long),                                        // container
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")),    // true prefix
+      (3L, long),                                        // exact dup: NOT strict
+      // token w1..w19 + "w2" + "0x" — same CHARACTERS as 2's prefix +
+      // junk, but "w20" vs "w2 0x" differ at a token boundary
+      (4L, (1 to 19).map(i => s"w$i").mkString(" ") + " w2 0x suffix"),
+      (5L, (1 to 20).map(i => s"v$i").mkString(" "))     // different family
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.TextAnalysis.tokens(col("text")).as("tk"))
+    val out = Dedup.containmentPairs(df, "doc_id", "tk")
+      .collect().map(r => (r.getAs[Long]("contained_id"),
+        r.getAs[Long]("container_id"), r.getAs[Long]("coverage_ppm"))).toSet
+    assert(out.contains((2L, 1L, 500000L))) // 20 of 40 tokens
+    assert(out.contains((2L, 3L, 500000L)))
+    // exact dups are NOT containment (strict n_a < n_b), and doc 4's
+    // shared 19-token prefix diverges at token 20 — the space-boundary
+    // check must reject it against 1/3 (its own prefix differs at pk)
+    assert(!out.exists { case (a, b, _) => a == 1L && b == 3L })
+    assert(!out.exists { case (a, b, _) => a == 3L || (a == 4L) })
+    assert(!out.exists { case (a, _, _) => a == 5L })
+  }
+
   test("noveltyScores: re-posts score 0; stitched docs score low with no dup pair") {
     val df = Seq(
       (1L, doc1),                        // original: fully novel
