@@ -427,4 +427,18 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(j12w.isEmpty, "j12 netting must be aggregate-only, no window")
   }
+
+  test("t36 per-stratum selection is window-free (the aggregator, not row_number); d18/s13 cartesian-free") {
+    val t36w = SparkEntry.queries("t36_stratified_priority")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(t36w.isEmpty,
+      "t36 must select via the mergeable top-k aggregate — a stratum " +
+        "window would shuffle every row and pin a mega-stratum on one reducer")
+    for (q <- Seq("d18_containment", "s13_rp_recall")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
 }
