@@ -3683,6 +3683,58 @@ object PipelineQueries {
       |ORDER BY contained_id, container_id
       |""".stripMargin))
 
+  /** T37 — per-source HyperLogLog distinct 3-gram estimate
+    * ([[graft.sketch.Sketch.hllRegistersByGroup]]): the register-array
+    * cardinality sketch as TWO plain hash aggregates — `groupBy(source,
+    * bucket).max(rho)` then the per-source harmonic fold — no UDAF, no
+    * window, fully codegen'd, ≤ 256 cells per source at any corpus
+    * size. Complements t7's KMV: registers merge by cell-wise MAX
+    * (idempotent — an incremental register store replays batches for
+    * free, where KMV needs the k-minima fold). The sketched domain is
+    * 3-gram windows, not raw tokens: the ~31-token vocabulary would sit
+    * in HLL's small-range regime where the raw estimator is biased
+    * (and single-token hashes degenerate per the corpus note) — gram
+    * cardinality clears 2.5·m at every gate scale. Duplicate grams feed
+    * the registers directly (max absorbs them): no distinct shuffle.
+    * Integer-exact estimator: Σ2^(−M_j) scaled by 2^33, then
+    * `α_ppb · (2^49 DIV S) DIV 1e9` — bit-identical on both engines.
+    */
+  val t37HllBySource = QueryDef("t37_hll_by_source",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sketch.Sketch.hllEstimateByGroup(
+          Dedup.positionalShingleRows(docs, "doc_id", "text", 3,
+            Seq("source")),
+          Seq("source"), "s")
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |g AS (
+      |  SELECT source, unnest(list_transform(range(1, len(tk) - 1),
+      |         i -> array_to_string(tk[i:i+2], ' '))) AS gram
+      |  FROM toks WHERE len(tk) >= 3),
+      |h AS (
+      |  SELECT source,
+      |         CAST('0x' || substr(md5(gram), 1, 10) AS BIGINT) AS hh
+      |  FROM g),
+      |reg AS (
+      |  SELECT source, hh >> 32 AS bucket,
+      |         MAX(CASE WHEN (hh & 4294967295) = 0 THEN 33
+      |                  ELSE 33 - length(bin(hh & 4294967295)) END) AS r
+      |  FROM h GROUP BY source, hh >> 32),
+      |est AS (
+      |  SELECT source, SUM(1::BIGINT << (33 - r)) AS s_ne,
+      |         COUNT(*) AS ne
+      |  FROM reg GROUP BY source)
+      |SELECT source,
+      |       CAST((${graft.sketch.Sketch.HllAlphaPpb} *
+      |             (${1L << 49} // (s_ne + (256 - ne) * ${1L << 33})))
+      |            // 1000000000 AS BIGINT) AS distinct_estimate,
+      |       CAST(ne AS BIGINT) AS sketch_size
+      |FROM est ORDER BY source
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3703,5 +3755,5 @@ object PipelineQueries {
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
-    d18Containment)
+    d18Containment, t37HllBySource)
 }

@@ -218,6 +218,74 @@ object Sketch {
       .agg(min(col("cnt")).as("cms_n"))
   }
 
+  // ------------------------------------------------------------------ HLL
+
+  /** HyperLogLog (Flajolet et al. 2007) register count: 2^8 buckets. */
+  val HllM: Int = 256
+
+  /** α_256 = 0.7213 / (1 + 1.079/256), in exact parts-per-billion —
+    * both engines multiply by the same integer, so the estimate is a
+    * pure function of the data.
+    */
+  val HllAlphaPpb: Long = 718272593L
+
+  /** HyperLogLog registers as a plain hash aggregate — the OTHER
+    * deterministic cardinality sketch, complementing [[KmvAggregator]]:
+    * where KMV needs a typed UDAF buffer, HLL's register array is just
+    * `groupBy(group, bucket).agg(max(rho))` — fully codegen'd, map-side
+    * combined, and mergeable by cell-wise MAX (max is idempotent, so an
+    * incremental register store replays batches for free). State is
+    * ≤ 256 (bucket, rho) cells per group at ANY cardinality — per-group
+    * distinct profiling over an unbounded group domain at 100 TB.
+    *
+    * Bucket = top 8 bits of the 40-bit md5 hash; rho = 1 + the number
+    * of leading zeros of the remaining 32 bits (33 when they are all
+    * zero). Engine-portable via bit ops both sides share (`>> / & /
+    * length(bin(x))`).
+    */
+  def hllRegistersByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val h = hash40(col(valueCol))
+    val rest = h.bitwiseAND(lit((1L << 32) - 1))
+    df.select(groupCols.map(col) ++ Seq(
+        shiftright(h, 32).as("bucket"),
+        when(rest === 0L, lit(33))
+          .otherwise(lit(33) - length(bin(rest))).as("rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** The raw-regime HLL estimate per group from a register frame
+    * (`bucket`, `r` plus `groupCols`). The harmonic mean Σ 2^(−M_j) is
+    * scaled by 2^33 so every term — including the 2^33 each EMPTY
+    * bucket contributes — is an exact integer (≤ 256·2^33 < 2^42);
+    * E = α·m²·2^33/S evaluates as `alpha_ppb · (2^49 DIV S) DIV 1e9`,
+    * all below 2^63 and bit-identical on any engine. Raw-regime only
+    * (n ≳ 2.5·m = 640): callers sketch a domain that clears it (e.g.
+    * n-gram windows, not a tiny label set) — `sketch_size` (non-empty
+    * buckets) exposes the regime so a profiling pass can flag groups
+    * that don't.
+    */
+  def hllEstimateFromRegisters(regs: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(expr("shiftleft(cast(1 as bigint), cast(33 - r as int))"))
+          .as("s_nonempty"),
+        count(lit(1)).as("nonempty"))
+      .select(groupCols.map(col) ++ Seq(
+        expr(s"""($HllAlphaPpb * (${1L << 49}L DIV
+             | (s_nonempty + ($HllM - nonempty) * ${1L << 33}L)))
+             | DIV 1000000000""".stripMargin.replace("\n", ""))
+          .cast("long").as("distinct_estimate"),
+        col("nonempty").cast("long").as("sketch_size")): _*)
+
+  /** One-call per-group HLL distinct estimate. */
+  def hllEstimateByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    hllEstimateFromRegisters(
+      hllRegistersByGroup(df, groupCols, valueCol), groupCols)
+
   /** Per-group distinct-count estimates from [[KmvAggregator]]: one hash
     * aggregate keyed on `groupCols`, the same Bar-Yossef estimator per
     * group. `hashCol` must already be a [[hash40]] column.

@@ -126,4 +126,43 @@ class SketchSpec extends SparkSpec {
     assert(grid(df) == grid(df.repartition(13)),
       "cell counts are a pure function of the data")
   }
+
+  test("HLL: raw-regime estimate within 3 sigma; partition- and dup-independent") {
+    val n = 20000
+    val df = spark.range(0, n.toLong)
+      .select(lit("g").as("g"), concat(lit("v"), col("id")).as("s"))
+    val est = Sketch.hllEstimateByGroup(df, Seq("g"), "s").collect().head
+    val rel = math.abs(est.getLong(1) - n.toDouble) / n
+    // sigma = 1.04/sqrt(256) = 6.5%; 3 sigma = 19.5%
+    assert(rel < 0.195, s"estimate ${est.getLong(1)} vs true $n (rel $rel)")
+    assert(est.getLong(2) == 256, "20k values must touch all 256 buckets")
+
+    val est2 = Sketch.hllEstimateByGroup(df.repartition(13), Seq("g"), "s")
+      .collect().head.getLong(1)
+    assert(est2 == est.getLong(1), "registers are a pure function of the data")
+    // max absorbs duplicates: a 3x-duplicated feed lands on the SAME estimate
+    val est3 = Sketch.hllEstimateByGroup(
+      df.unionAll(df).unionAll(df), Seq("g"), "s").collect().head.getLong(1)
+    assert(est3 == est.getLong(1), "duplicate rows must not move the registers")
+  }
+
+  test("HLL registers merge by cell-wise max; accretion is order-invariant and idempotent") {
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      Sketch.hllRegistersByGroup(d.select(lit("g").as("g"), col("s")), Seq("g"), "s")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    val a = spark.range(0, 4000).select(concat(lit("a"), col("id")).as("s"))
+    val b = spark.range(0, 4000).select(concat(lit("b"), col("id")).as("s"))
+    val direct = asMap(regs(a.unionAll(b)))
+    // cell-wise max of the two register stores == registers of the union
+    val merged = asMap(
+      regs(a).unionByName(regs(b))
+        .groupBy("g", "bucket").agg(max(col("r")).as("r")))
+    assert(merged == direct, "register merge must be cell-wise max")
+    // replaying a batch into the store is a no-op (max is idempotent)
+    val replayed = asMap(
+      regs(a).unionByName(regs(b)).unionByName(regs(b))
+        .groupBy("g", "bucket").agg(max(col("r")).as("r")))
+    assert(replayed == direct, "replay must not move the store")
+  }
 }
