@@ -168,7 +168,10 @@ object Similarity {
           .as("w"))
         .select(col("query_id"), (-col("w.nid")).as("neighbor_id"),
           lit(r).as("mmr_rank"), col("w.score").as("mmr_score"))
-      sel = sel.unionByName(pick)
+      // flatten the lineage each round: round r's plan otherwise embeds
+      // every prior round's join tree TWICE (anti-probe + diversity
+      // join), growing the optimizer/scheduler cost quadratically in k
+      sel = sel.unionByName(pick).localCheckpoint(eager = false)
     }
     sel
   }
