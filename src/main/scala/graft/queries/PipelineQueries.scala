@@ -3735,6 +3735,123 @@ object PipelineQueries {
       |FROM est ORDER BY source
       |""".stripMargin))
 
+  /** T38 — stupid-backoff trigram surprisal (Brants et al. 2007), the
+    * top of the t25 → t32 quality-signal ladder: held-out documents are
+    * scored under a trigram model FIT ON THE t10 TRAIN SPLIT, backing
+    * off trigram → bigram → unigram with a fixed integer penalty per
+    * level (the dampened −log₂ 0.4). The split is what makes backoff
+    * real: a self-fit model (t32's stance) contains every gram it
+    * scores and never backs off — here val/test trigrams genuinely miss
+    * the train tensor, and `backoff_ppm` exposes how much of each doc's
+    * probability mass lives below the trigram level (the
+    * out-of-distribution signal itself).
+    *
+    * Every count is a marginal of ONE fitted trigram tensor (c2/c1/N by
+    * summing out positions), so the model is a proper conditional at
+    * each level and the oracle replays it from the same tensor. All
+    * surprisal arithmetic is the integer `length(bin(ctx div gram))`
+    * convention of t20/t23/t25/t32; the only float is one
+    * correctly-rounded bits/n division per doc. Vocabulary joins are
+    * token-keyed and AQE-managed; the model frames are marginal-sized
+    * (≤ vocab³), never corpus-sized.
+    */
+  val t38BackoffSurprisal = QueryDef("t38_backoff_surprisal",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pd = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 2)," +
+            " i -> struct(tk[i-1] AS w1, tk[i] AS w2, tk[i+1] AS w3))"))
+          .as("tg"))
+        .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+          col("tg.w3").as("w3"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("ppm",
+          graft.sampling.Sampling.hashUniformPpm(col("doc_id"), "split"))
+        .localCheckpoint(eager = false) // fit + held-out scoring share it
+      val c3 = pd.filter(col("ppm") < 900000L)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("c")).as("c3"))
+        .localCheckpoint(eager = false) // five marginals read it
+      val c2ctx = c3.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c3")).as("c2ctx"))
+      val c2b = c3.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("c2b"))
+      val c1w2 = c3.groupBy(col("w2")).agg(sum(col("c3")).as("c1w2"))
+      val c1w3 = c3.groupBy(col("w3")).agg(sum(col("c3")).as("c1w3"))
+      val nTot = c3.agg(sum(col("c3")).as("ntot"))
+      pd.filter(col("ppm") >= 900000L)
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(c2ctx, Seq("w1", "w2"), "left")
+        .join(c2b, Seq("w2", "w3"), "left")
+        .join(c1w2, Seq("w2"), "left")
+        .join(c1w3, Seq("w3"), "left")
+        .crossJoin(broadcast(nTot))
+        .withColumn("surp",
+          when(col("c3").isNotNull, length(bin(expr("c2ctx div c3"))))
+            .when(col("c2b").isNotNull,
+              lit(1) + length(bin(expr("c1w2 div c2b"))))
+            .otherwise(lit(2) + when(col("c1w3").isNotNull,
+                length(bin(expr("ntot div c1w3"))))
+              .otherwise(length(bin(col("ntot"))))).cast("long"))
+        .withColumn("bo", when(col("c3").isNotNull, lit(0L)).otherwise(col("c")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("surp")).as("bits"), sum(col("c")).as("n3"),
+          sum(col("bo")).as("bo"))
+        .select(col("doc_id"), col("n3"), col("bits"),
+          (col("bits").cast("double") / col("n3").cast("double")).as("score"),
+          expr("bo * 1000000 div n3").as("backoff_ppm"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |ix AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+      |       FROM toks WHERE len(tk) >= 3),
+      |tg AS (SELECT doc_id, tk[CAST(i AS INT)] AS w1,
+      |              tk[CAST(i AS INT) + 1] AS w2,
+      |              tk[CAST(i AS INT) + 2] AS w3 FROM ix),
+      |pd AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS c,
+      |              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'),
+      |                   1, 15) AS BIGINT) % 1000000 AS ppm
+      |       FROM tg GROUP BY ALL),
+      |c3 AS (SELECT w1, w2, w3, CAST(SUM(c) AS BIGINT) AS c3
+      |       FROM pd WHERE ppm < 900000 GROUP BY ALL),
+      |c2ctx AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c2ctx
+      |          FROM c3 GROUP BY ALL),
+      |c2b AS (SELECT w2, w3, CAST(SUM(c3) AS BIGINT) AS c2b
+      |        FROM c3 GROUP BY ALL),
+      |c1w2 AS (SELECT w2, CAST(SUM(c3) AS BIGINT) AS c1w2 FROM c3 GROUP BY ALL),
+      |c1w3 AS (SELECT w3, CAST(SUM(c3) AS BIGINT) AS c1w3 FROM c3 GROUP BY ALL),
+      |ntot AS (SELECT CAST(SUM(c3) AS BIGINT) AS ntot FROM c3),
+      |sc AS (
+      |  SELECT h.doc_id, h.c,
+      |         CASE WHEN c3.c3 IS NOT NULL THEN length(bin(c2ctx // c3.c3))
+      |              WHEN c2b.c2b IS NOT NULL THEN 1 + length(bin(c1w2 // c2b.c2b))
+      |              ELSE 2 + CASE WHEN c1w3.c1w3 IS NOT NULL
+      |                            THEN length(bin(ntot // c1w3.c1w3))
+      |                            ELSE length(bin(ntot)) END END AS surp,
+      |         CASE WHEN c3.c3 IS NOT NULL THEN 0 ELSE h.c END AS bo
+      |  FROM pd h
+      |  LEFT JOIN c3 USING (w1, w2, w3)
+      |  LEFT JOIN c2ctx USING (w1, w2)
+      |  LEFT JOIN c2b USING (w2, w3)
+      |  LEFT JOIN c1w2 USING (w2)
+      |  LEFT JOIN c1w3 USING (w3)
+      |  CROSS JOIN ntot
+      |  WHERE h.ppm >= 900000),
+      |ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3,
+      |              CAST(SUM(c * surp) AS BIGINT) AS bits,
+      |              CAST(SUM(bo) AS BIGINT) AS bo
+      |       FROM sc GROUP BY 1)
+      |SELECT doc_id, n3, bits,
+      |       CAST(bits AS DOUBLE) / CAST(n3 AS DOUBLE) AS score,
+      |       bo * 1000000 // n3 AS backoff_ppm
+      |FROM ag ORDER BY score DESC, doc_id LIMIT 15
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3755,5 +3872,5 @@ object PipelineQueries {
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
-    d18Containment, t37HllBySource)
+    d18Containment, t37HllBySource, t38BackoffSurprisal)
 }
