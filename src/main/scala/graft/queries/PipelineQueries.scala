@@ -3852,6 +3852,75 @@ object PipelineQueries {
       |FROM ag ORDER BY score DESC, doc_id LIMIT 15
       |""".stripMargin))
 
+  /** E10 — rolling 6-hour distinct users per event type from HOURLY KMV
+    * sketches: the pre-aggregated re-aggregation lever. Hourly sketches
+    * are ≤ k longs per (type, hour); each contributes to the 6 target
+    * hours it covers (sketch-row fan-out, never raw-event fan-out — a
+    * 6× wider window costs 6× the SKETCH rows, not 6× the scan), and
+    * the k-minima of a union being a pure function of the parts' minima
+    * makes the merged estimate IDENTICAL to sketching the window
+    * directly (t26's algebra, applied to time windows). Below k the
+    * sketch IS the distinct set, so gate-scale outputs are exact
+    * counts; at 100 TB the same plan degrades gracefully to the
+    * (k−1)·U/h_k estimate. Target hours are the hours each type is
+    * active in (inner join against the hourly keys). Both aggregations
+    * are the bounded [[graft.sketch.Sketch.KmvAggregator]] — map-side
+    * partials ship ≤ k longs per group per task.
+    */
+  val e10RollingDistinct = QueryDef("e10_rolling_distinct",
+    (s, dir) => {
+      val k = 64
+      val sketch = udaf(graft.sketch.Sketch.KmvAggregator(k))
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("ts div 3600000000000L").as("hr"),
+        graft.sketch.Sketch.hash40(col("user_id")).as("h"))
+      val hourly = ev.groupBy(col("event_type"), col("hr"))
+        .agg(sketch(col("h")).as("sk"))
+        .localCheckpoint(eager = false) // contributes + target-hour keys
+      val contrib = hourly
+        .select(col("event_type"),
+          explode(sequence(col("hr"), col("hr") + 5)).as("tgt"), col("sk"))
+        .join(hourly.select(col("event_type"), col("hr").as("tgt")),
+          Seq("event_type", "tgt"))
+        .select(col("event_type"), col("tgt"), explode(col("sk")).as("h"))
+      graft.sketch.Sketch.kmvEstimateByGroup(
+          contrib, Seq("event_type", "tgt"), "h", k)
+        .withColumnRenamed("tgt", "hour_end")
+        .orderBy(col("event_type"), col("hour_end"))
+    },
+    Some(s"""
+      |WITH ev AS (
+      |  SELECT DISTINCT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+      |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)
+      |              AS BIGINT) AS h
+      |  FROM events),
+      |hourly AS (
+      |  SELECT event_type, hr, h FROM (
+      |    SELECT event_type, hr, h,
+      |           row_number() OVER (PARTITION BY event_type, hr
+      |                              ORDER BY h) AS rn
+      |    FROM ev) WHERE rn <= 64),
+      |hours AS (SELECT DISTINCT event_type, hr FROM ev),
+      |contrib AS (
+      |  SELECT DISTINCT s.event_type, t.hr AS tgt, s.h
+      |  FROM hourly s JOIN hours t
+      |    ON s.event_type = t.event_type
+      |   AND t.hr BETWEEN s.hr AND s.hr + 5),
+      |merged AS (
+      |  SELECT event_type, tgt, h,
+      |         row_number() OVER (PARTITION BY event_type, tgt
+      |                            ORDER BY h) AS rn
+      |  FROM contrib)
+      |SELECT event_type, tgt AS hour_end,
+      |       CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+      |            ELSE ${63L * graft.sketch.Sketch.HashSpace} // MAX(h) END
+      |            AS BIGINT) AS distinct_estimate,
+      |       COUNT(*) AS sketch_size
+      |FROM merged WHERE rn <= 64
+      |GROUP BY event_type, tgt
+      |ORDER BY event_type, hour_end
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3872,5 +3941,5 @@ object PipelineQueries {
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
-    d18Containment, t37HllBySource, t38BackoffSurprisal)
+    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct)
 }
