@@ -3921,6 +3921,116 @@ object PipelineQueries {
       |ORDER BY event_type, hour_end
       |""".stripMargin))
 
+  /** T39 — BPE merge training (Sennrich et al. 2016), three unrolled
+    * rounds: the tokenizer-training inner loop as a distributed
+    * operator. The scan-scale work is ONE pass building the word
+    * frequency table (the sufficient statistic — BPE never needs the
+    * corpus again); every merge round then runs on the VOCAB-sized
+    * symbol frame: position-pair census weighted by word frequency,
+    * arg-max merge candidate (count desc, then lexicographic — total
+    * order), and greedy left-to-right merge application as a sequential
+    * `aggregate` fold per word (the fold IS greedy non-overlapping
+    * application: a merged symbol can never re-merge with its
+    * predecessor in the same round). The winning pair per round is one
+    * collected row — bounded model state, the s5 trained-centroid
+    * stance — and the oracle replays each round with a recursive-CTE
+    * fold (the d7/s5 unrolled-replay precedent), so every census count
+    * and every pick is engine-checked.
+    */
+  val t39BpeMerges = QueryDef("t39_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val words = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      var syms = words.select(col("w"), col("freq"),
+        expr("transform(sequence(1, char_length(w))," +
+          " i -> substring(w, i, 1))").as("syms"))
+        .localCheckpoint(eager = false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to 3) {
+        val top = syms
+          // single-symbol words carry no pairs (and sequence(1, 0)
+          // counts DOWN — the shinglesOfTokens guard, same pitfall)
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1)," +
+              " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b) = (top.getString(0), top.getString(1))
+        require(!(a + b).exists(c => c == '\'' || c == '\\'),
+          "merge symbols must not need SQL escaping")
+        out += ((r, a, b, top.getLong(2)))
+        syms = syms.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+             | case when size(acc) > 0 and element_at(acc, -1) = '$a'
+             |            and x = '$b'
+             | then concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
+             | else concat(acc, array(x)) end)""".stripMargin.replace("\n", " ")))
+          .localCheckpoint(eager = false)
+      }
+      out.toSeq.toDF("round", "left_sym", "right_sym", "pair_count")
+        .orderBy(col("round"))
+    },
+    Some(s"""
+      |WITH RECURSIVE $tokSql,
+      |words AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+      |s0 AS (
+      |  SELECT w, freq,
+      |         list_transform(range(1, length(w) + 1),
+      |           i -> substr(w, CAST(i AS INT), 1)) AS syms
+      |  FROM words),
+      |p1 AS (
+      |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+      |         CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM s0, unnest(range(1, len(syms))) r(i)
+      |  GROUP BY 1, 2),
+      |t1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+      |f1 AS (
+      |  SELECT w, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM s0
+      |  UNION ALL
+      |  SELECT w, freq, syms, i + 1,
+      |         CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM t1)
+      |                   AND syms[CAST(i AS INT)] = (SELECT b FROM t1)
+      |              THEN list_append(acc[1:len(acc)-1], (SELECT a || b FROM t1))
+      |              ELSE list_append(acc, syms[CAST(i AS INT)]) END
+      |  FROM f1 WHERE i <= len(syms)),
+      |s1 AS (SELECT w, freq, acc AS syms FROM f1 WHERE i = len(syms) + 1),
+      |p2 AS (
+      |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+      |         CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM s1, unnest(range(1, len(syms))) r(i)
+      |  GROUP BY 1, 2),
+      |t2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+      |f2 AS (
+      |  SELECT w, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM s1
+      |  UNION ALL
+      |  SELECT w, freq, syms, i + 1,
+      |         CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM t2)
+      |                   AND syms[CAST(i AS INT)] = (SELECT b FROM t2)
+      |              THEN list_append(acc[1:len(acc)-1], (SELECT a || b FROM t2))
+      |              ELSE list_append(acc, syms[CAST(i AS INT)]) END
+      |  FROM f2 WHERE i <= len(syms)),
+      |s2 AS (SELECT w, freq, acc AS syms FROM f2 WHERE i = len(syms) + 1),
+      |p3 AS (
+      |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+      |         CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM s2, unnest(range(1, len(syms))) r(i)
+      |  GROUP BY 1, 2),
+      |t3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+      |SELECT CAST(1 AS INT) AS round, a AS left_sym, b AS right_sym,
+      |       cnt AS pair_count FROM t1
+      |UNION ALL SELECT 2, a, b, cnt FROM t2
+      |UNION ALL SELECT 3, a, b, cnt FROM t3
+      |ORDER BY round
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -3941,5 +4051,5 @@ object PipelineQueries {
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
-    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct)
+    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct, t39BpeMerges)
 }
