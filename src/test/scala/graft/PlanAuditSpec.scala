@@ -441,4 +441,31 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }
   }
+
+  test("t37/e10 sketch merges are aggregates, not ranks; t38 joins cartesian-free") {
+    // The rolling KMV merge is hash aggregates end to end — the oracle
+    // may rank with windows (it replays sf-scale data), but the plan
+    // that must survive 100× cannot partition a window by an unbounded
+    // key
+    val e10w = SparkEntry.queries("e10_rolling_distinct")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(e10w.isEmpty, "e10 must merge sketches by aggregation, no window")
+    // t37's only window is the shingle builder's — partitioned by
+    // doc_id (bounded by document length), never by the sketch group
+    val t37w = SparkEntry.queries("t37_hll_by_source")(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    t37w.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(parts.contains("doc_id") && !parts.contains("source"),
+        s"t37 window must partition per-doc, got $parts")
+    }
+    val p38 = plan("t38_backoff_surprisal")
+    assert(!p38.contains("CartesianProduct"),
+      "t38's model joins must stay token-keyed (the ntot side is a " +
+        "broadcast of one row, not a cartesian)")
+  }
 }
