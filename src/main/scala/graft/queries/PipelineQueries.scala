@@ -4031,6 +4031,119 @@ object PipelineQueries {
       |ORDER BY round
       |""".stripMargin))
 
+  /** D19 — triangle census with local clustering over the d16
+    * similarity graph (LSH candidate cliques + template-hub stars):
+    * the structural signal that SEPARATES the two — a star closes zero
+    * triangles (hub clustering 0) while clique members sit at 10⁶ ppm,
+    * so boilerplate hubs and organic dup clusters are distinguishable
+    * from topology alone, no content pass. Enumeration is the
+    * degree-ordered compact-forward scheme: every edge is oriented
+    * from its (deg, id)-smaller endpoint, wedges pivot at the
+    * rank-lowest node, and the third edge closes via one directed
+    * equi-join — each triangle counted exactly once, wedge fan-out
+    * bounded by the pivot's OUT-degree (≈ arboricity, not raw degree:
+    * a mega-hub's deg² wedge space never materializes because hubs
+    * rank HIGH and thus have tiny out-degree). All equi-joins +
+    * bounded aggregates; the oracle replays the same total order.
+    */
+  val d19Triangles = QueryDef("d19_triangles",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.lshCandidatePairs(
+        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+      val hubs = docs.groupBy(col("lang")).agg(min(col("doc_id")).as("hub"))
+      val hubEdges = docs.filter(col("doc_id") % 25 === 0)
+        .join(hubs, "lang").filter(col("doc_id") =!= col("hub"))
+        .select(least(col("hub"), col("doc_id")).as("id1"),
+          greatest(col("hub"), col("doc_id")).as("id2"))
+      val und = cands.select(col("id1").as("a"), col("id2").as("b"))
+        .unionByName(hubEdges.select(col("id1").as("a"), col("id2").as("b")))
+        .distinct().localCheckpoint(eager = false) // deg + orientation
+      val deg = und.select(col("a").as("v"))
+        .unionByName(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = false) // orientation + output spine
+      val lower = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+      val oriented = und
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(when(lower, col("a")).otherwise(col("b")).as("s"),
+          when(lower, col("b")).otherwise(col("a")).as("t"))
+        .localCheckpoint(eager = false) // wedge sides + closure probe
+      val dr = oriented
+        .join(deg.select(col("v").as("t"), col("deg").as("tdeg")), "t")
+      val tri = dr.select(col("s"), col("t").as("y"), col("tdeg").as("dy"))
+        .join(dr.select(col("s"), col("t").as("z"), col("tdeg").as("dz")), "s")
+        .filter(struct(col("dy"), col("y")) < struct(col("dz"), col("z")))
+        .join(oriented.select(col("s").as("y"), col("t").as("z")),
+          Seq("y", "z"))
+        .select(col("s").as("x"), col("y"), col("z"))
+      val ntri = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+      deg.join(ntri, Seq("v"), "left")
+        .withColumn("tri0", coalesce(col("tri"), lit(0L)))
+        .select(col("v").as("doc_id"), col("deg"), col("tri0").as("tri"),
+          when(col("deg") >= 2,
+            expr("tri0 * 2000000 div (deg * (deg - 1))"))
+            .otherwise(lit(0L)).as("clustering_ppm"))
+        .orderBy(col("deg").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |hs AS (
+      |  SELECT doc_id,
+      |         list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hs
+      |  FROM sh WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           i -> coalesce(list_min(list_transform(hs,
+      |                  h -> (h * (i * 2 + 3) + 7919 * i) % 1000003)), 1000003)) AS sig
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, b.b AS band_idx,
+      |         array_to_string(sig[b.b*4+1:b.b*4+4], '-') AS band_sig
+      |  FROM sig, (SELECT unnest(range(4)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT b1.doc_id AS id1, b2.doc_id AS id2
+      |  FROM bands b1 JOIN bands b2
+      |    ON b1.band_idx = b2.band_idx AND b1.band_sig = b2.band_sig
+      |   AND b1.doc_id < b2.doc_id),
+      |hubs AS (SELECT lang, MIN(doc_id) AS hub FROM documents GROUP BY lang),
+      |pairs AS (
+      |  SELECT id1, id2 FROM cand
+      |  UNION ALL
+      |  SELECT LEAST(h.hub, d.doc_id), GREATEST(h.hub, d.doc_id)
+      |  FROM documents d JOIN hubs h ON d.lang = h.lang
+      |  WHERE d.doc_id % 25 = 0 AND d.doc_id <> h.hub),
+      |und AS (SELECT DISTINCT id1 AS a, id2 AS b FROM pairs),
+      |deg AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+      |dirE AS (
+      |  SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS s,
+      |         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS t
+      |  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+      |dr AS (SELECT d.s, d.t, g.deg AS tdeg FROM dirE d JOIN deg g ON g.v = d.t),
+      |tri AS (
+      |  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+      |  FROM dr e1 JOIN dr e2
+      |    ON e1.s = e2.s AND ((e1.tdeg, e1.t) < (e2.tdeg, e2.t))
+      |  JOIN dirE e3 ON e3.s = e1.t AND e3.t = e2.t),
+      |ntri AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+      |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) GROUP BY v)
+      |SELECT d.v AS doc_id, d.deg, COALESCE(n.tri, 0) AS tri,
+      |       CASE WHEN d.deg >= 2
+      |            THEN COALESCE(n.tri, 0) * 2000000 // (d.deg * (d.deg - 1))
+      |            ELSE 0 END AS clustering_ppm
+      |FROM deg d LEFT JOIN ntri n ON n.v = d.v
+      |ORDER BY d.deg DESC, doc_id LIMIT 20
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -4051,5 +4164,5 @@ object PipelineQueries {
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
-    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct, t39BpeMerges)
+    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct, t39BpeMerges, d19Triangles)
 }
