@@ -2795,6 +2795,70 @@ object CoreQueries {
       |ORDER BY w0, week_offset
       |""".stripMargin))
 
+  /** J14 — referential-integrity audit: the ingestion-time data-quality
+    * census a warehouse runs before trusting a join. Three checks as
+    * tidy (check, n, total) rows: facts referencing dimension keys
+    * absent from the CURRENT dim snapshot (the late-arriving-dimension
+    * scenario, simulated by auditing orders against a `% 7`-degraded
+    * customer cut — the m4 planted-structure stance), lineitems whose
+    * order is missing (genuinely zero — the generator is
+    * referentially sound, and the audit proves it), and the GENUINE
+    * duplicate `(l_orderkey, l_linenumber)` PK groups this corpus
+    * ships (the known hazard `InvoiceView.uniq` exists for). Each
+    * orphan check is one anti join (AQE-planned, dim side
+    * broadcastable) + bounded 1-row aggregates — no window, no
+    * distinct on the fact side.
+    */
+  val j14IntegrityAudit = QueryDef("j14_integrity_audit",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 =!= 0).select(col("c_custkey"))
+      val c1 = o.join(dim, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(o.agg(count(lit(1)).as("total")))
+        .select(lit("orders_missing_customer").as("check"), col("n"),
+          col("total"))
+      val c2 = l.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(l.agg(count(lit(1)).as("total")))
+        .select(lit("lineitem_missing_order").as("check"), col("n"),
+          col("total"))
+      val c3 = l.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, 1L)), lit(0L)).as("n"),
+          count(lit(1)).as("total"))
+        .select(lit("lineitem_duplicate_pk").as("check"), col("n"),
+          col("total"))
+      c1.unionByName(c2).unionByName(c3).orderBy(col("check"))
+    },
+    Some("""
+      |WITH dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0),
+      |c1 AS (
+      |  SELECT 'orders_missing_customer' AS "check",
+      |         (SELECT COUNT(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM dim d
+      |                            WHERE d.c_custkey = o.o_custkey)) AS n,
+      |         (SELECT COUNT(*) FROM orders) AS total),
+      |c2 AS (
+      |  SELECT 'lineitem_missing_order' AS "check",
+      |         (SELECT COUNT(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey)) AS n,
+      |         (SELECT COUNT(*) FROM lineitem) AS total),
+      |pk AS (SELECT l_orderkey, l_linenumber, COUNT(*) AS c
+      |       FROM lineitem GROUP BY 1, 2),
+      |c3 AS (
+      |  SELECT 'lineitem_duplicate_pk' AS "check",
+      |         (SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 END), 0)
+      |                 AS BIGINT) FROM pk) AS n,
+      |         (SELECT COUNT(*) FROM pk) AS total)
+      |SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+      |ORDER BY "check"
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, q3TopRevenue, q4OrderPriority, q5LocalRevenue, q6Forecast,
     q13CustDist, w2RunningTotal,
@@ -2817,5 +2881,5 @@ object CoreQueries {
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
     u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin,
     j8FuzzyJoin, j9TimeTravel, j10CdcApply, e6Funnel, j11Retention,
-    e7CohortRetention, e8DayStore, w7SessionWindow)
+    e7CohortRetention, e8DayStore, w7SessionWindow, j14IntegrityAudit)
 }

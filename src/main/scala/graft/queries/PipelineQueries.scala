@@ -4144,6 +4144,83 @@ object PipelineQueries {
       |ORDER BY d.deg DESC, doc_id LIMIT 20
       |""".stripMargin))
 
+  /** D20 — distance-medoid canonical election: upgrades d8's
+    * heuristic keeper pick (longest doc) to the cluster member
+    * MINIMIZING total n-gram Jaccard distance to its cluster — the
+    * representative that best preserves the cluster's content, the
+    * pick that matters when dedup keeps one of N near-dups for
+    * training. Total distance = Σ(10⁶ − jaccard_ppm) over the member's
+    * in-cluster pairs plus 10⁶ per co-member it shares NO pair with
+    * (transitive-only links are maximal distance) — all from the d2
+    * pair frame and d7's membership, no new pair space. Election is
+    * the d8 struct-argmin (no window); memoized cluster membership and
+    * the capped inverted-index pair join keep every stage index-sized.
+    */
+  val d20ClusterMedoids = QueryDef("d20_cluster_medoids",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val members = dupMembers(s, dir)
+      val pairs = Dedup
+        .jaccardPairs(docs, "doc_id", "text", 3, Seq("lang", "source"))
+        .localCheckpoint(eager = false) // both incidence directions
+      val cs = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      val incid = pairs
+        .select(col("id1").as("id"),
+          (lit(1000000L) - col("jaccard_ppm")).as("d"))
+        .unionByName(pairs.select(col("id2").as("id"),
+          (lit(1000000L) - col("jaccard_ppm")).as("d")))
+      members.join(cs, "cluster_id").join(incid, Seq("id"), "left")
+        .groupBy(col("cluster_id"), col("id"), col("n"))
+        .agg(coalesce(sum(col("d")), lit(0L)).as("sd"),
+          count(col("d")).as("np"))
+        .select(col("cluster_id"), col("id"), col("n"),
+          (col("sd") + (col("n") - 1 - col("np")) * 1000000L)
+            .as("total_dist"))
+        .groupBy(col("cluster_id"))
+        .agg(min(struct(col("total_dist"), col("id"))).as("w"),
+          max(col("n")).as("cluster_size"))
+        .select(col("cluster_id"), col("cluster_size"),
+          col("w.id").as("medoid_id"), col("w.total_dist").as("total_dist"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      |WITH RECURSIVE $tokSql,
+      |$shSql,
+      |pr AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |         CAST(FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+      |                    / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jac
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM pr
+      |          UNION SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node AS id, min(lbl) AS cluster_id
+      |         FROM reach GROUP BY node),
+      |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM comp GROUP BY cluster_id),
+      |incid AS (
+      |  SELECT id1 AS id, 1000000 - jac AS d FROM pr
+      |  UNION ALL SELECT id2, 1000000 - jac FROM pr),
+      |tot AS (
+      |  SELECT c.cluster_id, c.id,
+      |         CAST(COALESCE(SUM(i.d), 0)
+      |              + (ANY_VALUE(cs.n) - 1 - COALESCE(COUNT(i.d), 0)) * 1000000
+      |              AS BIGINT) AS total_dist
+      |  FROM comp c JOIN cs USING (cluster_id) LEFT JOIN incid i ON i.id = c.id
+      |  GROUP BY c.cluster_id, c.id),
+      |med AS (
+      |  SELECT cluster_id, MIN(STRUCT_PACK(td := total_dist, id := id)) AS w
+      |  FROM tot GROUP BY cluster_id)
+      |SELECT m.cluster_id, cs.n AS cluster_size,
+      |       (m.w).id AS medoid_id, (m.w).td AS total_dist
+      |FROM med m JOIN cs USING (cluster_id) ORDER BY cluster_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -4164,5 +4241,5 @@ object PipelineQueries {
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
-    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct, t39BpeMerges, d19Triangles)
+    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct, t39BpeMerges, d19Triangles, d20ClusterMedoids)
 }
