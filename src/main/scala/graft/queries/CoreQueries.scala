@@ -2795,6 +2795,71 @@ object CoreQueries {
       |ORDER BY w0, week_offset
       |""".stripMargin))
 
+  /** E11 — funnel time-to-convert quantiles: e6's strictly-after stage
+    * times composed with t18's bounded log-histogram — quartiles of the
+    * view→click and click→purchase latencies in seconds. The funnel
+    * passes are the e6 join+agg shape (no windows over users); the
+    * quantile state is the ≤ 64·2^4-cell grid per transition, so the
+    * latency dashboard this feeds stays skew-immune however many users
+    * convert — the per-group window runs over the GRID, never the
+    * conversion rows. Estimates carry the documented ≤ 3.1% bin error;
+    * the oracle replays the identical integer bin arithmetic.
+    */
+  val e11ConvertLatency = QueryDef("e11_convert_latency",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+        .localCheckpoint(eager = false) // purchase stage + delta 1
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      val deltas = c.join(v, "user_id")
+        .select(lit("view_to_click").as("step"),
+          expr("(tc - tv) div 1000000000").as("dt"))
+        .unionByName(p.join(c, "user_id")
+          .select(lit("click_to_purchase").as("step"),
+            expr("(tp - tc) div 1000000000").as("dt")))
+      graft.sketch.ApproxQuantiles.quantilesByGroup(deltas, "step", "dt")
+        .orderBy(col("step"), col("qi"))
+    },
+    Some(s"""
+      |WITH v AS (
+      |  SELECT user_id, MIN(epoch_ns(ts)) AS tv
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tc
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.tv
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tp
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.tc
+      |  GROUP BY e.user_id),
+      |dv AS (
+      |  SELECT 'view_to_click' AS step, (c.tc - v.tv) // 1000000000 AS v
+      |  FROM c JOIN v ON c.user_id = v.user_id
+      |  UNION ALL
+      |  SELECT 'click_to_purchase', (p.tp - c.tc) // 1000000000
+      |  FROM p JOIN c ON p.user_id = c.user_id),
+      |b AS (SELECT step, ${graft.sketch.ApproxQuantiles.logBinSql("v", 4)} AS id
+      |      FROM dv WHERE v IS NOT NULL AND v >= 0),
+      |h AS (SELECT step, id, COUNT(*) AS c FROM b GROUP BY 1, 2),
+      |w AS (SELECT step, id,
+      |        SUM(c) OVER (PARTITION BY step ORDER BY id) AS cum,
+      |        SUM(c) OVER (PARTITION BY step) AS n FROM h),
+      |q(qi, num, den) AS (VALUES (0, 1, 4), (1, 2, 4), (2, 3, 4)),
+      |sel AS (SELECT step, qi, MIN(id) AS id FROM w, q
+      |        WHERE cum >= (n * num + den - 1) // den GROUP BY 1, 2)
+      |SELECT step, qi, ${graft.sketch.ApproxQuantiles.binEstimateSql("id", 4)} AS q_est
+      |FROM sel ORDER BY step, qi
+      |""".stripMargin))
+
   /** J14 — referential-integrity audit: the ingestion-time data-quality
     * census a warehouse runs before trusting a join. Three checks as
     * tidy (check, n, total) rows: facts referencing dimension keys
@@ -2881,5 +2946,5 @@ object CoreQueries {
     e5JsonProps, w5Unpivot, w6TrailingRange, a7GroupingSets,
     u5IntersectAll, a8Cube, k5ZorderLayout, k6ZorderStore, k7BucketedJoin,
     j8FuzzyJoin, j9TimeTravel, j10CdcApply, e6Funnel, j11Retention,
-    e7CohortRetention, e8DayStore, w7SessionWindow, j14IntegrityAudit)
+    e7CohortRetention, e8DayStore, w7SessionWindow, j14IntegrityAudit, e11ConvertLatency)
 }
