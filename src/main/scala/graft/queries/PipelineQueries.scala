@@ -4221,6 +4221,80 @@ object PipelineQueries {
       |FROM med m JOIN cs USING (cluster_id) ORDER BY cluster_id
       |""".stripMargin))
 
+  /** T40 — curation filter-bias audit: the token-distribution drift
+    * INDUCED by the t24 quality rules — per-token ppm share before vs
+    * after filtering, the measurement that catches a "quality" filter
+    * quietly reshaping the corpus (here the stopword rule visibly
+    * boosts 'a'/'the' by ~10³ ppm while content tokens drop — exactly
+    * the bias a pretraining curator must know about). One explode pass
+    * carries the per-doc keep flag to every token, so before/after
+    * tallies come from the SAME scan (conditional aggregates, no
+    * second pass, no join of two censuses); totals broadcast as one
+    * row. Output is the full vocabulary-bounded census ordered by
+    * drift — at any corpus scale the frame is vocab-sized.
+    */
+  val t40FilterBias = QueryDef("t40_filter_bias",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs
+        .select(TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("tk"),
+          size(col("tk")).cast("long").as("dl"),
+          aggregate(col("tk"), lit(0L), (a, x) => a + length(x)).as("sumlen"),
+          coalesce(array_max(transform(array_distinct(col("tk")),
+            tt => size(filter(col("tk"), x => x === tt)))), lit(0))
+            .cast("long").as("maxtf"),
+          (array_contains(col("tk"), "the") || array_contains(col("tk"), "a"))
+            .as("has_stop"))
+      val keep = col("dl").between(20L, 100L) &&
+        col("sumlen") >= lit(2L) * col("dl") &&
+        col("sumlen") <= lit(8L) * col("dl") &&
+        col("has_stop") &&
+        lit(4L) * col("maxtf") <= col("dl") && col("dl") > 0
+      val tokrows = base.select(col("tk"), keep.as("keep"))
+        .select(explode(col("tk")).as("token"), col("keep"))
+        .localCheckpoint(eager = false) // census + totals share the scan
+      val tot = tokrows.agg(count(lit(1)).as("nb"),
+        coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("na"))
+      tokrows.groupBy(col("token"))
+        .agg(count(lit(1)).as("cb"),
+          coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("ca"))
+        .crossJoin(broadcast(tot))
+        .select(col("token"),
+          expr("cb * 1000000 div nb").as("ppm_before"),
+          expr("ca * 1000000 div na").as("ppm_after"),
+          expr("ca * 1000000 div na - cb * 1000000 div nb").as("delta_ppm"))
+        .orderBy(col("delta_ppm"), col("token"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |q2 AS (
+      |  SELECT tk, CAST(len(tk) AS BIGINT) AS dl,
+      |         CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+      |              AS BIGINT) AS sumlen,
+      |         CAST(coalesce(list_max(list_transform(list_distinct(tk),
+      |                t -> len(list_filter(tk, x -> x = t)))), 0)
+      |              AS BIGINT) AS maxtf,
+      |         (list_contains(tk, 'the') OR list_contains(tk, 'a')) AS has_stop
+      |  FROM toks),
+      |flagged AS (
+      |  SELECT tk, (dl BETWEEN 20 AND 100 AND sumlen >= 2*dl
+      |              AND sumlen <= 8*dl AND has_stop
+      |              AND 4*maxtf <= dl AND dl > 0) AS keep
+      |  FROM q2),
+      |tokrows AS (SELECT unnest(tk) AS token, keep FROM flagged),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+      |               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS na
+      |        FROM tokrows),
+      |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cb,
+      |             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS ca
+      |      FROM tokrows GROUP BY token)
+      |SELECT token, cb * 1000000 // nb AS ppm_before,
+      |       ca * 1000000 // na AS ppm_after,
+      |       ca * 1000000 // na - cb * 1000000 // nb AS delta_ppm
+      |FROM f, tot ORDER BY delta_ppm, token
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -4241,5 +4315,5 @@ object PipelineQueries {
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
-    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct, t39BpeMerges, d19Triangles, d20ClusterMedoids)
+    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct, t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias)
 }
