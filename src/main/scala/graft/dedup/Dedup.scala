@@ -714,6 +714,10 @@ object Dedup {
     val tokPos = df
       .select((col(idCol) +: carryCols.map(col)) :+
         TextAnalysis.tokens(col(textCol)).as("tk"): _*)
+      // an empty token array would hit sequence(1,0)=[1,0] (descending!)
+      // and arrays_zip would null-pad a phantom 2-token chunk — the same
+      // pitfall t39 guards; an empty doc simply has no chunks
+      .filter(size(col("tk")) > 0)
       .withColumn("fl", flags)
       .select((col(idCol) +: carryCols.map(col)) :+
         posexplode(arrays_zip(col("tk"), col("fl"))).as(Seq("pos", "z")): _*)

@@ -3697,7 +3697,9 @@ object PipelineQueries {
     * cardinality clears 2.5·m at every gate scale. Duplicate grams feed
     * the registers directly (max absorbs them): no distinct shuffle.
     * Integer-exact estimator: Σ2^(−M_j) scaled by 2^33, then
-    * `α_ppb · (2^49 DIV S) DIV 1e9` — bit-identical on both engines.
+    * `HllAlphaNum DIV S` (the α·m²·2^33 numerator pre-folded to a
+    * 49-bit constant, overflow-free at any cardinality) — bit-identical
+    * on both engines.
     */
   val t37HllBySource = QueryDef("t37_hll_by_source",
     (s, dir) => {
@@ -3728,9 +3730,9 @@ object PipelineQueries {
       |         COUNT(*) AS ne
       |  FROM reg GROUP BY source)
       |SELECT source,
-      |       CAST((${graft.sketch.Sketch.HllAlphaPpb} *
-      |             (${1L << 49} // (s_ne + (256 - ne) * ${1L << 33})))
-      |            // 1000000000 AS BIGINT) AS distinct_estimate,
+      |       CAST(${graft.sketch.Sketch.HllAlphaNum}
+      |            // (s_ne + (256 - ne) * ${1L << 33}) AS BIGINT)
+      |            AS distinct_estimate,
       |       CAST(ne AS BIGINT) AS sketch_size
       |FROM est ORDER BY source
       |""".stripMargin))

@@ -137,9 +137,21 @@ object Sampling {
     * the ≤(k+1)-slot result — nothing corpus-sized is ever ranked.
     * Output: (group, rank, id, w, priority, tau, est_w), rank 1-based
     * by (priority desc, id asc).
+    *
+    * `keyCol` MUST be integral: the aggregator's k-slot buffer carries
+    * the id as a long (unlike [[prioritySample]], which keys on any
+    * type). A non-integral key is rejected eagerly — the silent
+    * cast-to-null it used to produce yielded a wrong sample with no
+    * error. Hash a string id to long first if needed.
     */
   def prioritySampleByGroup(df: DataFrame, groupCol: String, keyCol: String,
       weight: Column, k: Int, salt: String = "psample"): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val keyType = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"prioritySampleByGroup requires an integral key column " +
+        s"(the top-k buffer stores ids as long); '$keyCol' is $keyType — " +
+        "hash or cast it to a long id first, or use prioritySample")
     val base = df
       .withColumn("w", weight.cast("long"))
       .filter(col("w") > 0)

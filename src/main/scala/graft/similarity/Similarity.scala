@@ -131,6 +131,9 @@ object Similarity {
     * doubles are single correctly-rounded IEEE ops of exact integer
     * dots, so an oracle replays every score and every pick. Rank-1's
     * score is its plain relevance (no diversity term exists yet).
+    * A pool candidate whose id has no vector in `corpus` contributes no
+    * pairwise sims and scores with `maxsim = 0` (pure relevance) — it
+    * is never silently dropped.
     */
   def mmrDiversify(pool: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -154,13 +157,18 @@ object Similarity {
       val selIds = sel.select(col("query_id"), col("neighbor_id"))
       val remaining = p.join(selIds, Seq("query_id", "neighbor_id"),
         "left_anti")
-      val scored = remaining
-        .join(sims.withColumnRenamed("a", "neighbor_id"),
-          Seq("query_id", "neighbor_id"))
+      // LEFT join the diversity term: a candidate with no sim rows
+      // (its vector is absent from `corpus`) takes maxsim = 0 — still
+      // pickable on pure relevance — instead of being silently dropped
+      // from every round after the first by an inner join
+      val diversity = sims.withColumnRenamed("a", "neighbor_id")
         .join(selIds.withColumnRenamed("neighbor_id", "b"),
           Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("cosine"))
+        .groupBy(col("query_id"), col("neighbor_id"))
         .agg(max(col("sim")).as("maxsim"))
+      val scored = remaining
+        .join(diversity, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("maxsim", coalesce(col("maxsim"), lit(0.0d)))
         .withColumn("score",
           lit(0.5) * col("cosine") - lit(0.5) * col("maxsim"))
       val pick = scored.groupBy(col("query_id"))

@@ -229,6 +229,15 @@ object Sketch {
     */
   val HllAlphaPpb: Long = 718272593L
 
+  /** Pre-folded estimator numerator `α·m²·2^33 = (α_ppb · 2^49) DIV 1e9`
+    * = 404351522773154 (49 bits). Folding the two constants BEFORE the
+    * register division keeps every runtime intermediate ≤ this constant:
+    * the previous shape `α_ppb · (2^49 DIV S)` overflowed Long once
+    * S < ~43,840 (per-group cardinality ≳ 9e9 — inside the 40-bit hash
+    * range), silently wrapping the estimate negative.
+    */
+  val HllAlphaNum: Long = 404351522773154L
+
   /** HyperLogLog registers as a plain hash aggregate — the OTHER
     * deterministic cardinality sketch, complementing [[KmvAggregator]]:
     * where KMV needs a typed UDAF buffer, HLL's register array is just
@@ -259,8 +268,10 @@ object Sketch {
     * (`bucket`, `r` plus `groupCols`). The harmonic mean Σ 2^(−M_j) is
     * scaled by 2^33 so every term — including the 2^33 each EMPTY
     * bucket contributes — is an exact integer (≤ 256·2^33 < 2^42);
-    * E = α·m²·2^33/S evaluates as `alpha_ppb · (2^49 DIV S) DIV 1e9`,
-    * all below 2^63 and bit-identical on any engine. Raw-regime only
+    * E = α·m²·2^33/S evaluates as `HllAlphaNum DIV S` with the α·m²·2^33
+    * numerator pre-folded into the 49-bit [[HllAlphaNum]] constant, so
+    * no intermediate can exceed it for ANY S ≥ m — overflow-free at any
+    * cardinality, bit-identical on any engine. Raw-regime only
     * (n ≳ 2.5·m = 640): callers sketch a domain that clears it (e.g.
     * n-gram windows, not a tiny label set) — `sketch_size` (non-empty
     * buckets) exposes the regime so a profiling pass can flag groups
@@ -274,9 +285,9 @@ object Sketch {
           .as("s_nonempty"),
         count(lit(1)).as("nonempty"))
       .select(groupCols.map(col) ++ Seq(
-        expr(s"""($HllAlphaPpb * (${1L << 49}L DIV
-             | (s_nonempty + ($HllM - nonempty) * ${1L << 33}L)))
-             | DIV 1000000000""".stripMargin.replace("\n", ""))
+        expr(s"""${HllAlphaNum}L DIV
+             | (s_nonempty + ($HllM - nonempty) * ${1L << 33}L)"""
+          .stripMargin.replace("\n", ""))
           .cast("long").as("distinct_estimate"),
         col("nonempty").cast("long").as("sketch_size")): _*)
 

@@ -359,6 +359,17 @@ class DedupSpec extends SparkSpec {
     assert(n1 == 120L)
   }
 
+  test("contentDefinedChunks: empty-tokenizing documents yield no chunks, not phantoms") {
+    // an empty token array used to hit sequence(1,0)=[1,0] and null-pad
+    // a phantom 2-null-token chunk per empty doc
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val ch = Dedup.contentDefinedChunks(df, "doc_id", "text").collect()
+    assert(ch.forall(_.getLong(0) == 1L),
+      s"empty docs produced chunks: ${ch.toSeq}")
+    assert(ch.map(_.getAs[Long]("n_tok")).sum == 4L)
+  }
+
   test("editVerifiedPairs: confirms near-dups, rejects banding false positives") {
     val docs = Seq(
       (1L, doc1), (2L, doc1Near),   // near pair: 1 char token differs

@@ -143,6 +143,17 @@ class SamplingSpec extends SparkSpec {
     assert(af == wf, "aggregator selection must equal the window form")
   }
 
+  test("grouped priority sample rejects a non-integral key eagerly") {
+    // a string key used to be silently cast to NULL long ids → wrong
+    // sample with no error; now it fails fast at plan-build time
+    val df = Seq(("a", "en", 10L), ("b", "en", 20L))
+      .toDF("sid", "lang", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.prioritySampleByGroup(df, "lang", "sid", col("w"), 2)
+    }
+    assert(e.getMessage.contains("integral key"), e.getMessage)
+  }
+
   test("weighted sample: 0 keeps nothing, 1e6 keeps all, monotone in weight") {
     val df = Seq.tabulate(500)(i => (i.toLong, i % 7)).toDF("k", "w7")
     def ids(weight: org.apache.spark.sql.Column) =

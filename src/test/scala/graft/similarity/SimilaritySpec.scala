@@ -243,6 +243,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr(2).getAs[Double]("mmr_score") < 0.0)
   }
 
+  test("MMR keeps a pool candidate whose vector is absent from corpus pickable") {
+    val mvecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.43f, 0.0f, 0.0f)),
+      (2L, Array(0.89f, 0.44f, 0.0f, 0.0f)),
+      (3L, Array(0.6f, -0.8f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pool = Similarity.bruteForceTopK(
+      mvecs.filter(col("vec_id") === 100L), mvecs, "vec_id", "embedding", 3)
+    // drop candidate 3's vector from the corpus the re-ranker sees:
+    // it must still be selectable (maxsim = 0 → pure relevance), not
+    // silently vanish from rounds ≥ 2
+    val partial = mvecs.filter(col("vec_id") =!= 3L)
+    val mmr = Similarity.mmrDiversify(pool, partial, "vec_id", "embedding", 3)
+      .orderBy("mmr_rank").collect()
+    val picked = mmr.map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(picked.contains(3L), s"vectorless candidate dropped: $picked")
+    assert(picked.size == 3, s"pool of 3 must fill all 3 ranks: $picked")
+    // with maxsim=0 its score is pure relevance → it beats the penalized clone
+    assert(picked == Seq(1L, 3L, 2L), s"unexpected order $picked")
+  }
+
   test("cosine near-dup pairs pass the exact integer threshold test") {
     val df = vecs.toDF("vec_id", "embedding")
     val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 990000L)

@@ -146,6 +146,26 @@ class SketchSpec extends SparkSpec {
     assert(est3 == est.getLong(1), "duplicate rows must not move the registers")
   }
 
+  test("HLL estimate never overflows at saturated registers (cardinality ≳ 1e10 regime)") {
+    // All 256 buckets at the max rho=33 is the smallest possible S (=256):
+    // the regime where the old α_ppb·(2^49 DIV S) shape wrapped negative.
+    // Feed the register frame directly — generating 1e10 rows is not the point.
+    val saturated = spark.range(0, 256)
+      .select(lit("g").as("g"), col("id").as("bucket"), lit(33).as("r"))
+    val est = Sketch.hllEstimateFromRegisters(saturated, Seq("g"))
+      .collect().head
+    assert(est.getLong(1) == Sketch.HllAlphaNum / 256,
+      s"saturated estimate ${est.getLong(1)} != HllAlphaNum/256")
+    assert(est.getLong(1) > 0, "estimate wrapped negative — overflow regression")
+    // partial saturation (rho=20) also stays positive and monotone below it
+    val partial = spark.range(0, 256)
+      .select(lit("g").as("g"), col("id").as("bucket"), lit(20).as("r"))
+    val est2 = Sketch.hllEstimateFromRegisters(partial, Seq("g"))
+      .collect().head.getLong(1)
+    assert(est2 > 0 && est2 < est.getLong(1),
+      s"partial-saturation estimate $est2 must be positive and below saturated")
+  }
+
   test("HLL registers merge by cell-wise max; accretion is order-invariant and idempotent") {
     def regs(d: org.apache.spark.sql.DataFrame) =
       Sketch.hllRegistersByGroup(d.select(lit("g").as("g"), col("s")), Seq("g"), "s")
