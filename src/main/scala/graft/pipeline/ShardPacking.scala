@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   * oracle), while offset packing is one cumulative sum — and wastes zero
   * tokens to fragmentation by construction.
   *
-  * Scale: the window partitions on the stratum column, so parallelism is
-  * bounded by stratum cardinality — the right trade for bounded profiling
-  * dimensions (language, source). For an unbounded or skewed stratum
-  * domain, pre-bucket the stratum (`hash(stratum) % B`) and pack within
-  * (bucket, stratum); the per-shard accounting below is unchanged.
+  * Scale: [[assign]]'s window partitions on the stratum column, so its
+  * parallelism is bounded by stratum cardinality — fine for balanced
+  * profiling dimensions, but a DOMINANT stratum (one language holding
+  * half a 100 TB corpus) serializes on one reducer. [[assignBucketed]]
+  * is the skew-proof form: a classic two-phase distributed prefix sum
+  * over B order-contiguous buckets per stratum that produces BIT-
+  * IDENTICAL offsets/shards while running the heavy window as B units
+  * per stratum. Use it whenever a stratum can dominate.
   */
 object ShardPacking {
 
@@ -43,6 +46,78 @@ object ShardPacking {
       .withColumn("start_off", sum(col("tok")).over(w) - col("tok"))
       .withColumn("shard_id", (col("start_off") / budget).cast("bigint"))
   }
+
+  /** Skew-proof [[assign]]: identical semantics (bit-identical
+    * `start_off`/`shard_id` for every row), computed as a two-phase
+    * distributed prefix sum so a dominant stratum no longer serializes
+    * one reducer:
+    *
+    *   1. each stratum's ORDER AXIS is cut into ≤ `buckets` contiguous
+    *      ranges of width `(max−min) DIV buckets + 1` (pure integer
+    *      arithmetic off one tiny per-stratum min/max aggregate — order-
+    *      monotone, so bucket blocks concatenate in order);
+    *   2. the cumulative token sum runs per `(stratum, bucket)` — the
+    *      heavy window, now `buckets`× more parallel on a skewed
+    *      stratum;
+    *   3. per-bucket token totals (one small hash aggregate, ≤ `buckets`
+    *      rows per stratum) take an exclusive prefix sum over the bucket
+    *      index — a window whose partitions are `buckets`-bounded, never
+    *      corpus-bounded — and the bucket base offset joins back.
+    *
+    * `start_off = base + local` equals the single-window form exactly,
+    * so the same oracle arithmetic gates both. Requires a NUMERIC
+    * `order` column (the range cut is integer arithmetic on its values;
+    * [[assign]] itself accepts any orderable type). Order-key clumping
+    * only degrades parallelism, never correctness — an empty bucket
+    * contributes a zero base.
+    */
+  def assignBucketed(docs: DataFrame, stratum: String, order: String,
+      tokens: Column, budget: Long, buckets: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(docs.schema(order).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"assignBucketed needs a numeric order column; '$order' is " +
+        docs.schema(order).dataType + " — use assign, or map the key to " +
+        "a numeric axis first")
+    val rng = docs.groupBy(col(stratum))
+      .agg(min(col(order)).as("__omin"), max(col(order)).as("__omax"))
+      .withColumn("__w", expr(
+        s"(cast(__omax as bigint) - cast(__omin as bigint)) div $buckets + 1"))
+      .select(col(stratum), col("__omin"), col("__w"))
+    val d = docs
+      .withColumn("tok", tokens)
+      .join(rng, Seq(stratum))
+      .withColumn("__bkt", expr(
+        s"(cast(`$order` as bigint) - cast(__omin as bigint)) div __w"))
+    val wLocal = Window.partitionBy(col(stratum), col("__bkt"))
+      .orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = d.withColumn("__loc", sum(col("tok")).over(wLocal) - col("tok"))
+    val wBase = Window.partitionBy(col(stratum)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = local.groupBy(col(stratum), col("__bkt"))
+      .agg(sum(col("tok")).as("__btot"))
+      .withColumn("__base", sum(col("__btot")).over(wBase) - col("__btot"))
+      .select(col(stratum), col("__bkt"), col("__base"))
+    local.join(bases, Seq(stratum, "__bkt"))
+      .withColumn("start_off", col("__base") + col("__loc"))
+      .withColumn("shard_id", (col("start_off") / budget).cast("bigint"))
+      .drop("__bkt", "__omin", "__w", "__loc", "__base")
+  }
+
+  /** [[manifest]] computed over the skew-proof [[assignBucketed]] path —
+    * identical output (same offset axis), dominant-stratum-safe plan.
+    */
+  def manifestBucketed(docs: DataFrame, stratum: String, order: String,
+      tokens: Column, budget: Long, buckets: Int): DataFrame =
+    assignBucketed(docs, stratum, order, tokens, budget, buckets)
+      .groupBy(col(stratum), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tok_sum"),
+        min(col(order)).as("first_doc"),
+        max(col(order)).as("last_doc"))
 
   /** Materialize the packed layout: one directory per (stratum, shard)
     * and — because the pre-write shuffle keys on exactly the partition

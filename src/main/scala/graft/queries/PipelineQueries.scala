@@ -4297,6 +4297,43 @@ object PipelineQueries {
       |FROM f, tot ORDER BY delta_ppm, token
       |""".stripMargin))
 
+  /** T41 — SKEW-PROOF shard packing
+    * ([[graft.pipeline.ShardPacking.manifestBucketed]]): the same
+    * token-budget manifest as t19, computed through the two-phase
+    * distributed prefix sum (order-contiguous buckets per stratum →
+    * per-(stratum,bucket) local cumsum → buckets-bounded base-offset
+    * prefix) instead of one window per stratum. The oracle deliberately
+    * replays the STRAIGHTFORWARD single-window arithmetic: a hash match
+    * proves the bucketed decomposition is offset-exact, not merely
+    * self-consistent. Different budget (256) and an extra manifest
+    * consumer keep the gate non-vacuous vs t19; the plan property (a
+    * dominant stratum splits into >1 window unit) is pinned in
+    * ShardPackingSpec.
+    */
+  val t41ShardBucketed = QueryDef("t41_shard_bucketed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.ShardPacking.manifestBucketed(
+          docs, "lang", "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          budget = 256L, buckets = 8)
+        .orderBy(col("lang"), col("shard_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |v AS (SELECT lang, doc_id, CAST(len(tk) AS BIGINT) AS tok FROM toks),
+      |w AS (SELECT lang, doc_id, tok,
+      |        CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |               ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS start_off
+      |      FROM v)
+      |SELECT lang, CAST(start_off // 256 AS BIGINT) AS shard_id,
+      |       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tok_sum,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM w
+      |GROUP BY lang, shard_id
+      |ORDER BY lang, shard_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -4317,5 +4354,7 @@ object PipelineQueries {
     t31MadCensus, d17EditVerified, j12IncrementalRollup, t32BigramSurprisal,
     s12MmrRerank, t33CdcChunks, t34CalibratedQuality, t35Novelty,
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
-    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct, t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias)
+    d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct,
+    t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
+    t41ShardBucketed)
 }

@@ -99,4 +99,80 @@ class ShardPackingSpec extends SparkSpec {
       ShardPacking.assign(corpus, "lang", "doc_id", col("tok_in"), 0L)
     }
   }
+
+  // --- skew-proof two-phase form -----------------------------------------
+
+  /** One dominant stratum (en: 5000 of 5040 docs) with sparse, clumped,
+    * negative-shifted doc ids — the shapes that stress the range cut.
+    */
+  private def skewed = {
+    val en = (1 to 5000).map(i =>
+      ("en", i.toLong * 7 - 3000, (i % 13).toLong + 1))
+    val rest = (1 to 40).map(i => (s"l${i % 4}", i.toLong, (i % 5).toLong))
+    (en ++ rest).toDF("lang", "doc_id", "tok_in")
+  }
+
+  private def key(df: org.apache.spark.sql.DataFrame) =
+    df.select("lang", "doc_id", "start_off", "shard_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("assignBucketed ≡ assign bit-identically, for any bucket count") {
+    val plain = key(ShardPacking.assign(skewed, "lang", "doc_id",
+      col("tok_in"), 64L))
+    for (b <- Seq(1, 8, 97, 1000000)) { // incl. degenerate 1 and > |stratum|
+      val bucketed = key(ShardPacking.assignBucketed(skewed, "lang",
+        "doc_id", col("tok_in"), 64L, b))
+      assert(bucketed == plain, s"buckets=$b diverged from the plain form")
+    }
+    // the boundary-behavior corpus too (empty docs, straddlers, oversize)
+    assert(key(ShardPacking.assignBucketed(corpus, "lang", "doc_id",
+      col("tok_in"), budget, 3)) ==
+      key(ShardPacking.assign(corpus, "lang", "doc_id", col("tok_in"), budget)))
+  }
+
+  test("assignBucketed splits the dominant stratum into >1 window unit") {
+    val out = ShardPacking.assignBucketed(skewed, "lang", "doc_id",
+      col("tok_in"), 64L, 8)
+    // plan pin: the heavy cumsum window partitions on (stratum, __bkt),
+    // and the base-offset window exists alongside it partitioned on the
+    // stratum alone (bounded by the bucket count, not the corpus)
+    val windowSpecs = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.sql).mkString(",")
+    }
+    assert(windowSpecs.exists(_.contains("__bkt")),
+      s"row-level cumsum must partition on the bucket: $windowSpecs")
+    // data pin: replay the operator's own range cut — en really occupies
+    // >1 bucket, so its cumsum runs as >1 parallel unit
+    val units = skewed.filter(col("lang") === "en")
+      .select(expr(
+        "(doc_id - min(doc_id) over ()) div " +
+          "((max(doc_id) over () - min(doc_id) over ()) div 8 + 1)"))
+      .distinct().count()
+    assert(units > 1, "dominant stratum must span multiple buckets")
+  }
+
+  test("assignBucketed is invariant under input partitioning; rejects non-numeric order") {
+    val a = key(ShardPacking.assignBucketed(skewed.repartition(11), "lang",
+      "doc_id", col("tok_in"), 64L, 8))
+    val b = key(ShardPacking.assignBucketed(skewed.coalesce(1), "lang",
+      "doc_id", col("tok_in"), 64L, 8))
+    assert(a == b)
+    val strKey = skewed.withColumn("sid", col("doc_id").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      ShardPacking.assignBucketed(strKey, "lang", "sid", col("tok_in"), 64L, 8)
+    }
+    assert(e.getMessage.contains("numeric order column"), e.getMessage)
+  }
+
+  test("manifestBucketed ≡ manifest on the skewed corpus") {
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(
+      m(ShardPacking.manifestBucketed(skewed, "lang", "doc_id",
+        col("tok_in"), 64L, 8)) ==
+      m(ShardPacking.manifest(skewed, "lang", "doc_id", col("tok_in"), 64L)))
+  }
 }
