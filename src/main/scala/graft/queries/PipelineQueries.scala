@@ -4334,6 +4334,72 @@ object PipelineQueries {
       |ORDER BY lang, shard_id
       |""".stripMargin))
 
+  /** The t42 oracle, generated: `n` unrolled BPE rounds, each a pair
+    * census (aggregate over the previous symbol state), a total-order
+    * arg-max, and a recursive-CTE greedy fold — the t39 three-round
+    * pattern extended mechanically. The text is long but each round is
+    * vocabulary-bounded (≤ |vocab| rows, recursion depth ≤ max word
+    * length + 1), so DuckDB replays 60 rounds in seconds. The final
+    * round needs no fold (nothing consumes its state).
+    */
+  private def bpeOracleSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      |WITH RECURSIVE $tokSql,
+      |words AS MATERIALIZED (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+      |s0 AS MATERIALIZED (
+      |  SELECT w, freq,
+      |         list_transform(range(1, length(w) + 1),
+      |           i -> substr(w, CAST(i AS INT), 1)) AS syms
+      |  FROM words),""".stripMargin
+    for (r <- 1 to n) {
+      sb ++= s"""
+      |p$r AS (
+      |  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b,
+      |         CAST(SUM(freq) AS BIGINT) AS cnt
+      |  FROM s${r - 1}, unnest(range(1, len(syms))) r(i)
+      |  GROUP BY 1, 2),
+      |t$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),""".stripMargin
+      if (r < n) sb ++= s"""
+      |f$r AS (
+      |  SELECT w, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM s${r - 1}
+      |  UNION ALL
+      |  SELECT w, freq, syms, i + 1,
+      |         CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT a FROM t$r)
+      |                   AND syms[CAST(i AS INT)] = (SELECT b FROM t$r)
+      |              THEN list_append(acc[1:len(acc)-1], (SELECT a || b FROM t$r))
+      |              ELSE list_append(acc, syms[CAST(i AS INT)]) END
+      |  FROM f$r WHERE i <= len(syms)),
+      |s$r AS MATERIALIZED (SELECT w, freq, acc AS syms FROM f$r WHERE i = len(syms) + 1),""".stripMargin
+    }
+    sb ++= (1 to n).map(r =>
+      s"""
+      |  SELECT CAST($r AS INT) AS round, a AS left_sym, b AS right_sym,
+      |         cnt AS pair_count FROM t$r""".stripMargin)
+      .mkString("\nsel AS (", "\n  UNION ALL", ")")
+    sb ++= "\nSELECT round, left_sym, right_sym, pair_count FROM sel ORDER BY round\n"
+    sb.toString
+  }
+
+  /** T42 — hybrid BPE training at production merge depth
+    * ([[graft.text.BpeTrainer]]): t39's distributed 3-round unroll
+    * replaced by the scalable shape — ONE corpus pass builds the
+    * word-frequency table (BPE's sufficient statistic), a vocab-bounded
+    * collect pulls it to the driver, and 60 merge rounds run as a local
+    * fold whose cost is independent of corpus size (32k merges = 32k
+    * in-memory iterations, not 32k Spark jobs). The oracle replays all
+    * 60 rounds — census, total-order arg-max, greedy fold — as
+    * generated recursive-CTE SQL, so every pick is engine-checked, not
+    * just the first three. 60 clears the gate corpora's ~89-round pair
+    * supply with margin while staying well past the "≥50 merges"
+    * production bar.
+    */
+  val t42BpeTrain = QueryDef("t42_bpe_train",
+    (s, dir) => graft.text.BpeTrainer.train(s, t(s, dir, "documents"), 60),
+    Some(bpeOracleSql(60)))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -4356,5 +4422,5 @@ object PipelineQueries {
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
     d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct,
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
-    t41ShardBucketed)
+    t41ShardBucketed, t42BpeTrain)
 }

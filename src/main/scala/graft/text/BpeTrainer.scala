@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hybrid BPE merge training (Sennrich et al. 2016) — the production
+  * shape of t39's fully-distributed 3-round unroll.
+  *
+  * BPE's sufficient statistic is the WORD-FREQUENCY TABLE: after one
+  * corpus pass, no merge round ever needs the corpus again — each round
+  * is a pair census over the vocabulary's symbol sequences, an arg-max,
+  * and a greedy left-to-right merge application, all functions of
+  * `(word, freq)` alone. So the scalable plan is one distributed scan +
+  * a LOCAL fold over that table: round cost is vocabulary-bounded and
+  * independent of corpus size, and 32k merges are 32k in-memory
+  * iterations, not 32k Spark jobs (t39's shape, correct but linear in
+  * merge count as sequential cluster rounds).
+  *
+  * Driver-state posture: the collected table is vocab-sized — ~10⁶–10⁷
+  * rows for a real web corpus (the standard tokenizer-training working
+  * set), NOT corpus-sized; this is the s5 trained-centroid stance of
+  * bounded model state on the driver. If a corpus's vocabulary exceeds
+  * driver memory, fall back to the distributed census round of t39
+  * (`PipelineQueries.t39BpeMerges`) for the first merges — the two
+  * paths compute identical sequences (same census, same total-order
+  * tie-break, same greedy fold; t42's oracle replays every round).
+  *
+  * Determinism: the arg-max total order is (count desc, left asc, right
+  * asc) on plain string order — engine-identical for the ASCII symbol
+  * alphabet, and replayed per-round by the DuckDB oracle's unrolled
+  * recursive-CTE fold.
+  */
+object BpeTrainer {
+
+  /** The one corpus-scale pass: whitespace-token word frequencies. */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** The local fold: `n` merge rounds over a word-frequency table.
+    * Returns (round, left_sym, right_sym, pair_count) per round.
+    * Fails loudly if the pair census runs dry before round `n` — the
+    * caller picked an `n` the vocabulary cannot support.
+    */
+  def trainFromWordFreqs(words: Seq[(String, Long)], n: Int)
+      : Seq[(Int, String, String, Long)] = {
+    require(n > 0, s"merge count must be positive, got $n")
+    var syms: Array[(Long, List[String])] =
+      words.map { case (w, f) => (f, w.map(_.toString).toList) }.toArray
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to n) {
+      val census = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (f, ss) =>
+        ss.lazyZip(ss.drop(1)).foreach { (a, b) =>
+          census.updateWith((a, b))(c => Some(c.getOrElse(0L) + f))
+        }
+      }
+      require(census.nonEmpty,
+        s"pair census ran dry at round $r of $n — vocabulary too small")
+      val ((a, b), cnt) = census.minBy { case ((x, y), c) => (-c, x, y) }
+      out += ((r, a, b, cnt))
+      syms = syms.map { case (f, ss) =>
+        val acc = scala.collection.mutable.ListBuffer.empty[String]
+        ss.foreach { x =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc(acc.length - 1) = a + b
+          else acc += x
+        }
+        (f, acc.toList)
+      }
+    }
+    out.result()
+  }
+
+  /** End-to-end: one distributed pass, vocab-bounded collect, local
+    * fold, result as a DataFrame (round, left_sym, right_sym,
+    * pair_count) ordered by round.
+    */
+  def train(spark: SparkSession, docs: DataFrame, n: Int,
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val words = wordFreqs(docs, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromWordFreqs(words, n)
+      .toDF("round", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("round"))
+  }
+}
