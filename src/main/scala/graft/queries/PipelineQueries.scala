@@ -4387,7 +4387,8 @@ object PipelineQueries {
     * length + 1), so DuckDB replays 60 rounds in seconds. The final
     * round needs no fold (nothing consumes its state).
     */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeOracleSql(n: Int, foldFinal: Boolean = false,
+      finalSelect: Option[String] = None): String = {
     val sb = new StringBuilder
     sb ++= s"""
       |WITH RECURSIVE $tokSql,
@@ -4407,7 +4408,7 @@ object PipelineQueries {
       |  FROM s${r - 1}, unnest(range(1, len(syms))) r(i)
       |  GROUP BY 1, 2),
       |t$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),""".stripMargin
-      if (r < n) sb ++= s"""
+      if (r < n || foldFinal) sb ++= s"""
       |f$r AS (
       |  SELECT w, freq, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc FROM s${r - 1}
       |  UNION ALL
@@ -4419,12 +4420,14 @@ object PipelineQueries {
       |  FROM f$r WHERE i <= len(syms)),
       |s$r AS MATERIALIZED (SELECT w, freq, acc AS syms FROM f$r WHERE i = len(syms) + 1),""".stripMargin
     }
-    sb ++= (1 to n).map(r =>
-      s"""
+    sb ++= finalSelect.getOrElse {
+      (1 to n).map(r =>
+        s"""
       |  SELECT CAST($r AS INT) AS round, a AS left_sym, b AS right_sym,
       |         cnt AS pair_count FROM t$r""".stripMargin)
-      .mkString("\nsel AS (", "\n  UNION ALL", ")")
-    sb ++= "\nSELECT round, left_sym, right_sym, pair_count FROM sel ORDER BY round\n"
+        .mkString("\nsel AS (", "\n  UNION ALL", ")") +
+        "\nSELECT round, left_sym, right_sym, pair_count FROM sel ORDER BY round\n"
+    }
     sb.toString
   }
 
@@ -4444,6 +4447,45 @@ object PipelineQueries {
   val t42BpeTrain = QueryDef("t42_bpe_train",
     (s, dir) => graft.text.BpeTrainer.train(s, t(s, dir, "documents"), 60),
     Some(bpeOracleSql(60)))
+
+  /** T43 — corpus ENCODING under the trained tokenizer
+    * ([[graft.text.BpeTrainer.encode]]), the apply step t42 trains for:
+    * per-language token/unit/char totals and fertility (BPE units per
+    * 1000 whitespace tokens) after 60 merges. The scalable contract is
+    * the point: segmentation is a pure function of the WORD, so the
+    * encode table is vocab-sized and the corpus pass is ONE broadcast
+    * equi-join — encoding 100 TB never runs a merge loop over corpus
+    * rows. The oracle replays training INCLUDING the final round's fold
+    * (state s60), derives the same per-word unit counts, and joins the
+    * token stream — so a wrong segmentation anywhere in the 60-round
+    * chain, not just a wrong merge pick, hash-mismatches.
+    */
+  val t43BpeEncode = QueryDef("t43_bpe_encode",
+    (s, dir) => {
+      graft.text.BpeTrainer
+        .encode(s, t(s, dir, "documents"), 60, carryCols = Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("n_units")).as("n_units"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("fertility_permille",
+          expr("n_units * 1000 div n_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some(bpeOracleSql(60, foldFinal = true, finalSelect = Some("""
+      |enc AS (
+      |  SELECT w, CAST(len(syms) AS BIGINT) AS n_units,
+      |         CAST(length(w) AS BIGINT) AS n_chars
+      |  FROM s60),
+      |tok AS (SELECT lang, unnest(tk) AS w FROM toks)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(n_units) AS BIGINT) AS n_units,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |       CAST(SUM(n_units) * 1000 // COUNT(*) AS BIGINT)
+      |         AS fertility_permille
+      |FROM tok JOIN enc USING (w)
+      |GROUP BY lang ORDER BY lang
+      |""".stripMargin))))
 
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
@@ -4467,5 +4509,5 @@ object PipelineQueries {
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
     d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct,
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
-    t41ShardBucketed, t42BpeTrain, d21LshAccreted)
+    t41ShardBucketed, t42BpeTrain, d21LshAccreted, t43BpeEncode)
 }

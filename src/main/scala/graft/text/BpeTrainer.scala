@@ -43,14 +43,24 @@ object BpeTrainer {
     * caller picked an `n` the vocabulary cannot support.
     */
   def trainFromWordFreqs(words: Seq[(String, Long)], n: Int)
-      : Seq[(Int, String, String, Long)] = {
+      : Seq[(Int, String, String, Long)] =
+    trainWithState(words, n)._1
+
+  /** [[trainFromWordFreqs]] plus the post-training symbol state — each
+    * word's final segmentation, which IS the BPE encode table: applying
+    * the learned merges to a known word replays exactly the training
+    * fold, so the table is a free by-product. Vocab-sized, like the
+    * input.
+    */
+  def trainWithState(words: Seq[(String, Long)], n: Int)
+      : (Seq[(Int, String, String, Long)], Seq[(String, List[String])]) = {
     require(n > 0, s"merge count must be positive, got $n")
-    var syms: Array[(Long, List[String])] =
-      words.map { case (w, f) => (f, w.map(_.toString).toList) }.toArray
+    var syms: Array[(String, Long, List[String])] =
+      words.map { case (w, f) => (w, f, w.map(_.toString).toList) }.toArray
     val out = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to n) {
       val census = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      syms.foreach { case (f, ss) =>
+      syms.foreach { case (_, f, ss) =>
         ss.lazyZip(ss.drop(1)).foreach { (a, b) =>
           census.updateWith((a, b))(c => Some(c.getOrElse(0L) + f))
         }
@@ -59,17 +69,17 @@ object BpeTrainer {
         s"pair census ran dry at round $r of $n — vocabulary too small")
       val ((a, b), cnt) = census.minBy { case ((x, y), c) => (-c, x, y) }
       out += ((r, a, b, cnt))
-      syms = syms.map { case (f, ss) =>
+      syms = syms.map { case (w, f, ss) =>
         val acc = scala.collection.mutable.ListBuffer.empty[String]
         ss.foreach { x =>
           if (acc.nonEmpty && acc.last == a && x == b)
             acc(acc.length - 1) = a + b
           else acc += x
         }
-        (f, acc.toList)
+        (w, f, acc.toList)
       }
     }
-    out.result()
+    (out.result(), syms.map { case (w, _, ss) => (w, ss) }.toSeq)
   }
 
   /** End-to-end: one distributed pass, vocab-bounded collect, local
@@ -84,5 +94,29 @@ object BpeTrainer {
     trainFromWordFreqs(words, n)
       .toDF("round", "left_sym", "right_sym", "pair_count")
       .orderBy(col("round"))
+  }
+
+  /** CORPUS ENCODING under a trained tokenizer — the apply step. The
+    * scalable shape mirrors training: because BPE segmentation is a
+    * pure function of the WORD, the encode table is vocab-sized
+    * (word → n_units from the post-training state), and encoding 100 TB
+    * is ONE broadcast(-able) equi-join of the token stream against it —
+    * no per-row merge loop ever touches the corpus. Returns the token
+    * stream with `n_units` (BPE symbols) and `n_chars` per token
+    * occurrence, for downstream compression/fertility accounting.
+    */
+  def encode(spark: SparkSession, docs: DataFrame, n: Int,
+      textCol: String = "text", carryCols: Seq[String] = Seq.empty)
+      : DataFrame = {
+    import spark.implicits._
+    val words = wordFreqs(docs, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val table = trainWithState(words, n)._2
+      .map { case (w, ss) => (w, ss.length.toLong, w.length.toLong) }
+      .toDF("w", "n_units", "n_chars")
+    docs
+      .select(carryCols.map(col) :+
+        explode(TextAnalysis.tokens(col(textCol))).as("w"): _*)
+      .join(broadcast(table), Seq("w"))
   }
 }

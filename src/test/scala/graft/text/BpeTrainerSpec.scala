@@ -58,6 +58,33 @@ class BpeTrainerSpec extends SparkSpec {
       r.getLong(3))).toSeq == hybrid)
   }
 
+  test("encode: vocab-sized table, broadcast corpus join, conservation invariants") {
+    val docs = Seq(
+      (1L, "en", "aba aba cc"),
+      (2L, "de", "aba cc cc dd")).toDF("doc_id", "lang", "text")
+    val enc = BpeTrainer.encode(spark, docs, 2, carryCols = Seq("lang"))
+    val rows = enc.collect()
+    assert(rows.length == 7, "one row per token occurrence")
+    rows.foreach { r =>
+      val (w, u, c) = (r.getAs[String]("w"), r.getAs[Long]("n_units"),
+        r.getAs[Long]("n_chars"))
+      assert(c == w.length.toLong)
+      assert(u >= 1L && u <= c, s"$w: units $u chars $c")
+    }
+    // segmentation is the post-training state: re-derive and compare
+    val words = BpeTrainer.wordFreqs(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val state = BpeTrainer.trainWithState(words, 2)._2.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_units") ==
+        state(r.getAs[String]("w")).length.toLong)
+    }
+    // the corpus pass is a broadcast join — the 100 TB contract
+    val p = enc.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("round cost is corpus-independent; dry census fails loudly") {
     // same vocab at 100× the frequency: identical merges (scaled counts)
     val base = Seq(("stream", 7L), ("steam", 5L), ("team", 3L))
