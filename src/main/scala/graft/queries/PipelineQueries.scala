@@ -4487,6 +4487,87 @@ object PipelineQueries {
       |GROUP BY lang ORDER BY lang
       |""".stripMargin))))
 
+  /** S15 — SEMANTIC split leakage: embedding-space near-dup pairs whose
+    * endpoints landed in different t10 train/val/test splits — the
+    * decontamination check d15's n-gram containment cannot make
+    * (paraphrases and re-encodings share no 8-gram but sit at high
+    * cosine). Same two-stage economics as d5: sign-bucket blocking
+    * proposes, the exact integer cosine test confirms, and the split
+    * label joins on as two id-equi lookups AFTER the pair space is
+    * already blocked — the corpus-sized split frame never enters a pair
+    * join. Threshold mirrors d5 (0.4). The gate corpus PLANTS leakage
+    * (the m4/d18 re-ingest pattern): every `vec_id % 17 = 0` embedding
+    * re-enters under a new id whose split hash is independent, so
+    * identical vectors genuinely straddle splits at every scale —
+    * without planting, the handful of organic near-dup pairs can all
+    * land same-split and the oracle passes vacuously on empty output
+    * (the corpus-degeneracy trap).
+    */
+  val s15SemanticLeakage = QueryDef("s15_semantic_leakage",
+    (s, dir) => {
+      val emb0 = t(s, dir, "embeddings")
+      val emb = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L))
+      val u = graft.sampling.Sampling.hashUniformPpm(col("vec_id"), "split")
+      val split = emb.select(col("vec_id"),
+        when(u < 900000L, "train").when(u < 950000L, "val")
+          .otherwise("test").as("split"))
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 400000L,
+          bits = Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")))
+        .join(split.select(col("vec_id").as("id1"), col("split").as("split1")),
+          Seq("id1"))
+        .join(split.select(col("vec_id").as("id2"), col("split").as("split2")),
+          Seq("id2"))
+        .filter(col("split1") =!= col("split2"))
+        .select(col("id1"), col("id2"), col("split1"), col("split2"),
+          col("dot_q"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      |WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, embedding
+      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |qv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM aug),
+      |$annParamsSql,
+      |sp AS (
+      |  SELECT vec_id,
+      |         CASE WHEN ppm < 900000 THEN 'train'
+      |              WHEN ppm < 950000 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT vec_id,
+      |           CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT)
+      |             % 1000000 AS ppm
+      |    FROM aug)),
+      |bk AS (
+      |  SELECT vec_id, qv,
+      |         CAST(list_sum(list_transform(range(0, p.bits),
+      |           j -> CASE WHEN qv[CAST(j AS INT)+1] > 0
+      |                     THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS INT) AS bucket
+      |  FROM qv, params p),
+      |pairs AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |         ${dotSql("a.qv", "b.qv")} AS dot_q
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE ${dotSql("a.qv", "b.qv")} > 0
+      |    AND CAST(${dotSql("a.qv", "b.qv")} AS HUGEINT) * ${dotSql("a.qv", "b.qv")}
+      |        * 1000000 * 1000000
+      |        >= CAST(${dotSql("a.qv", "a.qv")} AS HUGEINT) * ${dotSql("b.qv", "b.qv")}
+      |           * 400000 * 400000)
+      |SELECT id1, id2, s1.split AS split1, s2.split AS split2, dot_q
+      |FROM pairs
+      |JOIN sp s1 ON s1.vec_id = id1
+      |JOIN sp s2 ON s2.vec_id = id2
+      |WHERE s1.split <> s2.split
+      |ORDER BY id1, id2
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -4509,5 +4590,6 @@ object PipelineQueries {
     e9GapAnomaly, j13BloomSemiJoin, s13RpRecall, t36StratifiedPriority,
     d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct,
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
-    t41ShardBucketed, t42BpeTrain, d21LshAccreted, t43BpeEncode)
+    t41ShardBucketed, t42BpeTrain, d21LshAccreted, t43BpeEncode,
+    s15SemanticLeakage)
 }
