@@ -127,12 +127,30 @@ object ShardPacking {
     * driver-side loop, no per-shard job. Read back with
     * `spark.read.parquet(path)` — `stratum`/`shard_id` return as
     * directory-partition columns.
+    *
+    * The assignment runs through the skew-proof [[assignBucketed]] when
+    * the order column is numeric (the shard write is the LARGEST job a
+    * training exporter runs, exactly where a dominant stratum must not
+    * serialize one reducer); a non-numeric order key falls back to the
+    * single-window [[assign]], whose output is bit-identical. `buckets`
+    * bounds the extra base-offset window at ≤ buckets rows per stratum.
     */
   def writeShards(docs: DataFrame, stratum: String, order: String,
-      tokens: Column, budget: Long, path: String): Unit =
-    assign(docs, stratum, order, tokens, budget)
+      tokens: Column, budget: Long, path: String, buckets: Int = 32): Unit =
+    shardLayout(docs, stratum, order, tokens, budget, buckets)
       .repartition(col(stratum), col("shard_id"))
       .write.partitionBy(stratum, "shard_id").mode("overwrite").parquet(path)
+
+  /** The frame [[writeShards]] lays out — split out so its plan shape
+    * (bucketed prefix sum on a numeric order axis) is pinnable in specs.
+    */
+  private[graft] def shardLayout(docs: DataFrame, stratum: String,
+      order: String, tokens: Column, budget: Long, buckets: Int): DataFrame =
+    if (docs.schema(order).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType])
+      assignBucketed(docs, stratum, order, tokens, budget, buckets)
+    else
+      assign(docs, stratum, order, tokens, budget)
 
   /** Per-shard manifest: for each (stratum, shard_id) the document count,
     * token sum, and the first/last document on the shard — what a shard

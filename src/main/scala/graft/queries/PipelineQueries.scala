@@ -2171,7 +2171,11 @@ object PipelineQueries {
 
   /** Memoized packed shard store for T21 (the k6/s6 read-path pattern):
     * documents laid out by [[graft.pipeline.ShardPacking.writeShards]] —
-    * one directory per (lang, shard), one file per shard.
+    * one directory per (lang, shard), one file per shard. The write runs
+    * the skew-proof bucketed prefix sum (t41's two-phase form, proven
+    * bit-identical to the single window), so a dominant stratum never
+    * serializes one reducer in the layout job; the t19-shape oracle below
+    * deliberately replays the STRAIGHTFORWARD single-window arithmetic.
     */
   private val shardStoreMemo =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -2183,7 +2187,7 @@ object PipelineQueries {
         graft.pipeline.ShardPacking.writeShards(
           t(s, dir, "documents"), "lang", "doc_id",
           TextAnalysis.tokenCount(col("text")).cast("long"), budget = 512L,
-          path = path)
+          path = path, buckets = 8)
         path
       })
 

@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   * Driver-state posture: the collected table is vocab-sized — ~10⁶–10⁷
   * rows for a real web corpus (the standard tokenizer-training working
   * set), NOT corpus-sized; this is the s5 trained-centroid stance of
-  * bounded model state on the driver. If a corpus's vocabulary exceeds
-  * driver memory, fall back to the distributed census round of t39
+  * bounded model state on the driver — and the pull is GUARDED, not
+  * assumed: a `minFreq` floor cuts the junk-token tail before the
+  * collect and a `maxVocab` fail-fast probe errors instead of OOMing
+  * (see [[collectWordFreqs]]). If a corpus's vocabulary genuinely
+  * exceeds driver memory even floored, fall back to the distributed
+  * census round of t39
   * (`PipelineQueries.t39BpeMerges`) for the first merges — the two
   * paths compute identical sequences (same census, same total-order
   * tie-break, same greedy fold; t42's oracle replays every round).
@@ -36,6 +40,36 @@ object BpeTrainer {
   def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Driver-side vocabulary bound for the word-frequency collect — 10⁷
+    * rows (the upper end of the standard tokenizer-training working set;
+    * ~30 bytes/row → a few hundred MB on the driver).
+    */
+  val DefaultMaxVocab: Int = 10000000
+
+  /** The ONE driver pull in this module, bounded two ways: `minFreq`
+    * floors the table before the collect (standard BPE practice — on a
+    * web corpus the vocabulary tail is typos/URLs/junk whose singleton
+    * counts never win a merge census at depth, and dropping them is the
+    * normal tokenizer-training cut), and `maxVocab` is a fail-fast
+    * cardinality probe in the `XlsxEgress.boundedCollect` shape: a
+    * `limit(maxVocab+1)` collect that errors with guidance instead of
+    * OOMing the driver on an unexpectedly wild vocabulary. `minFreq = 1`
+    * collects the exact table (today's oracle rows, unchanged).
+    */
+  private def collectWordFreqs(docs: DataFrame, textCol: String,
+      minFreq: Long, maxVocab: Int): Seq[(String, Long)] = {
+    require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    val wf = wordFreqs(docs, textCol).filter(col("freq") >= minFreq)
+    val rows = wf.limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"word-frequency table exceeds maxVocab=$maxVocab distinct words at " +
+        s"minFreq=$minFreq — raise minFreq (a web corpus's vocabulary tail " +
+        "is junk tokens that never win a merge) or, if the driver can hold " +
+        "it, raise maxVocab")
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
 
   /** The local fold: `n` merge rounds over a word-frequency table.
     * Returns (round, left_sym, right_sym, pair_count) per round.
@@ -87,11 +121,10 @@ object BpeTrainer {
     * pair_count) ordered by round.
     */
   def train(spark: SparkSession, docs: DataFrame, n: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", minFreq: Long = 1L,
+      maxVocab: Int = DefaultMaxVocab): DataFrame = {
     import spark.implicits._
-    val words = wordFreqs(docs, textCol).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainFromWordFreqs(words, n)
+    trainFromWordFreqs(collectWordFreqs(docs, textCol, minFreq, maxVocab), n)
       .toDF("round", "left_sym", "right_sym", "pair_count")
       .orderBy(col("round"))
   }
@@ -104,13 +137,16 @@ object BpeTrainer {
     * no per-row merge loop ever touches the corpus. Returns the token
     * stream with `n_units` (BPE symbols) and `n_chars` per token
     * occurrence, for downstream compression/fertility accounting.
+    * With `minFreq > 1` the encode table (and so the output) covers
+    * only at-or-above-floor words — the floored tokenizer's own
+    * vocabulary.
     */
   def encode(spark: SparkSession, docs: DataFrame, n: Int,
-      textCol: String = "text", carryCols: Seq[String] = Seq.empty)
+      textCol: String = "text", carryCols: Seq[String] = Seq.empty,
+      minFreq: Long = 1L, maxVocab: Int = DefaultMaxVocab)
       : DataFrame = {
     import spark.implicits._
-    val words = wordFreqs(docs, textCol).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val words = collectWordFreqs(docs, textCol, minFreq, maxVocab)
     val table = trainWithState(words, n)._2
       .map { case (w, ss) => (w, ss.length.toLong, w.length.toLong) }
       .toDF("w", "n_units", "n_chars")

@@ -25,6 +25,14 @@ object GraftSqlBridge {
     case other => "idhash-" + System.identityHashCode(other)
   }
 
+  /** Drain the shared listener bus — `QueryExecutionListener` callbacks
+    * are delivered asynchronously, so a spec that captures an EXECUTED
+    * plan (e.g. of a `DataFrameWriter.save`) must drain before asserting.
+    * `listenerBus` is `private[spark]`; this package is inside that scope.
+    */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register an expression builder so the function is usable from SQL. */
   def registerFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =

@@ -166,6 +166,74 @@ class ShardPackingSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric order column"), e.getMessage)
   }
 
+  test("writeShards routes through the bucketed window — executed-plan pin") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = plans.add(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-bkt")
+    try {
+      val path = s"$dir/shards"
+      ShardPacking.writeShards(skewed, "lang", "doc_id", col("tok_in"), 64L,
+        path, buckets = 8)
+      org.apache.spark.sql.GraftSqlBridge.waitListenerBusEmpty(spark)
+      // plan pin on the WRITE's own captured execution (not a reconstructed
+      // frame): the heavy cumsum window partitions on (stratum, __bkt), so
+      // the dominant stratum runs as >1 window unit in the layout job
+      import scala.jdk.CollectionConverters._
+      val windowSpecs = plans.asScala.toSeq.flatMap(_.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.map(_.sql).mkString(",")
+      })
+      assert(windowSpecs.nonEmpty, "listener captured no write execution")
+      assert(windowSpecs.exists(_.contains("__bkt")),
+        s"write plan must run the cumsum per (stratum, bucket): $windowSpecs")
+      // and the materialized layout still equals the single-window form
+      val back = spark.read.parquet(path)
+        .select(col("lang"), col("doc_id"), col("shard_id").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val direct = ShardPacking
+        .assign(skewed, "lang", "doc_id", col("tok_in"), 64L)
+        .select("lang", "doc_id", "shard_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(back == direct)
+    } finally {
+      spark.listenerManager.unregister(l)
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.iterator().asScala.toSeq).reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("writeShards falls back to the single window for non-numeric order keys") {
+    val strKey = corpus.withColumn("sid", concat(lit("d"),
+      lpad(col("doc_id").cast("string"), 4, "0"))) // zero-padded: string order ≡ numeric
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards-str")
+    try {
+      val path = s"$dir/shards"
+      ShardPacking.writeShards(strKey, "lang", "sid", col("tok_in"), budget,
+        path)
+      val back = spark.read.parquet(path)
+        .select(col("lang"), col("doc_id"), col("shard_id").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val direct = ShardPacking
+        .assign(corpus, "lang", "doc_id", col("tok_in"), budget)
+        .select("lang", "doc_id", "shard_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(back == direct)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+        _.iterator().asScala.toSeq).reverse.foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("manifestBucketed ≡ manifest on the skewed corpus") {
     def m(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.getString(0), r.getLong(1)) ->

@@ -99,4 +99,87 @@ class BpeTrainerSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ran dry"), e.getMessage)
   }
+
+  test("driver collect is capped: maxVocab fails fast, minFreq floors exactly") {
+    val docs = Seq(
+      (1L, "aba aba aba cc cc rare1 rare2 rare3"),
+      (2L, "aba cc dd dd")).toDF("doc_id", "text")
+    // 6 distinct words; a 4-word cap must fail BEFORE folding, with guidance
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.train(spark, docs, 2, maxVocab = 4)
+    }
+    assert(e.getMessage.contains("maxVocab=4"), e.getMessage)
+    assert(e.getMessage.contains("minFreq"), e.getMessage)
+    // floor=1 is the exact table: identical merges to the uncapped path
+    val all = BpeTrainer.wordFreqs(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val floored1 = BpeTrainer.train(spark, docs, 2, minFreq = 1L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(floored1 == BpeTrainer.trainFromWordFreqs(all, 2))
+    // floor=2 drops ONLY the below-floor words (the three singletons) and
+    // equals the fold over the explicitly filtered table
+    val kept = all.filter(_._2 >= 2L)
+    assert(kept.map(_._1).toSet == Set("aba", "cc", "dd"))
+    val floored2 = BpeTrainer.train(spark, docs, 2, minFreq = 2L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(floored2 == BpeTrainer.trainFromWordFreqs(kept, 2))
+    // a floor ABOVE every below-cap count makes the cap pass again
+    assert(BpeTrainer.train(spark, docs, 1, minFreq = 2L, maxVocab = 4)
+      .count() == 1L)
+    // encode under a floor covers exactly the floored vocabulary
+    val enc = BpeTrainer.encode(spark, docs, 1, minFreq = 2L)
+    assert(enc.select("w").distinct().collect().map(_.getString(0)).toSet ==
+      Set("aba", "cc", "dd"))
+  }
+
+  test("deep fold: >=1000 merges at production depth, invariants hold") {
+    // The gate corpora's vocabulary is deliberately tiny (sf0.1: 31 words,
+    // 89-round pair supply — measured by tools/BpeDepthProbe, and folded
+    // to exhaustion below), so production depth is proven on a
+    // deterministic 4096-word compound vocabulary whose pair supply is
+    // ~50k symbols deep. Round cost is vocab-bounded either way — that is
+    // the hybrid design's whole point.
+    val roots = Seq("stream", "steam", "team", "batch", "window", "shard",
+      "token", "corpus", "merge", "vocab", "train", "sample", "bucket",
+      "filter", "cluster", "anchor")
+    val words = for {
+      (a, i) <- roots.zipWithIndex; (b, j) <- roots.zipWithIndex
+      k <- 0 until 16
+    } yield (s"$a$b${('a' + k % 26).toChar}$k", ((i * 31 + j * 7 + k) % 97 + 1).toLong)
+    assert(words.map(_._1).distinct.size == 4096)
+    val t0 = System.nanoTime()
+    val (merges, state) = BpeTrainer.trainWithState(words, 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1000-merge fold over 4096 words in $secs%.1f s")
+    assert(merges.size == 1000, "completion at production depth")
+    assert(merges.map(_._1) == (1 to 1000), "rounds are dense and ordered")
+    // the winning pair count never increases round-over-round (merging the
+    // global max can only shrink or preserve other pair counts)
+    merges.map(_._4).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"pair counts must be monotone non-increasing: $a -> $b")
+    }
+    // encode-table consistency: every word's final segmentation
+    // concatenates back to the word, over the full vocabulary
+    val byWord = state.toMap
+    assert(byWord.size == words.size)
+    words.foreach { case (w, _) =>
+      assert(byWord(w).mkString == w, s"segmentation must spell $w")
+      assert(byWord(w).nonEmpty)
+    }
+
+    // and the sf0.1-shape corpus vocabulary folds to full exhaustion: the
+    // same 89-round supply at every scale factor (vocabulary, not corpus
+    // size, bounds depth — t42's 60 rounds clear it with margin)
+    val tiny = Seq("the quick brown fox", "the brown cow jumped over",
+      "quick brown quick the").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val tinyWords = BpeTrainer.wordFreqs(tiny).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dry = intercept[IllegalArgumentException] {
+      BpeTrainer.trainFromWordFreqs(tinyWords, 100000)
+    }
+    assert(dry.getMessage.contains("ran dry"), dry.getMessage)
+  }
 }
