@@ -20,13 +20,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Every exception the timing loop swallows is RECORDED, not discarded:
+    // the r10 dead run (everything after t35 throwing instantly) was
+    // undiagnosable because the only evidence went to a dropped stderr.
+    // The log is written beside the JSON artifact even when empty, so a
+    // clean run is distinguishable from a lost log.
+    val errors = Seq.newBuilder[String]
+    def logErr(phase: String, name: String, e: Throwable): Unit = {
+      val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw))
+      errors += s"[$phase] $name: $sw"
+    }
+
     // Warm-up: run EVERY query once at the smallest scale so whole-stage
     // codegen compilation and scan setup aren't billed to whichever query
     // happens to run first at the measured scale.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => logErr("warmup", name, e) }
     }
     // The shared invoice views persist() LAZILY, so the sf0.001 warm-up
     // does not build the MEASURED scale's cache — its first-touch cost
@@ -41,15 +53,15 @@ object Bench {
     // driver run showed 1s queries billed 7s under sustained interference
     // that best-of-two didn't absorb — a third sample costs ~40% more
     // wall but pins the floor)
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable => logErr("measure", name, e) }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).min
+      name -> Seq(timeOnce(name, fn), timeOnce(name, fn), timeOnce(name, fn)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -72,6 +84,14 @@ object Bench {
         "bench_local_latest.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         pretty.getBytes("UTF-8"))
+      val errs = errors.result()
+      val errLog = out.stripSuffix(".json") + "_stderr.log"
+      val body =
+        if (errs.isEmpty) s"clean run: 0 swallowed exceptions over " +
+          s"${results.size} queries at $sfDir\n"
+        else errs.mkString("", "\n", "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(errLog),
+        body.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }

@@ -4495,11 +4495,16 @@ object PipelineQueries {
     * endpoints landed in different t10 train/val/test splits — the
     * decontamination check d15's n-gram containment cannot make
     * (paraphrases and re-encodings share no 8-gram but sit at high
-    * cosine). Same two-stage economics as d5: sign-bucket blocking
-    * proposes, the exact integer cosine test confirms, and the split
-    * label joins on as two id-equi lookups AFTER the pair space is
-    * already blocked — the corpus-sized split frame never enters a pair
-    * join. Threshold mirrors d5 (0.4). The gate corpus PLANTS leakage
+    * cosine). Same two-stage economics as d5 — blocking proposes, the
+    * exact integer cosine test confirms, and the split label joins on
+    * as two id-equi lookups AFTER the pair space is already blocked (the
+    * corpus-sized split frame never enters a pair join) — but the
+    * proposer is the BANDED MULTI-PROBE blocking
+    * ([[Similarity.cosineNearDupPairsBanded]]): for decontamination a
+    * blocking miss is a leaked eval pair, and s16 measures the
+    * single-band bucket at 2% recall vs 76% for 8 hyperplane bands +
+    * 1-bit probe at this threshold (0.4, mirroring d5). The gate corpus
+    * PLANTS leakage
     * (the m4/d18 re-ingest pattern): every `vec_id % 17 = 0` embedding
     * re-enters under a new id whose split hash is independent, so
     * identical vectors genuinely straddle splits at every scale —
@@ -4516,8 +4521,11 @@ object PipelineQueries {
       val split = emb.select(col("vec_id"),
         when(u < 900000L, "train").when(u < 950000L, "val")
           .otherwise("test").as("split"))
-      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 400000L,
-          bits = Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")))
+      Similarity.cosineNearDupPairsBanded(emb, "vec_id", "embedding", 400000L,
+          bands = 8,
+          bitsPerBand =
+            Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")),
+          probe1 = true)
         .join(split.select(col("vec_id").as("id1"), col("split").as("split1")),
           Seq("id1"))
         .join(split.select(col("vec_id").as("id2"), col("split").as("split2")),
@@ -4549,20 +4557,15 @@ object PipelineQueries {
       |           CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT)
       |             % 1000000 AS ppm
       |    FROM aug)),
-      |bk AS (
-      |  SELECT vec_id, qv,
-      |         CAST(list_sum(list_transform(range(0, p.bits),
-      |           j -> CASE WHEN qv[CAST(j AS INT)+1] > 0
-      |                     THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS INT) AS bucket
-      |  FROM qv, params p),
+      |${bandedBlockSql("qv")}
       |pairs AS (
-      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
-      |         ${dotSql("a.qv", "b.qv")} AS dot_q
-      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |  WHERE ${dotSql("a.qv", "b.qv")} > 0
-      |    AND CAST(${dotSql("a.qv", "b.qv")} AS HUGEINT) * ${dotSql("a.qv", "b.qv")}
+      |  SELECT c.id1, c.id2, ${dotSql("x.qv", "y.qv")} AS dot_q
+      |  FROM cand c
+      |  JOIN qv x ON x.vec_id = c.id1 JOIN qv y ON y.vec_id = c.id2
+      |  WHERE ${dotSql("x.qv", "y.qv")} > 0
+      |    AND CAST(${dotSql("x.qv", "y.qv")} AS HUGEINT) * ${dotSql("x.qv", "y.qv")}
       |        * 1000000 * 1000000
-      |        >= CAST(${dotSql("a.qv", "a.qv")} AS HUGEINT) * ${dotSql("b.qv", "b.qv")}
+      |        >= CAST(${dotSql("x.qv", "x.qv")} AS HUGEINT) * ${dotSql("y.qv", "y.qv")}
       |           * 400000 * 400000)
       |SELECT id1, id2, s1.split AS split1, s2.split AS split2, dot_q
       |FROM pairs
@@ -4570,6 +4573,146 @@ object PipelineQueries {
       |JOIN sp s2 ON s2.vec_id = id2
       |WHERE s1.split <> s2.split
       |ORDER BY id1, id2
+      |""".stripMargin))
+
+  /** DuckDB replay of [[Similarity.cosineNearDupPairsBanded]]'s banded
+    * multi-probe blocking over a quantized-vector CTE `src(vec_id, qv)`:
+    * the deterministic Rademacher hyperplane family (s13's md5 mirror),
+    * 8 bands × `params.bits` planes, per-band sign buckets, 1-bit
+    * multi-probe expansion, and the candidate equi-join — ending at a
+    * deduped `cand(id1, id2)` CTE the caller confirms with the exact
+    * integer cosine test. Emitted as a fragment (trailing comma) so s15
+    * and s16 share one replay of the blocking they both stand on.
+    */
+  private def bandedBlockSql(src: String): String = s"""
+      |rp AS (
+      |  SELECT i.i AS i,
+      |         list_transform(range(0, 64),
+      |           j -> CASE WHEN CAST('0x' || substr(md5('rp-' || i.i || '-' || j),
+      |                               1, 1) AS INT) % 2 = 0
+      |                     THEN 1 ELSE -1 END) AS r
+      |  FROM (SELECT unnest(range(8 * (SELECT bits FROM params))) AS i) i),
+      |pl AS (
+      |  SELECT v.vec_id, CAST(r.i // p.bits AS INT) AS band,
+      |         CASE WHEN ${dotSql("v.qv", "r.r")} > 0
+      |              THEN (1 << CAST(r.i % p.bits AS INT)) ELSE 0 END AS bit
+      |  FROM $src v, rp r, params p),
+      |bb AS (
+      |  SELECT vec_id, band, CAST(SUM(bit) AS INT) AS bucket
+      |  FROM pl GROUP BY vec_id, band),
+      |fl AS (
+      |  SELECT unnest(list_prepend(0, list_transform(range(0, p.bits),
+      |           j -> (1 << CAST(j AS INT))))) AS f
+      |  FROM params p),
+      |pr AS (
+      |  SELECT vec_id, band, CAST(xor(bucket, CAST(f AS INT)) AS INT) AS bucket
+      |  FROM bb, fl),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM pr a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.vec_id < b.vec_id),""".stripMargin
+
+  /** S16 — BLOCKING RECALL of the near-dup pair proposers, measured the
+    * way s11/s13 measure ANN recall: the d5 single-band sign bucket and
+    * the banded multi-probe blocking
+    * ([[Similarity.cosineNearDupPairsBanded]]) are each scored against
+    * the EXACT brute-force above-threshold pair set at cosine 0.4 on a
+    * deterministic query sample (pairs touching `vec_id % 20 = 0`). For
+    * dedup a blocking miss is wasted storage; for DECONTAMINATION (s15)
+    * it is a leaked eval pair — so the detector's recall must be a
+    * measured number, not an assumption (the oracle-green s15 row alone
+    * cannot reveal it: the oracle replays the same blocking). Measured
+    * at sf0.1: single-band 2% — the all-bits-equal bucket is tuned for
+    * near-1.0 cosine — vs 76% for 8 hyperplane bands with 1-bit
+    * multi-probe, which s15 adopts. The exact side is a broadcast
+    * nested-loop of the 1-in-20 query sample against the corpus
+    * (n²/20 — the s1 measurement shape, run at gate scales; at 100 TB
+    * you measure recall on exactly such a sample, never the full pair
+    * space).
+    */
+  val s16BlockingRecall = QueryDef("s16_blocking_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bits = Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings"))
+      val q = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), Similarity.quantize(col("embedding")).as("qv1"))
+      val c = emb.select(col("vec_id").as("cid"),
+        Similarity.quantize(col("embedding")).as("qv2"))
+      val dot = Similarity.dotQ(col("qv1"), col("qv2"))
+      val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
+      val rhs = (Similarity.normSqQ(col("qv1")) * Similarity.normSqQ(col("qv2")))
+        .cast("decimal(38,0)") * lit(400000L) * lit(400000L)
+      val exact = c.join(broadcast(q), col("qid") =!= col("cid"))
+        .filter(dot > 0 && lhs >= rhs)
+        .select(least(col("qid"), col("cid")).as("id1"),
+          greatest(col("qid"), col("cid")).as("id2"))
+        .distinct()
+      def recallRow(method: String, blocked: org.apache.spark.sql.DataFrame) =
+        exact.join(blocked.select(col("id1"), col("id2"))
+            .withColumn("hit", lit(1L)), Seq("id1", "id2"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            coalesce(sum(col("hit")), lit(0L)).as("hits"))
+          .withColumn("method", lit(method))
+      val plain = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        400000L, bits = bits)
+      val banded = Similarity.cosineNearDupPairsBanded(emb, "vec_id",
+        "embedding", 400000L, bands = 8, bitsPerBand = bits, probe1 = true)
+      recallRow("banded_probe1", banded)
+        .unionByName(recallRow("single_band", plain))
+        .withColumn("recall_ppm",
+          expr("hits * 1000000L div greatest(n_exact, 1L)"))
+        .select(col("method"), col("n_exact"), col("hits"), col("recall_ppm"))
+        .orderBy(col("method"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |$annParamsSql,
+      |ex AS (
+      |  SELECT DISTINCT least(q.vec_id, c.vec_id) AS id1,
+      |         greatest(q.vec_id, c.vec_id) AS id2
+      |  FROM qv q, qv c
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+      |    AND ${dotSql("q.qv", "c.qv")} > 0
+      |    AND CAST(${dotSql("q.qv", "c.qv")} AS HUGEINT) * ${dotSql("q.qv", "c.qv")}
+      |        * 1000000 * 1000000
+      |        >= CAST(${dotSql("q.qv", "q.qv")} AS HUGEINT) * ${dotSql("c.qv", "c.qv")}
+      |           * 400000 * 400000),
+      |bk AS (
+      |  SELECT vec_id, qv,
+      |         CAST(list_sum(list_transform(range(0, p.bits),
+      |           j -> CASE WHEN qv[CAST(j AS INT)+1] > 0
+      |                     THEN (1 << CAST(j AS INT)) ELSE 0 END)) AS INT) AS bucket
+      |  FROM qv, params p),
+      |plain AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  WHERE ${dotSql("a.qv", "b.qv")} > 0
+      |    AND CAST(${dotSql("a.qv", "b.qv")} AS HUGEINT) * ${dotSql("a.qv", "b.qv")}
+      |        * 1000000 * 1000000
+      |        >= CAST(${dotSql("a.qv", "a.qv")} AS HUGEINT) * ${dotSql("b.qv", "b.qv")}
+      |           * 400000 * 400000),
+      |${bandedBlockSql("qv")}
+      |banded AS (
+      |  SELECT c.id1, c.id2 FROM cand c
+      |  JOIN qv x ON x.vec_id = c.id1 JOIN qv y ON y.vec_id = c.id2
+      |  WHERE ${dotSql("x.qv", "y.qv")} > 0
+      |    AND CAST(${dotSql("x.qv", "y.qv")} AS HUGEINT) * ${dotSql("x.qv", "y.qv")}
+      |        * 1000000 * 1000000
+      |        >= CAST(${dotSql("x.qv", "x.qv")} AS HUGEINT) * ${dotSql("y.qv", "y.qv")}
+      |           * 400000 * 400000),
+      |scored AS (
+      |  SELECT 'banded_probe1' AS method, COUNT(*) AS n_exact,
+      |         CAST(COALESCE(SUM(CASE WHEN b.id1 IS NOT NULL THEN 1 ELSE 0 END), 0)
+      |              AS BIGINT) AS hits
+      |  FROM ex e LEFT JOIN banded b ON e.id1 = b.id1 AND e.id2 = b.id2
+      |  UNION ALL
+      |  SELECT 'single_band' AS method, COUNT(*) AS n_exact,
+      |         CAST(COALESCE(SUM(CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END), 0)
+      |              AS BIGINT) AS hits
+      |  FROM ex e LEFT JOIN plain p ON e.id1 = p.id1 AND e.id2 = p.id2)
+      |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, hits,
+      |       CAST(hits * 1000000 // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
+      |FROM scored ORDER BY method
       |""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
@@ -4595,5 +4738,5 @@ object PipelineQueries {
     d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct,
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
     t41ShardBucketed, t42BpeTrain, d21LshAccreted, t43BpeEncode,
-    s15SemanticLeakage)
+    s15SemanticLeakage, s16BlockingRecall)
 }

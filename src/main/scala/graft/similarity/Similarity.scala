@@ -619,6 +619,79 @@ object Similarity {
     * `dot > 0 && dot^2 * 10^12 >= t^2 * |a|^2 * |b|^2` — no float boundary.
     * Pairs are blocked by sign bucket (near-identical vectors share it).
     */
+  /** Banded multi-probe blocking for [[cosineNearDupPairsBanded]]: one
+    * row per (id, band) with that band's sign bucket over `bitsPerBand`
+    * DETERMINISTIC RANDOM HYPERPLANES (Rademacher rows of
+    * [[rademacherMatrix]], hyperplane index `band*bitsPerBand + j`) —
+    * the general form of [[signBucket]]'s axis-aligned planes. Using
+    * hyperplanes instead of raw dimensions frees the band budget from
+    * the 64-dim axis supply: 8 bands × 24 bits needs 192 planes, which
+    * axis slicing cannot provide but the hash-derived matrix can, so
+    * the bucket count per band keeps scaling with the corpus while the
+    * band count (the recall lever) stays fixed.
+    */
+  def bandedSignBuckets(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bitsPerBand: Int, dims: Int = 64): DataFrame = {
+    require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 30,
+      s"need bands > 0 and 0 < bitsPerBand <= 30, got $bands/$bitsPerBand")
+    val rows = rademacherMatrix(bands * bitsPerBand, dims)
+    index(widen(df)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .select(col("id"), col("qv"),
+        explode(array((0 until bands).map { t =>
+          val bucket = (0 until bitsPerBand).map { j =>
+            when(dotQ(col("qv"),
+                typedLit(rows(t * bitsPerBand + j).toSeq)) > lit(0L),
+              lit(1 << j)).otherwise(lit(0))
+          }.reduce(_ + _)
+          struct(lit(t).as("band"), bucket.as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("qv"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+  }
+
+  /** [[cosineNearDupPairs]] with MEASURABLY higher recall at moderate
+    * thresholds: candidates are proposed when the endpoints' sign
+    * buckets agree in ANY of `bands` independent hyperplane bands,
+    * optionally widened by 1-bit multi-probe (`probe1`: each row also
+    * probes the `bitsPerBand` one-bit-flip neighbor buckets, i.e. a
+    * band proposes at Hamming distance ≤ 1). Confirmation is the same
+    * exact integer cosine test — blocking only ever costs recall, never
+    * precision, and the s16 gate measures that recall against the
+    * brute-force pair set (sf0.1 @ cosine 0.4: single-band 2%, 8 bands
+    * + probe 76%). Cost model per corpus row: bands·bitsPerBand
+    * codegen'd dots scan-side, then (probe1 ? bitsPerBand+1 : 1)·bands
+    * bucket-join probes of ~targetBucketSize candidates each — linear
+    * in the corpus with a tunable constant, never all-pairs. The
+    * residual miss mass is LSH-fundamental at cosine 0.4 (per-plane
+    * agreement ~0.63); raise `bands` to buy recall linearly in cost.
+    */
+  def cosineNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+      thresholdPpm: Long, bands: Int, bitsPerBand: Int,
+      probe1: Boolean = true): DataFrame = {
+    val base = bandedSignBuckets(df, idCol, vecCol, bands, bitsPerBand)
+    val flips = if (probe1) 0 to bitsPerBand else 0 to 0
+    val probes = base.select(col("id").as("id1"), col("qv").as("v1"),
+      col("band"),
+      explode(array(flips.map(f =>
+        if (f == 0) col("bucket")
+        else col("bucket").bitwiseXOR(lit(1 << (f - 1)))): _*)).as("bucket"))
+    val cand = probes.join(
+        base.select(col("id").as("id2"), col("qv").as("v2"),
+          col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+    val dot = dotQ(col("v1"), col("v2"))
+    val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
+    val rhs = (normSqQ(col("v1")) * normSqQ(col("v2"))).cast("decimal(38,0)") *
+      lit(thresholdPpm) * lit(thresholdPpm)
+    // a pair can collide in several (band, probe) cells — at most one per
+    // band — so dedupe the (small) confirmed set, not the candidate space
+    cand.filter(dot > 0 && lhs >= rhs)
+      .select(col("id1"), col("id2"), dot.as("dot_q"))
+      .distinct()
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       thresholdPpm: Long, bits: Int = 8): DataFrame = {
     val q = index(df

@@ -273,6 +273,57 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("banded multi-probe pairs: exact precision, dominant recall, planted dup found") {
+    // plant an exact duplicate under a fresh id — hamming 0 in every band,
+    // so the banded blocking must ALWAYS propose it
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val emb = base.unionByName(base.filter(col("vec_id") === 40L)
+      .withColumn("vec_id", lit(990000L)))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.cosineNearDupPairsBanded(emb, "vec_id",
+      "embedding", 400000L, bands = 8, bitsPerBand = 8, probe1 = true)
+    val bandedRows = banded.collect()
+    val bandedPairs = bandedRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bandedPairs.contains((40L, 990000L)), "planted dup must be found")
+    assert(bandedRows.length == bandedPairs.size, "no duplicate pair rows")
+    assert(bandedPairs.forall { case (a, b) => a < b }, "canonical id order")
+    // precision is EXACT: every emitted pair passes the integer threshold
+    // test, replayed locally over the quantized vectors
+    val qv = emb.select(col("vec_id"), Similarity.quantize(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map(_ * _).sum
+    def above(a: Long, b: Long): Boolean = {
+      val d = dot(qv(a), qv(b))
+      d > 0 && BigInt(d) * BigInt(d) * BigInt(1000000L) * BigInt(1000000L) >=
+        BigInt(dot(qv(a), qv(a))) * BigInt(dot(qv(b), qv(b))) *
+          BigInt(400000L) * BigInt(400000L)
+    }
+    bandedRows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(above(a, b), s"($a,$b) below threshold — precision broken")
+      assert(r.getLong(2) == dot(qv(a), qv(b)), "dot_q must be the exact dot")
+    }
+    // recall: against the local brute-force pair set, the banded blocking
+    // strictly dominates the single sign bucket and clears 50% here
+    val ids = qv.keys.toSeq.sorted
+    val exact = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      if above(ids(i), ids(j))
+    } yield (ids(i), ids(j))).toSet
+    val plain = pairSet(Similarity.cosineNearDupPairs(emb, "vec_id",
+      "embedding", 400000L, bits = 8))
+    val rb = (bandedPairs & exact).size.toDouble / exact.size
+    val rp = (plain & exact).size.toDouble / exact.size
+    assert(rb > rp, f"banded recall $rb%.2f must beat single-band $rp%.2f")
+    assert(rb >= 0.5, f"banded recall $rb%.2f unexpectedly low")
+    // the 1-bit probe only ever ADDS candidates
+    val noProbe = pairSet(Similarity.cosineNearDupPairsBanded(emb, "vec_id",
+      "embedding", 400000L, bands = 8, bitsPerBand = 8, probe1 = false))
+    assert(noProbe.subsetOf(bandedPairs), "probe must be candidate-additive")
+  }
+
   test("IVF: identical vectors share a centroid list; top-k finds the twin") {
     val df = vecs.toDF("vec_id", "embedding")
     val assigned = Similarity.ivfAssign(
