@@ -4715,6 +4715,156 @@ object PipelineQueries {
       |FROM scored ORDER BY method
       |""".stripMargin))
 
+  /** S17 — k-NN GRAPH over the banded candidates
+    * ([[Similarity.knnGraphBanded]]): every corpus vector's top-5
+    * neighbors among its banded multi-probe proposals — the build step
+    * of semantic-dedup sweeps and graph indexes, where EVERY node is a
+    * query (s1/s2 rank a 1-in-20 sample; a graph build cannot sample).
+    * Per-node work is candidate-bounded (≤ bands·(bits+1)·bucket-size),
+    * the ranking window partitions on the node (bounded lists, never a
+    * corpus-wide partition), and recall inherits s16's measured blocking
+    * curve. The oracle replays the shared blocking fragment, mirrors the
+    * directed candidate set from the canonical pair CTE, and re-ranks
+    * with the same (cosine desc, neighbor) order.
+    */
+  val s17KnnGraph = QueryDef("s17_knn_graph",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnGraphBanded(emb, "vec_id", "embedding", k = 5,
+          bands = 8,
+          bitsPerBand =
+            Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")),
+          probe1 = true)
+        .orderBy(col("node_id"), col("rank"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |$annParamsSql,
+      |${bandedBlockSql("qv")}
+      |sym AS (
+      |  SELECT id1, id2 FROM cand
+      |  UNION ALL
+      |  SELECT id2 AS id1, id1 AS id2 FROM cand),
+      |scored AS (
+      |  SELECT s.id1 AS node_id, s.id2 AS neighbor_id,
+      |         ${dotSql("x.qv", "y.qv")} AS dot_q,
+      |         CASE WHEN ${dotSql("x.qv", "x.qv")} > 0 AND ${dotSql("y.qv", "y.qv")} > 0
+      |              THEN CAST(${dotSql("x.qv", "y.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("x.qv", "x.qv")} * ${dotSql("y.qv", "y.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM sym s JOIN qv x ON x.vec_id = s.id1 JOIN qv y ON y.vec_id = s.id2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY node_id
+      |            ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT node_id, CAST(rank AS INT) AS rank, neighbor_id, dot_q, cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY node_id, rank
+      |""".stripMargin))
+
+  /** D22 — SEMANTIC dedup clusters, keep-one (the SemDeDup pass):
+    * connected components over banded near-dup pairs at cosine ≥ 0.9,
+    * electing per cluster the largest-norm member (ties → smallest id)
+    * and reporting how many rows a keep-one prune drops. 0.9 — not
+    * s15's 0.4 — because transitive closure at a leakage threshold is
+    * meaningless (measured at sf1: the 0.4 graph is ONE 19,936-node
+    * component; at 0.9 components are genuine duplicate groups), and
+    * the banded blocking's recall RISES with the threshold (per-plane
+    * agreement ~0.86 at 0.9 → ~0.9999 over 8 probed bands, vs the
+    * measured 62-86% at 0.4 — s16's curve). The gate corpus plants two
+    * re-ingest tiers (the m4/d18 pattern): every `vec_id % 17 = 0`
+    * embedding re-enters verbatim under +10⁷, every `% 34 = 0` also as
+    * a HALF-SCALED copy (+2·10⁷, a renormalization artifact: same
+    * direction, so cosine ~1, but half the norm) — so clusters of size
+    * 2 AND 3 exist at every scale, and the norm-argmax election is
+    * exercised by data, not only by tie-break. Components stay O(plant)
+    * small, so the oracle's recursive closure is cheap at sf1 (unlike a
+    * 0.4-threshold closure, which would be a 20k-node recursion).
+    */
+  val d22SemanticClusters = QueryDef("d22_semantic_clusters",
+    (s, dir) => {
+      val emb0 = t(s, dir, "embeddings")
+      val aug = emb0
+        .unionByName(emb0.filter(col("vec_id") % 17 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000000L))
+        .unionByName(emb0.filter(col("vec_id") % 34 === 0)
+          .withColumn("vec_id", col("vec_id") + 20000000L)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x * lit(0.5f))))
+      val pairs = Similarity.cosineNearDupPairsBanded(aug, "vec_id",
+          "embedding", 900000L, bands = 8,
+          bitsPerBand =
+            Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")),
+          probe1 = true)
+        .select(col("id1"), col("id2"))
+      val members = graft.dedup.DupClusters
+        .connectedComponents(pairs, "id1", "id2")
+      val norms = aug.select(col("vec_id").as("id"),
+        Similarity.normSqQ(Similarity.quantize(col("embedding")))
+          .as("norm_sq"))
+      members.join(norms, Seq("id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min(struct((-col("norm_sq")).as("neg_norm"), col("id"),
+            col("norm_sq"))).as("best"))
+        .select(col("cluster_id"), col("cluster_size"),
+          col("best.id").as("keep_id"),
+          col("best.norm_sq").as("keep_norm_sq"),
+          (col("cluster_size") - 1L).as("n_pruned"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      |WITH RECURSIVE aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+      |  FROM embeddings WHERE vec_id % 17 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 20000000,
+      |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+      |  FROM embeddings WHERE vec_id % 34 = 0),
+      |qv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      |  FROM aug),
+      |$annParamsSql,
+      |${bandedBlockSql("qv")}
+      |conf AS (
+      |  SELECT c.id1, c.id2 FROM cand c
+      |  JOIN qv x ON x.vec_id = c.id1 JOIN qv y ON y.vec_id = c.id2
+      |  WHERE ${dotSql("x.qv", "y.qv")} > 0
+      |    AND CAST(${dotSql("x.qv", "y.qv")} AS HUGEINT) * ${dotSql("x.qv", "y.qv")}
+      |        * 1000000 * 1000000
+      |        >= CAST(${dotSql("x.qv", "x.qv")} AS HUGEINT) * ${dotSql("y.qv", "y.qv")}
+      |           * 900000 * 900000),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM conf
+      |  UNION
+      |  SELECT id2, id1 FROM conf),
+      |reach AS (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (
+      |  SELECT node AS id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+      |nrm AS (
+      |  SELECT vec_id AS id, ${dotSql("qv", "qv")} AS norm_sq FROM qv),
+      |ranked AS (
+      |  SELECT c.cluster_id,
+      |         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+      |         n.id, n.norm_sq,
+      |         row_number() OVER (PARTITION BY c.cluster_id
+      |           ORDER BY n.norm_sq DESC, n.id ASC) AS rn
+      |  FROM comp c JOIN nrm n ON n.id = c.id)
+      |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+      |       id AS keep_id, norm_sq AS keep_norm_sq,
+      |       CAST(cluster_size - 1 AS BIGINT) AS n_pruned
+      |FROM ranked WHERE rn = 1
+      |ORDER BY cluster_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -4738,5 +4888,5 @@ object PipelineQueries {
     d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct,
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
     t41ShardBucketed, t42BpeTrain, d21LshAccreted, t43BpeEncode,
-    s15SemanticLeakage, s16BlockingRecall)
+    s15SemanticLeakage, s16BlockingRecall, s17KnnGraph, d22SemanticClusters)
 }

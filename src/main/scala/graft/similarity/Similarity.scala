@@ -666,9 +666,16 @@ object Similarity {
     * residual miss mass is LSH-fundamental at cosine 0.4 (per-plane
     * agreement ~0.63); raise `bands` to buy recall linearly in cost.
     */
-  def cosineNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
-      thresholdPpm: Long, bands: Int, bitsPerBand: Int,
-      probe1: Boolean = true): DataFrame = {
+  /** Un-deduped banded candidate stream `(band, bucket, id1, v1, id2,
+    * v2)`: the probe-side row proposes every base-side row sharing any
+    * band cell within Hamming ≤ 1 (when `probe1`). BOTH ordered
+    * directions of a colliding pair appear (each side probes), at most
+    * once per band — callers canonicalize (`id1 < id2`) or keep
+    * directions (k-NN graph) and dedupe on their own projection.
+    */
+  private def bandedCandidatesRaw(df: DataFrame, idCol: String,
+      vecCol: String, bands: Int, bitsPerBand: Int,
+      probe1: Boolean): DataFrame = {
     val base = bandedSignBuckets(df, idCol, vecCol, bands, bitsPerBand)
     val flips = if (probe1) 0 to bitsPerBand else 0 to 0
     val probes = base.select(col("id").as("id1"), col("qv").as("v1"),
@@ -676,10 +683,17 @@ object Similarity {
       explode(array(flips.map(f =>
         if (f == 0) col("bucket")
         else col("bucket").bitwiseXOR(lit(1 << (f - 1)))): _*)).as("bucket"))
-    val cand = probes.join(
-        base.select(col("id").as("id2"), col("qv").as("v2"),
-          col("band"), col("bucket")),
-        Seq("band", "bucket"))
+    probes.join(
+      base.select(col("id").as("id2"), col("qv").as("v2"),
+        col("band"), col("bucket")),
+      Seq("band", "bucket"))
+  }
+
+  def cosineNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+      thresholdPpm: Long, bands: Int, bitsPerBand: Int,
+      probe1: Boolean = true): DataFrame = {
+    val cand = bandedCandidatesRaw(df, idCol, vecCol, bands, bitsPerBand,
+        probe1)
       .filter(col("id1") < col("id2"))
     val dot = dotQ(col("v1"), col("v2"))
     val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
@@ -690,6 +704,39 @@ object Similarity {
     cand.filter(dot > 0 && lhs >= rhs)
       .select(col("id1"), col("id2"), dot.as("dot_q"))
       .distinct()
+  }
+
+  /** k-NN GRAPH construction — every corpus vector's top-k cosine
+    * neighbors among its banded multi-probe candidates: the corpus-scale
+    * ANN-graph primitive behind semantic dedup sweeps, graph clustering,
+    * and graph-based retrieval indexes. Directions are kept (each node
+    * ranks ITS candidate list; the collision relation is symmetric so
+    * both directions exist), ranking is deterministic (cosine desc,
+    * neighbor id). Unlike the top-k queries (s1/s2), EVERY node is a
+    * query — so the per-node work must be candidate-bounded, never
+    * corpus-bounded: ≤ bands·(bitsPerBand+1)·bucket-size candidates per
+    * node, deduped on the scored projection, ranked by a per-node window
+    * whose partitions are that bounded list. Recall inherits the
+    * measured s16 blocking curve.
+    */
+  def knnGraphBanded(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      bands: Int, bitsPerBand: Int, probe1: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = bandedCandidatesRaw(df, idCol, vecCol, bands, bitsPerBand,
+        probe1)
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1").as("node_id"), col("id2").as("neighbor_id"),
+        dotQ(col("v1"), col("v2")).as("dot_q"),
+        normSqQ(col("v1")).as("__n1"), normSqQ(col("v2")).as("__n2"))
+      .distinct()
+      .withColumn("cosine",
+        cosineFromQ(col("dot_q"), col("__n1"), col("__n2")))
+    val w = Window.partitionBy(col("node_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("node_id"), col("rank"), col("neighbor_id"),
+        col("dot_q"), col("cosine"))
   }
 
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -324,6 +324,27 @@ class SimilaritySpec extends SparkSpec {
     assert(noProbe.subsetOf(bandedPairs), "probe must be candidate-additive")
   }
 
+  test("knn graph: planted dup is its twin's rank-1; ranks dense; directions kept") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val emb = base.unionByName(base.filter(col("vec_id") === 40L)
+      .withColumn("vec_id", lit(990000L)))
+    val g = Similarity.knnGraphBanded(emb, "vec_id", "embedding", k = 3,
+      bands = 8, bitsPerBand = 8, probe1 = true).collect()
+    val byNode = g.groupBy(_.getAs[Long]("node_id"))
+    // the identical pair ranks each other first, in BOTH directions
+    def rank1(node: Long) = byNode(node)
+      .find(_.getAs[Int]("rank") == 1).get.getAs[Long]("neighbor_id")
+    assert(rank1(40L) == 990000L && rank1(990000L) == 40L)
+    // ranks are dense 1..deg≤k per node; no self edges; no dup neighbors
+    byNode.foreach { case (node, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length), s"ranks not dense for $node")
+      assert(rows.length <= 3)
+      val nbrs = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(!nbrs.contains(node) && nbrs.distinct.length == nbrs.length)
+    }
+  }
+
   test("IVF: identical vectors share a centroid list; top-k finds the twin") {
     val df = vecs.toDF("vec_id", "embedding")
     val assigned = Similarity.ivfAssign(
