@@ -4865,6 +4865,62 @@ object PipelineQueries {
       |ORDER BY cluster_id
       |""".stripMargin))
 
+  /** T44 — temperature-scaled mixture allocation
+    * ([[graft.sampling.Sampling.temperatureMixAllocation]]): the τ=½
+    * multilingual mixing plan — per-language token budget ∝ √supply,
+    * capped at supply, one deterministic surplus-redistribution round.
+    * On the gate corpus English holds ~3× any other language's tokens,
+    * so at 900‰ budget the small languages genuinely cap and the
+    * redistribution branch runs on data at every scale. One corpus
+    * aggregate, then pure integer arithmetic on a 5-row frame against
+    * two broadcast 1-row totals — no window, no iteration; the oracle
+    * replays every division in the same pinned order.
+    */
+  val t44TemperatureMix = QueryDef("t44_temperature_mix",
+    (s, dir) => graft.sampling.Sampling
+      .temperatureMixAllocation(t(s, dir, "documents"), "lang",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        budgetPermille = 900L)
+      .orderBy(col("lang")),
+    Some(s"""
+      |WITH $tokSql,
+      |sup AS (
+      |  SELECT lang, CAST(SUM(len(tk)) AS BIGINT) AS supply_tokens
+      |  FROM toks GROUP BY lang),
+      |w AS (
+      |  SELECT lang, supply_tokens,
+      |         CAST(floor(sqrt(CAST(supply_tokens AS DOUBLE))) AS BIGINT)
+      |           AS weight_s
+      |  FROM sup),
+      |tot AS (
+      |  SELECT CAST(SUM(supply_tokens) AS BIGINT) AS t,
+      |         CAST(SUM(weight_s) AS BIGINT) AS sw
+      |  FROM w),
+      |a1 AS (
+      |  SELECT w.lang, w.supply_tokens, w.weight_s, t.sw,
+      |         t.t * 900 // 1000 AS budget,
+      |         (t.t * 900 // 1000) * w.weight_s // t.sw AS naive,
+      |         least(w.supply_tokens,
+      |               (t.t * 900 // 1000) * w.weight_s // t.sw) AS alloc1
+      |  FROM w, tot t),
+      |t2 AS (
+      |  SELECT CAST(SUM(alloc1) AS BIGINT) AS a1s,
+      |         CAST(SUM(supply_tokens - alloc1) AS BIGINT) AS head
+      |  FROM a1)
+      |SELECT lang, supply_tokens, weight_s,
+      |       CAST(weight_s * 1000000 // sw AS BIGINT) AS target_ppm,
+      |       CAST(alloc1 + least(supply_tokens - alloc1,
+      |              (budget - a1s) * (supply_tokens - alloc1)
+      |                // greatest(head, 1)) AS BIGINT) AS alloc_tokens,
+      |       CAST(naive >= supply_tokens AS INT) AS capped,
+      |       CAST((alloc1 + least(supply_tokens - alloc1,
+      |              (budget - a1s) * (supply_tokens - alloc1)
+      |                // greatest(head, 1))) * 1000000
+      |            // greatest(supply_tokens, 1) AS BIGINT) AS fill_ppm
+      |FROM a1, t2
+      |ORDER BY lang
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -4888,5 +4944,6 @@ object PipelineQueries {
     d18Containment, t37HllBySource, t38BackoffSurprisal, e10RollingDistinct,
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
     t41ShardBucketed, t42BpeTrain, d21LshAccreted, t43BpeEncode,
-    s15SemanticLeakage, s16BlockingRecall, s17KnnGraph, d22SemanticClusters)
+    s15SemanticLeakage, s16BlockingRecall, s17KnnGraph, d22SemanticClusters,
+    t44TemperatureMix)
 }

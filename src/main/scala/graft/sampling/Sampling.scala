@@ -174,6 +174,58 @@ object Sampling {
         greatest(col("col.w"), col("tau")).as("est_w"))
   }
 
+  /** Temperature-scaled mixture allocation (τ = ½, the multilingual
+    * mixing rule): allocate a global token budget across strata with
+    * weights ∝ √supply — low-resource strata upweighted relative to
+    * their supply share — capped at each stratum's supply, with ONE
+    * deterministic redistribution round of the capped surplus
+    * proportional to remaining headroom. Everything after the single
+    * corpus aggregate is integer arithmetic on a strata-sized frame
+    * (√ via floor(sqrt(double)) — IEEE-correctly-rounded on any
+    * engine, so the floor is deterministic): one groupBy scan, two
+    * broadcast 1-row totals, no windows, no iteration. At 100 TB this
+    * is the mixture-planning step a training pipeline runs before
+    * sharding; its cost is the scan.
+    *
+    * Output per stratum: `supply_tokens`, `weight_s` (=⌊√supply⌋),
+    * `target_ppm` (temperature share), `alloc_tokens`, `capped`
+    * (1 when the naive target exceeded supply), `fill_ppm`
+    * (alloc/supply). `budgetPermille` is the budget as a share of the
+    * total supply; at 900‰ small strata genuinely cap on the gate
+    * corpus, so the redistribution path is data-exercised.
+    */
+  def temperatureMixAllocation(docs: DataFrame, groupCol: String,
+      tokens: Column, budgetPermille: Long = 900L): DataFrame = {
+    require(budgetPermille > 0 && budgetPermille <= 1000,
+      s"budgetPermille must be in (0, 1000], got $budgetPermille")
+    val supply = docs.groupBy(col(groupCol))
+      .agg(sum(tokens).as("supply_tokens"))
+      .withColumn("weight_s",
+        floor(sqrt(col("supply_tokens").cast("double"))).cast("bigint"))
+      .localCheckpoint(false)
+    val tot = supply.agg(sum(col("supply_tokens")).as("__tot"),
+      sum(col("weight_s")).as("__sw"))
+    val a1 = supply.crossJoin(broadcast(tot))
+      .withColumn("__budget", expr(s"__tot * $budgetPermille div 1000"))
+      .withColumn("__naive", expr("__budget * weight_s div __sw"))
+      .withColumn("__alloc1", least(col("supply_tokens"), col("__naive")))
+    val tot2 = a1.agg(sum(col("__alloc1")).as("__a1"),
+      sum(expr("supply_tokens - __alloc1")).as("__head"))
+    a1.crossJoin(broadcast(tot2))
+      .withColumn("alloc_tokens", expr(
+        "__alloc1 + least(supply_tokens - __alloc1, " +
+          "(__budget - __a1) * (supply_tokens - __alloc1) " +
+          "div greatest(__head, 1L))"))
+      .withColumn("target_ppm", expr("weight_s * 1000000L div __sw"))
+      .withColumn("capped",
+        (col("__naive") >= col("supply_tokens")).cast("int"))
+      .withColumn("fill_ppm",
+        expr("alloc_tokens * 1000000L div greatest(supply_tokens, 1L)"))
+      .select(col(groupCol), col("supply_tokens"), col("weight_s"),
+        col("target_ppm"), col("alloc_tokens"), col("capped"),
+        col("fill_ppm"))
+  }
+
   /** Per-stratum quota sample: the `quota` rows of each stratum with the
     * smallest (uniform, key) — deterministic, order-free, and exactly
     * `min(quota, |stratum|)` rows per stratum (language-balanced corpus

@@ -179,4 +179,41 @@ class SamplingSpec extends SparkSpec {
       col("w7") * 200000L).select("k").as[Long].collect().toSet == perRow,
       "partition-independent")
   }
+
+  test("temperature mix: conservation, caps bind at supply, surplus redistributes") {
+    // one dominant stratum (en) and three small ones — the small ones must
+    // cap at supply and en must absorb the surplus
+    val docs = Seq.tabulate(400) { i =>
+      val lang = if (i % 4 != 0) "en" else Seq("de", "fr", "zh")(i % 3)
+      (i.toLong, lang, 10L + i % 5)
+    }.toDF("id", "lang", "tok")
+    val out = Sampling
+      .temperatureMixAllocation(docs, "lang", col("tok"), budgetPermille = 900L)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val supply = out.map { case (l, r) => l -> r.getAs[Long]("supply_tokens") }
+    val alloc = out.map { case (l, r) => l -> r.getAs[Long]("alloc_tokens") }
+    val budget = supply.values.sum * 900 / 1000
+    out.foreach { case (l, r) =>
+      assert(alloc(l) <= supply(l), s"$l allocated beyond supply")
+      assert(r.getAs[Long]("weight_s") ==
+        math.sqrt(supply(l).toDouble).toLong)
+      if (r.getAs[Int]("capped") == 1)
+        assert(r.getAs[Long]("fill_ppm") == 1000000L, s"$l capped but not full")
+    }
+    assert(alloc.values.sum <= budget, "allocation must not exceed budget")
+    // integer-division remainders only: the budget is spent to within
+    // one token per stratum
+    assert(budget - alloc.values.sum <= out.size.toLong,
+      "surplus must redistribute (headroom existed)")
+    assert(out("de").getAs[Int]("capped") == 1)
+    assert(out("en").getAs[Int]("capped") == 0)
+    assert(alloc("en") > budget * out("en").getAs[Long]("weight_s") /
+      out.values.map(_.getAs[Long]("weight_s")).sum,
+      "en must receive redistributed surplus above its naive share")
+    // degenerate: budget 1000‰ fills everything exactly
+    val full = Sampling
+      .temperatureMixAllocation(docs, "lang", col("tok"), budgetPermille = 1000L)
+      .collect()
+    full.foreach(r => assert(r.getAs[Long]("fill_ppm") == 1000000L))
+  }
 }
