@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import graft.similarity.Similarity
+import graft.similarity.{Similarity, VecIndex}
 import graft.text.TextAnalysis
 
 /** Oracle-checked queries for the training-data pipeline operators
@@ -4921,6 +4921,85 @@ object PipelineQueries {
       |ORDER BY lang
       |""".stripMargin))
 
+  /** Session-memoized ACCRETED vector store for s18 (the d21 stance):
+    * bootstrap write of one third of the corpus + two sequential appends
+    * — the incremental ingest path, not a one-shot build — so the gate
+    * probes the store a long-lived pipeline would actually have.
+    */
+  private val vecStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def vecStoreDir(s: SparkSession, dir: String): String =
+    vecStoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-vecstore").toString + "/vidx"
+        val emb = t(s, dir, "embeddings")
+        VecIndex.writeVecIndex(emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", path, bands = 8,
+          bitsPerBand =
+            Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")),
+          nBuckets = 64)
+        VecIndex.appendToVecIndex(emb.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding", path)
+        VecIndex.appendToVecIndex(emb.filter(col("vec_id") % 3 === 2),
+          "vec_id", "embedding", path)
+        path
+      })
+
+  /** S18 — persisted banded VECTOR store, accreted and probed
+    * ([[graft.similarity.VecIndex]]): the embedding twin of the d14/d21
+    * text LSH store — quantize + band the embedding history once,
+    * append increments with the stored parameters, and answer "which
+    * history is this new batch semantically near?" via a directory-
+    * pruned band read + exact integer-cosine confirm at the 0.9 dedup
+    * threshold. The probe batch is the planted re-ingest tier (verbatim
+    * copies under fresh ids, NOT appended), so every probe must find
+    * exactly its original through the store. The oracle is STORE-FREE:
+    * it replays the banded blocking between probe and corpus from raw
+    * embeddings — an accretion bug (dropped append rows, mis-banded
+    * increment, meta drift) changes the store output and hash-
+    * mismatches while the oracle stands still.
+    */
+  val s18VecStore = QueryDef("s18_vec_store",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+      VecIndex.probeVecIndex(s, probes, "vec_id", "embedding",
+          vecStoreDir(s, dir), 900000L)
+        .orderBy(col("probe_id"), col("corpus_id"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |$annParamsSql,
+      |${bandedBlockSql("qv")}
+      |pbb AS (
+      |  SELECT vec_id + 10000000 AS probe_id, vec_id AS orig_id,
+      |         band, bucket
+      |  FROM bb WHERE vec_id % 17 = 0),
+      |ppr AS (
+      |  SELECT probe_id, orig_id, band,
+      |         CAST(xor(bucket, CAST(f AS INT)) AS INT) AS bucket
+      |  FROM pbb, fl),
+      |cands AS (
+      |  SELECT DISTINCT p.probe_id, p.orig_id, b.vec_id AS corpus_id
+      |  FROM ppr p JOIN bb b ON p.band = b.band AND p.bucket = b.bucket),
+      |conf AS (
+      |  SELECT c.probe_id, c.corpus_id,
+      |         ${dotSql("x.qv", "y.qv")} AS dot_q
+      |  FROM cands c
+      |  JOIN qv x ON x.vec_id = c.orig_id
+      |  JOIN qv y ON y.vec_id = c.corpus_id
+      |  WHERE c.probe_id <> c.corpus_id
+      |    AND ${dotSql("x.qv", "y.qv")} > 0
+      |    AND CAST(${dotSql("x.qv", "y.qv")} AS HUGEINT) * ${dotSql("x.qv", "y.qv")}
+      |        * 1000000 * 1000000
+      |        >= CAST(${dotSql("x.qv", "x.qv")} AS HUGEINT) * ${dotSql("y.qv", "y.qv")}
+      |           * 900000 * 900000)
+      |SELECT probe_id, corpus_id, dot_q FROM conf
+      |ORDER BY probe_id, corpus_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -4945,5 +5024,5 @@ object PipelineQueries {
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
     t41ShardBucketed, t42BpeTrain, d21LshAccreted, t43BpeEncode,
     s15SemanticLeakage, s16BlockingRecall, s17KnnGraph, d22SemanticClusters,
-    t44TemperatureMix)
+    t44TemperatureMix, s18VecStore)
 }

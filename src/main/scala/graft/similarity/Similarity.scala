@@ -631,23 +631,34 @@ object Similarity {
     * band count (the recall lever) stays fixed.
     */
   def bandedSignBuckets(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bitsPerBand: Int, dims: Int = 64): DataFrame =
+    bandedSignBucketsQ(
+      index(widen(df)
+        .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))),
+      "id", "qv", bands, bitsPerBand, dims)
+
+  /** [[bandedSignBuckets]] over an ALREADY-QUANTIZED frame — the form a
+    * persisted index path uses so one quantization feeds both the
+    * vector sidecar and the band rows. Output columns are named after
+    * the input (`idCol`, `qvCol`) plus `band`/`bucket`.
+    */
+  def bandedSignBucketsQ(qdf: DataFrame, idCol: String, qvCol: String,
       bands: Int, bitsPerBand: Int, dims: Int = 64): DataFrame = {
     require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 30,
       s"need bands > 0 and 0 < bitsPerBand <= 30, got $bands/$bitsPerBand")
     val rows = rademacherMatrix(bands * bitsPerBand, dims)
-    index(widen(df)
-      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
-      .select(col("id"), col("qv"),
+    qdf
+      .select(col(idCol), col(qvCol),
         explode(array((0 until bands).map { t =>
           val bucket = (0 until bitsPerBand).map { j =>
-            when(dotQ(col("qv"),
+            when(dotQ(col(qvCol),
                 typedLit(rows(t * bitsPerBand + j).toSeq)) > lit(0L),
               lit(1 << j)).otherwise(lit(0))
           }.reduce(_ + _)
           struct(lit(t).as("band"), bucket.as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("qv"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket")))
+        }: _*)).as("__bb"))
+      .select(col(idCol), col(qvCol),
+        col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
   }
 
   /** [[cosineNearDupPairs]] with MEASURABLY higher recall at moderate

@@ -1,0 +1,127 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted banded vector store: accreted probe ≡ one-shot build,
+  * directory pruning, torn-append crash repair, and meta immutability.
+  */
+class VecIndexSpec extends SparkSpec {
+
+  private def base = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def probes = base.filter(col("vec_id") % 17 === 0)
+    .withColumn("vec_id", col("vec_id") + 900000L)
+
+  private def probeSet(path: String) =
+    VecIndex.probeVecIndex(spark, probes, "vec_id", "embedding",
+        path, 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("accreted store probe-identical to a one-shot build; planted dups found") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx")
+    try {
+      val oneShot = s"$dir/one"
+      val accreted = s"$dir/acc"
+      VecIndex.writeVecIndex(base, "vec_id", "embedding", oneShot,
+        bands = 8, bitsPerBand = 8, nBuckets = 16)
+      VecIndex.writeVecIndex(base.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", accreted, bands = 8, bitsPerBand = 8,
+        nBuckets = 16)
+      VecIndex.appendToVecIndex(base.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", accreted)
+      VecIndex.appendToVecIndex(base.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding", accreted)
+      val a = probeSet(accreted)
+      assert(a == probeSet(oneShot), "accretion must be invisible to probes")
+      // every verbatim re-ingest finds exactly its original at 0.9
+      val expected = base.filter(col("vec_id") % 17 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(a.map(_._2) == expected, s"probe hits ${a.map(_._2)}")
+      a.foreach { case (p, c, _) => assert(p == c + 900000L) }
+      // meta round-trips
+      val m = VecIndex.readMeta(spark, accreted)
+      assert(m == VecIndex.Meta(8, 8, 16))
+    } finally delete(dir)
+  }
+
+  test("torn append: missing band rows are undiscoverable until repair re-derives them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-torn")
+    try {
+      val path = s"$dir/idx"
+      VecIndex.writeVecIndex(base.filter(col("vec_id") % 3 =!= 2),
+        "vec_id", "embedding", path, bands = 8, bitsPerBand = 8,
+        nBuckets = 16)
+      val healthy = probeSet(path)
+      // simulate the crash window of appendToVecIndex: vecs/ committed,
+      // bands/ never written — by appending ONLY the vecs half manually
+      val batch = base.filter(col("vec_id") % 3 === 2)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      batch.write.mode("append").parquet(s"$path/vecs")
+      val torn = probeSet(path)
+      val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(torn.forall { case (_, c, _) => !batchIds.contains(c) },
+        "torn batch must be undiscoverable (scorable but never proposed)")
+      val (rebanded, orphans) = VecIndex.repairVecIndex(spark, path)
+      assert(rebanded == batchIds.size.toLong && orphans == 0L)
+      val repaired = probeSet(path)
+      assert(repaired.map(_._2).intersect(batchIds) ==
+        batchIds.intersect(base.filter(col("vec_id") % 17 === 0)
+          .select("vec_id").collect().map(_.getLong(0)).toSet),
+        "repair must surface the torn batch's planted originals")
+      assert(healthy.subsetOf(repaired))
+      // idempotent
+      assert(VecIndex.repairVecIndex(spark, path) == ((0L, 0L)))
+      assert(probeSet(path) == repaired)
+    } finally delete(dir)
+  }
+
+  test("probe reads prune to the probe batch's hash directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-prune")
+    try {
+      val path = s"$dir/idx"
+      // pruning is visible only when nBuckets ≫ the probe's cell count
+      // (one probe = bands·(bits+1) = 72 cells; 256 dirs ⇒ ≤72 read)
+      VecIndex.writeVecIndex(base, "vec_id", "embedding", path,
+        bands = 8, bitsPerBand = 8, nBuckets = 256)
+      val one = probes.limit(1)
+      val out = VecIndex.probeVecIndex(spark, one, "vec_id", "embedding",
+        path, 900000L)
+      // collect() (not count()) so the metrics land on THIS DataFrame's
+      // own QueryExecution — count() plans a separate aggregate query
+      assert(out.collect().length == 1, "the planted probe finds its original")
+      // the executed band scan's own numFiles metric must be below the
+      // store total (the PartitionPruningSpec discipline; descend into
+      // AQE's final plan — completed stages are leaf nodes)
+      def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansIn(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansIn(s.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.getOrElse("Location", "").contains("bands") =>
+            Seq(f)
+          case other => other.children.flatMap(scansIn)
+        }
+      val scans = scansIn(out.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "band scan missing from the probe plan")
+      val allFiles = spark.read.parquet(s"$path/bands")
+        .select(input_file_name()).distinct().count()
+      scans.foreach { f =>
+        val read = f.metrics("numFiles").value
+        assert(read > 0 && read < allFiles,
+          s"probe must prune: read $read of $allFiles band files")
+      }
+    } finally delete(dir)
+  }
+
+  private def delete(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+      _.iterator().asScala.toSeq).reverse.foreach(java.nio.file.Files.delete)
+  }
+}
