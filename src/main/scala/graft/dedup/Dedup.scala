@@ -245,6 +245,47 @@ object Dedup {
           expr("n_boiler * 1000000 div n_pos")).otherwise(0L))
   }
 
+  /** Boilerplate REMOVAL accounting — [[boilerplateStats]]'s actionable
+    * complement: per document, the tokens REMAINING after stripping
+    * every token position covered by any occurrence of a boilerplate
+    * n-gram (df ≥ minDf). The census counts gram positions; a stripper
+    * must not double-count OVERLAPPING occurrences ("click here now
+    * click here" under boilerplate "click here" removes 5 tokens, not
+    * 2×2), so coverage is an exact interval union: occurrences become
+    * [pos, pos+n−1] intervals and a per-document sweep (running max of
+    * prior interval ends, window bounded by DOCUMENT length — never a
+    * corpus axis) sums only newly covered tokens. Same df economics as
+    * the census: one distinct-pair aggregate, one gram-keyed equi-join
+    * (AQE-skew-splittable on ubiquitous grams), no df² term.
+    */
+  def boilerplateCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    val g = positionalShingleRowsIndexed(df, idCol, textCol, n)
+    val dfreq = g.select(col(idCol), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val bo = g.join(dfreq.filter(col("__df") >= minDf), "s")
+      .select(col(idCol), col("pos"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val cov = bo
+      .withColumn("__maxEnd", max(col("pos") + lit((n - 1).toLong)).over(wPrev))
+      .withColumn("__new", greatest(lit(0L),
+        (col("pos") + lit((n - 1).toLong)) -
+          greatest(coalesce(col("__maxEnd"), col("pos") - lit(1L)),
+            col("pos") - lit(1L))))
+      .groupBy(col(idCol)).agg(sum(col("__new")).as("boiler_tokens"))
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("boiler_tokens"), lit(0L)).as("boiler_tokens"))
+      .withColumn("clean_tokens", col("n_tokens") - col("boiler_tokens"))
+      .withColumn("removed_ppm", when(col("n_tokens") > 0,
+        expr("boiler_tokens * 1000000 div n_tokens")).otherwise(0L))
+  }
+
   // --------------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct, order unspecified) of whitespace
@@ -294,7 +335,16 @@ object Dedup {
     * consumers ([[boilerplateStats]]) that weight grams by occurrence.
     */
   def positionalShingleRows(df: DataFrame, idCol: String, textCol: String,
-      n: Int, carry: Seq[String] = Nil): DataFrame = {
+      n: Int, carry: Seq[String] = Nil): DataFrame =
+    positionalShingleRowsIndexed(df, idCol, textCol, n, carry).drop("pos")
+
+  /** [[positionalShingleRows]] KEEPING each gram's 0-based start
+    * position (`pos`, long) — the feeder for coverage consumers
+    * ([[boilerplateCoverage]]) that need interval arithmetic over the
+    * token axis, not just occurrence counts.
+    */
+  def positionalShingleRowsIndexed(df: DataFrame, idCol: String,
+      textCol: String, n: Int, carry: Seq[String] = Nil): DataFrame = {
     val keys = col(idCol) +: carry.map(col)
     val toks = df.select(keys :+
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")): _*)
@@ -302,10 +352,11 @@ object Dedup {
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val leads = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"t$k"))
     val gram = concat_ws(" ", col("tok") +: (1 until n).map(k => col(s"t$k")): _*)
-    toks.select(keys ++ leads :+ col("tok"): _*)
+    toks.select(keys ++ Seq(col("pos")) ++ leads :+ col("tok"): _*)
       .filter((1 until n).map(k => col(s"t$k").isNotNull)
         .foldLeft(lit(true))(_ && _))
-      .select(keys :+ gram.as("s"): _*)
+      .select(keys ++ Seq(col("pos").cast("long").as("pos"),
+        gram.as("s")): _*)
   }
 
   // ---------------------------------------------------------------- minhash

@@ -5000,6 +5000,60 @@ object PipelineQueries {
       |ORDER BY probe_id, corpus_id
       |""".stripMargin))
 
+  /** T45 — boilerplate STRIPPING accounting
+    * ([[Dedup.boilerplateCoverage]]): d12 censuses boilerplate; this is
+    * what a curation pass actually does with it — per document, the
+    * tokens left after removing every position covered by a ≥-minDf
+    * 3-gram, with OVERLAPPING occurrences counted once (exact interval
+    * union via a per-document sweep; the window axis is the document,
+    * never the corpus). Same scaled minDf as d12, so the two queries
+    * describe the same boilerplate set from census and removal sides.
+    * The oracle replays the positional grams, the df join, and the
+    * sweep's running-max arithmetic (1-based positions there, 0-based
+    * here — interval union is shift-invariant).
+    */
+  val t45BoilerplateStrip = QueryDef("t45_boilerplate_strip",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val minDf = math.max(3L, Tables.rowCount(s, dir, "documents") / 500L)
+      Dedup.boilerplateCoverage(docs, "doc_id", "text", 3, minDf)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |g AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s
+      |  FROM toks,
+      |       unnest(CASE WHEN len(tk) - 2 > 0 THEN range(1, len(tk) - 1)
+      |              ELSE CAST([] AS BIGINT[]) END) r(i)),
+      |dfr AS (SELECT s, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY s),
+      |bo AS (
+      |  SELECT g.doc_id, g.pos FROM g JOIN dfr USING (s)
+      |  WHERE dfr.df >= GREATEST(3, (SELECT COUNT(*) FROM documents) // 500)),
+      |sweep AS (
+      |  SELECT doc_id, pos,
+      |         MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
+      |  FROM bo),
+      |cov AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(GREATEST(0, (pos + 2) -
+      |                GREATEST(COALESCE(max_end, pos - 1), pos - 1)))
+      |              AS BIGINT) AS boiler_tokens
+      |  FROM sweep GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |       CAST(COALESCE(c.boiler_tokens, 0) AS BIGINT) AS boiler_tokens,
+      |       CAST(len(t.tk) - COALESCE(c.boiler_tokens, 0) AS BIGINT)
+      |         AS clean_tokens,
+      |       CAST(CASE WHEN len(t.tk) > 0
+      |            THEN (COALESCE(c.boiler_tokens, 0) * 1000000) // len(t.tk)
+      |            ELSE 0 END AS BIGINT) AS removed_ppm
+      |FROM toks t LEFT JOIN cov c USING (doc_id)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -5024,5 +5078,5 @@ object PipelineQueries {
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
     t41ShardBucketed, t42BpeTrain, d21LshAccreted, t43BpeEncode,
     s15SemanticLeakage, s16BlockingRecall, s17KnnGraph, d22SemanticClusters,
-    t44TemperatureMix, s18VecStore)
+    t44TemperatureMix, s18VecStore, t45BoilerplateStrip)
 }

@@ -286,6 +286,38 @@ class DedupSpec extends SparkSpec {
     assert(re == out)
   }
 
+  test("boilerplate coverage: overlapping occurrences union, never double-count") {
+    // "a b c" is boilerplate (df=3). Doc 4's overlapping occurrences
+    // "a b c a b c" + internal grams cover positions, and the hand-
+    // checkable case: doc 6 = "k a b c a b c k" — occurrences of
+    // "a b c" at 0-based 1 and 4 cover [1,3] ∪ [4,6] = 6 tokens, NOT 2×3
+    // plus re-counted overlap from any interleaved boilerplate gram.
+    val df = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c p q r"),
+      (3L, "a b c m n o"),
+      (6L, "k a b c a b c k"),
+      (5L, "hi there")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateCoverage(df, "doc_id", "text", 3, minDf = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("boiler_tokens"), r.getAs[Long]("clean_tokens"),
+        r.getAs[Long]("removed_ppm"))).toSeq
+    assert(out == Seq(
+      (1L, 6L, 3L, 3L, 500000L),   // "a b c" covers [0,2] of 6
+      (2L, 6L, 3L, 3L, 500000L),
+      (3L, 6L, 3L, 3L, 500000L),
+      (5L, 2L, 0L, 2L, 0L),        // too short for a 3-gram
+      (6L, 8L, 6L, 2L, 750000L)))  // [1,3] ∪ [4,6]: union 6, not 9
+    // partition-independent (the sweep is a per-doc window)
+    val re = Dedup.boilerplateCoverage(df.repartition(7), "doc_id", "text",
+      3, 3).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("boiler_tokens")))
+      .toSeq
+    assert(re == out.map(t => (t._1, t._3)))
+  }
+
   test("containmentPairs: strict token-prefix only; no char-boundary false positives") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val df = Seq(
