@@ -265,17 +265,7 @@ object Dedup {
       .groupBy(col("s")).agg(count(lit(1)).as("__df"))
     val bo = g.join(dfreq.filter(col("__df") >= minDf), "s")
       .select(col(idCol), col("pos"))
-    val wPrev = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val cov = bo
-      .withColumn("__maxEnd", max(col("pos") + lit((n - 1).toLong)).over(wPrev))
-      .withColumn("__new", greatest(lit(0L),
-        (col("pos") + lit((n - 1).toLong)) -
-          greatest(coalesce(col("__maxEnd"), col("pos") - lit(1L)),
-            col("pos") - lit(1L))))
-      .groupBy(col(idCol)).agg(sum(col("__new")).as("boiler_tokens"))
+    val cov = coveredTokenCounts(bo, idCol, n, "boiler_tokens")
     df.select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .join(cov, Seq(idCol), "left")
@@ -284,6 +274,72 @@ object Dedup {
       .withColumn("clean_tokens", col("n_tokens") - col("boiler_tokens"))
       .withColumn("removed_ppm", when(col("n_tokens") > 0,
         expr("boiler_tokens * 1000000 div n_tokens")).otherwise(0L))
+  }
+
+  /** Exact interval-union token coverage: given n-gram start positions
+    * `(idCol, pos)`, the number of DISTINCT token positions covered by
+    * the intervals `[pos, pos+n−1]` per id. The sweep is a running max
+    * of prior interval ends (window bounded by the id's own rows —
+    * document-axis, never corpus-axis), so OVERLAPPING occurrences are
+    * counted once. Shared by [[boilerplateCoverage]] (corpus-df grams)
+    * and [[repetitionSignals]] (intra-document grams).
+    */
+  private def coveredTokenCounts(pos: DataFrame, idCol: String, n: Int,
+      out: String): DataFrame = {
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    pos
+      .withColumn("__maxEnd", max(col("pos") + lit((n - 1).toLong)).over(wPrev))
+      .withColumn("__new", greatest(lit(0L),
+        (col("pos") + lit((n - 1).toLong)) -
+          greatest(coalesce(col("__maxEnd"), col("pos") - lit(1L)),
+            col("pos") - lit(1L))))
+      .groupBy(col(idCol)).agg(sum(col("__new")).as(out))
+  }
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021
+    * §A1.1 repetition filters, re-expressed on the token axis so the
+    * oracle can replay them exactly): per document,
+    *   - `top2_tokens` / `top2_ppm` — tokens covered by occurrences of
+    *     THE most frequent bigram (ties broken to the lexicographically
+    *     smallest gram, so the statistic is deterministic);
+    *   - `dup3_tokens` / `dup3_ppm` — tokens covered by any trigram
+    *     occurring ≥ 2 times WITHIN the document.
+    * Both coverages are exact interval unions ([[coveredTokenCounts]]):
+    * "a a a a b" under top bigram "a a" covers 4 tokens, not 3×2. All
+    * grouping keys include the document id — after one shuffle on id
+    * the whole computation is partition-local, so the operator scales
+    * linearly with corpus size and is unaffected by corpus-wide gram
+    * skew (there is no corpus-axis join at all, unlike
+    * [[boilerplateCoverage]]).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val g2 = positionalShingleRowsIndexed(df, idCol, textCol, 2)
+    val c2 = g2.groupBy(col(idCol), col("s")).agg(count(lit(1)).as("__c"))
+    val top2 = c2.groupBy(col(idCol))
+      .agg(min(struct((-col("__c")).as("nc"), col("s").as("s"))).as("__t"))
+      .select(col(idCol), col("__t.s").as("s"))
+    val p2 = g2.join(top2, Seq(idCol, "s")).select(col(idCol), col("pos"))
+    val cov2 = coveredTokenCounts(p2, idCol, 2, "top2_tokens")
+    val g3 = positionalShingleRowsIndexed(df, idCol, textCol, 3)
+    val c3 = g3.groupBy(col(idCol), col("s")).agg(count(lit(1)).as("__c"))
+    val p3 = g3.join(c3.filter(col("__c") >= 2), Seq(idCol, "s"))
+      .select(col(idCol), col("pos"))
+    val cov3 = coveredTokenCounts(p3, idCol, 3, "dup3_tokens")
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(cov2, Seq(idCol), "left")
+      .join(cov3, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("top2_tokens"), lit(0L)).as("top2_tokens"),
+        coalesce(col("dup3_tokens"), lit(0L)).as("dup3_tokens"))
+      .withColumn("top2_ppm", when(col("n_tokens") > 0,
+        expr("top2_tokens * 1000000 div n_tokens")).otherwise(0L))
+      .withColumn("dup3_ppm", when(col("n_tokens") > 0,
+        expr("dup3_tokens * 1000000 div n_tokens")).otherwise(0L))
   }
 
   // --------------------------------------------------------------- shingles

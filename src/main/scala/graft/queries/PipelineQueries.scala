@@ -5054,6 +5054,350 @@ object PipelineQueries {
       |ORDER BY doc_id
       |""".stripMargin))
 
+  /** T46 — Gopher-style intra-document repetition signals
+    * ([[Dedup.repetitionSignals]]): the production quality filters from
+    * Rae et al. 2021 on the token axis — tokens covered by the most
+    * frequent bigram (deterministic lexicographic tie-break) and by
+    * any trigram repeating WITHIN the document, both as exact interval
+    * unions. No corpus-axis join anywhere: every grouping key carries
+    * doc_id, so one shuffle on id makes the whole plan partition-local
+    * and immune to corpus-wide gram skew. The oracle replays gram
+    * extraction, per-doc counting, the tie-break (row_number over
+    * cnt DESC, s ASC), and the running-max sweep.
+    */
+  val t46Repetition = QueryDef("t46_repetition",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.repetitionSignals(docs, "doc_id", "text").orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |g2 AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS s
+      |  FROM toks,
+      |       unnest(CASE WHEN len(tk) - 1 > 0 THEN range(1, len(tk))
+      |              ELSE CAST([] AS BIGINT[]) END) r(i)),
+      |c2 AS (SELECT doc_id, s, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, s),
+      |top2 AS (
+      |  SELECT doc_id, s FROM (
+      |    SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |             ORDER BY cnt DESC, s ASC) AS rn
+      |    FROM c2) WHERE rn = 1),
+      |p2 AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN top2 USING (doc_id, s)),
+      |sw2 AS (
+      |  SELECT doc_id, pos,
+      |         MAX(pos + 1) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
+      |  FROM p2),
+      |cov2 AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(GREATEST(0, (pos + 1) -
+      |                GREATEST(COALESCE(max_end, pos - 1), pos - 1)))
+      |              AS BIGINT) AS top2_tokens
+      |  FROM sw2 GROUP BY doc_id),
+      |g3 AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s
+      |  FROM toks,
+      |       unnest(CASE WHEN len(tk) - 2 > 0 THEN range(1, len(tk) - 1)
+      |              ELSE CAST([] AS BIGINT[]) END) r(i)),
+      |c3 AS (SELECT doc_id, s, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, s),
+      |p3 AS (SELECT g3.doc_id, g3.pos FROM g3
+      |       JOIN (SELECT doc_id, s FROM c3 WHERE cnt >= 2) d USING (doc_id, s)),
+      |sw3 AS (
+      |  SELECT doc_id, pos,
+      |         MAX(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end
+      |  FROM p3),
+      |cov3 AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(GREATEST(0, (pos + 2) -
+      |                GREATEST(COALESCE(max_end, pos - 1), pos - 1)))
+      |              AS BIGINT) AS dup3_tokens
+      |  FROM sw3 GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |       CAST(COALESCE(c2.top2_tokens, 0) AS BIGINT) AS top2_tokens,
+      |       CAST(COALESCE(c3.dup3_tokens, 0) AS BIGINT) AS dup3_tokens,
+      |       CAST(CASE WHEN len(t.tk) > 0
+      |            THEN (COALESCE(c2.top2_tokens, 0) * 1000000) // len(t.tk)
+      |            ELSE 0 END AS BIGINT) AS top2_ppm,
+      |       CAST(CASE WHEN len(t.tk) > 0
+      |            THEN (COALESCE(c3.dup3_tokens, 0) * 1000000) // len(t.tk)
+      |            ELSE 0 END AS BIGINT) AS dup3_ppm
+      |FROM toks t LEFT JOIN cov2 c2 USING (doc_id)
+      |            LEFT JOIN cov3 c3 USING (doc_id)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** T47 — DSIR importance weighting
+    * ([[graft.sampling.Dsir.importanceWeights]]):
+    * Xie et al. 2023's importance-resampling data selection, scored
+    * against an `lang = 'en'` target slice. Bigrams hash into 1024
+    * buckets via the repo md5 convention; both distributions are
+    * Laplace-smoothed over the observed bucket domain; the log-ratio
+    * is the integer surprisal difference `sr − st`, so the per-doc
+    * weight `Σ c·(sr−st)` is exact integer arithmetic both engines
+    * compute bit-identically. One tokenize+hash pass builds the
+    * per-(doc,bucket) sufficient statistic shared by the two fits and
+    * the scoring join; bucket tables are ≤1024 rows (broadcast), the
+    * weight is one grouped sum — linear in corpus tokens at any scale.
+    */
+  val t47DsirWeights = QueryDef("t47_dsir_weights",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sampling.Dsir.importanceWeights(docs, "doc_id", "text",
+        col("lang") === "en", 1024).orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |g2 AS (
+      |  SELECT doc_id, lang,
+      |         array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+1], ' ') AS s
+      |  FROM toks,
+      |       unnest(CASE WHEN len(tk) - 1 > 0 THEN range(1, len(tk))
+      |              ELSE CAST([] AS BIGINT[]) END) r(i)),
+      |pb AS (
+      |  SELECT doc_id, (lang = 'en') AS tgt,
+      |         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 1024 AS b,
+      |         COUNT(*) AS c
+      |  FROM g2 GROUP BY 1, 2, 3),
+      |raw AS (SELECT b, SUM(c) AS cr FROM pb GROUP BY 1),
+      |tg AS (SELECT b, SUM(c) AS ct FROM pb WHERE tgt GROUP BY 1),
+      |st AS (
+      |  SELECT raw.b, CAST(cr + 1 AS BIGINT) AS cr1,
+      |         CAST(COALESCE(ct, 0) + 1 AS BIGINT) AS ct1
+      |  FROM raw LEFT JOIN tg USING (b)),
+      |tot AS (SELECT CAST(SUM(cr1) AS BIGINT) AS tr,
+      |               CAST(SUM(ct1) AS BIGINT) AS tt FROM st),
+      |su AS (
+      |  SELECT b, CAST(length(bin(tot.tr // cr1)) AS BIGINT) AS sr,
+      |         CAST(length(bin(tot.tt // ct1)) AS BIGINT) AS stp
+      |  FROM st, tot),
+      |w AS (
+      |  SELECT pb.doc_id, CAST(SUM(c * (sr - stp)) AS BIGINT) AS weight,
+      |         CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |  FROM pb JOIN su USING (b) GROUP BY 1)
+      |SELECT t.doc_id,
+      |       CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight,
+      |       CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams
+      |FROM toks t LEFT JOIN w USING (doc_id)
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** T48 — PSI distribution-drift audit ([[graft.sketch.Drift
+    * .psiByGroup]]): per-source population stability index of the
+    * document-length distribution against the complement of the
+    * corpus — the standard "did this ingest feed drift" monitor,
+    * surfacing one moved feed even when the global histogram barely
+    * changes. Log₂ bins (no trained edges, ≤63 bins for any long),
+    * Laplace-smoothed integer-ppm proportions over the shared observed
+    * bin domain, signed bit-length logs — every term is exact integer
+    * arithmetic, PSI ≥ 0 with equality iff the histograms agree. One
+    * scan builds per-(source,bin) counts; everything downstream is
+    * bounded by |sources|·|bins|, and "vs rest" is global-total minus
+    * own-count — one aggregation, not |sources| anti-joins.
+    */
+  val t48PsiDrift = QueryDef("t48_psi_drift",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.sketch.Drift.psiByGroup(docs, "source", col("n_chars"))
+        .orderBy(col("psi").desc, col("source"))
+    },
+    Some("""
+      |WITH binned AS (
+      |  SELECT source AS g,
+      |         CAST(length(bin(n_chars + 1)) AS BIGINT) AS b
+      |  FROM documents),
+      |cg AS (SELECT g, b, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM binned GROUP BY 1, 2),
+      |tot AS (SELECT b, CAST(SUM(c) AS BIGINT) AS tc FROM cg GROUP BY 1),
+      |ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cg GROUP BY 1),
+      |grand AS (SELECT CAST(SUM(tc) AS BIGINT) AS n,
+      |                 CAST(COUNT(*) AS BIGINT) AS nbins FROM tot),
+      |dom AS (SELECT ng.g, ng.n_g, tot.b, tot.tc, grand.n, grand.nbins
+      |        FROM ng, tot, grand),
+      |pq AS (
+      |  SELECT dom.g, dom.n_g,
+      |         CAST((COALESCE(cg.c, 0) + 1) * 1000000
+      |              // (dom.n_g + dom.nbins) AS BIGINT) AS p,
+      |         CAST(((dom.tc - COALESCE(cg.c, 0)) + 1) * 1000000
+      |              // ((dom.n - dom.n_g) + dom.nbins) AS BIGINT) AS q
+      |  FROM dom LEFT JOIN cg ON dom.g = cg.g AND dom.b = cg.b),
+      |sl AS (
+      |  SELECT g, n_g, p, q,
+      |         CASE WHEN p >= q THEN CAST(length(bin(p // q)) AS BIGINT)
+      |              ELSE -CAST(length(bin(q // p)) AS BIGINT) END AS slog
+      |  FROM pq)
+      |SELECT g AS source, CAST(MAX(n_g) AS BIGINT) AS n_docs,
+      |       CAST(SUM((p - q) * slog) AS BIGINT) AS psi
+      |FROM sl GROUP BY g ORDER BY psi DESC, source
+      |""".stripMargin))
+
+  /** D23 — cluster-balanced soft dedup
+    * ([[graft.sampling.Sampling.clusterBalancedSample]]): every
+    * document survives with probability 1/|its d7 duplicate cluster| —
+    * each cluster contributes one doc in expectation, singletons always
+    * survive (rate 10⁶), and the coin is the repo's deterministic md5
+    * uniform so the oracle replays the exact kept set. The keep-with-
+    * probability-1/n alternative to d8's hard keep-one election.
+    * Cluster sizes aggregate the index-sized membership frame (only
+    * paired docs); the rate join back to the corpus is id-keyed — no
+    * corpus-axis window or pair space.
+    */
+  val d23ClusterBalanced = QueryDef("d23_cluster_balanced",
+    (s, dir) => graft.sampling.Sampling.clusterBalancedSample(
+        t(s, dir, "documents"), "doc_id",
+        dupMembers(s, dir), "id", "cluster_id")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      |WITH RECURSIVE $tokSql,
+      |$shSql,
+      |pr AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+      |edges AS (
+      |  SELECT id1 AS src, id2 AS dst FROM pr
+      |  UNION
+      |  SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (
+      |  SELECT node AS id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+      |cs AS (SELECT cluster_id, COUNT(*) AS csize FROM comp GROUP BY 1),
+      |per AS (SELECT comp.id AS doc_id, cs.csize
+      |        FROM comp JOIN cs USING (cluster_id)),
+      |rated AS (
+      |  SELECT d.doc_id,
+      |         CAST(COALESCE(p.csize, 1) AS BIGINT) AS cluster_size,
+      |         CAST(1000000 // COALESCE(p.csize, 1) AS BIGINT) AS rate_ppm
+      |  FROM documents d LEFT JOIN per p USING (doc_id))
+      |SELECT doc_id, cluster_size, rate_ppm
+      |FROM rated
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|cbsample'),
+      |           1, 15) AS BIGINT) % 1000000 < rate_ppm
+      |ORDER BY doc_id
+      |""".stripMargin))
+
+  /** S19 — source-centroid similarity matrix
+    * ([[Similarity.groupCentroidCosines]]): the corpus-composition
+    * audit — per-source embedding centroids (elementwise sums of the
+    * shared milli-unit quantization; cosine is scale-invariant so no
+    * integer mean division) and the exact integer dot + IEEE cosine
+    * for every source pair. One posexplode pass → per-(source, dim)
+    * sums; everything after is bounded by |sources|·dims and
+    * dims·|sources|² — never corpus rows. The cosine divides by
+    * sqrt(na)·sqrt(nb) (the summed-vector norms would overflow the
+    * product form).
+    */
+  val s19SourceCentroids = QueryDef("s19_source_centroids",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val joined = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select(col("source"), col("embedding"))
+      Similarity.groupCentroidCosines(joined, "source", "embedding")
+        .orderBy(col("g1"), col("g2"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |j AS (
+      |  SELECT d.source AS g, q.qv
+      |  FROM qv q JOIN documents d ON q.vec_id = d.doc_id),
+      |e AS (
+      |  SELECT g, CAST(i AS INT) - 1 AS dim,
+      |         CAST(qv[CAST(i AS INT)] AS BIGINT) AS v
+      |  FROM j, unnest(range(1, len(qv) + 1)) r(i)),
+      |sums AS (
+      |  SELECT g, dim, CAST(SUM(v) AS BIGINT) AS sv,
+      |         CAST(COUNT(*) AS BIGINT) AS n_g
+      |  FROM e GROUP BY 1, 2),
+      |norms AS (
+      |  SELECT g, CAST(SUM(sv * sv) AS BIGINT) AS nn, MAX(n_g) AS n_vecs
+      |  FROM sums GROUP BY 1),
+      |dots AS (
+      |  SELECT a.g AS g1, b.g AS g2, CAST(SUM(a.sv * b.sv) AS BIGINT) AS dot_q
+      |  FROM sums a JOIN sums b ON a.dim = b.dim AND a.g < b.g
+      |  GROUP BY 1, 2)
+      |SELECT g1, g2, n1.n_vecs AS n_a, n2.n_vecs AS n_b, dot_q,
+      |       CASE WHEN n1.nn > 0 AND n2.nn > 0
+      |            THEN CAST(dot_q AS DOUBLE) /
+      |                 (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE)))
+      |       END AS cosine
+      |FROM dots JOIN norms n1 ON g1 = n1.g JOIN norms n2 ON g2 = n2.g
+      |ORDER BY g1, g2
+      |""".stripMargin))
+
+  /** T49 — epoch-decay allocation audit
+    * ([[graft.sampling.Sampling.epochDecayAudit]]): the data-
+    * constrained-scaling accounting (Muennighoff et al. 2023) for a
+    * budget at 3× total supply — the regime where √-temperature
+    * weights over-epoch small languages. Per language: full epochs,
+    * partial remainder, and the effective token value under r=½
+    * geometric decay (`Σ supply div 2^(i-1)` term by term — each term
+    * has its own integer division, so both engines replay the explicit
+    * ≤20-element epoch sum rather than a closed form). efficiency_ppm
+    * < 10⁶ flags strata whose marginal tokens a re-balance should
+    * move. One corpus aggregate; the rest is ≤|langs|·20 rows.
+    */
+  val t49EpochDecay = QueryDef("t49_epoch_decay",
+    (s, dir) => graft.sampling.Sampling
+      .epochDecayAudit(t(s, dir, "documents"), "lang",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        budgetPermille = 3000L)
+      .orderBy(col("lang")),
+    Some(s"""
+      |WITH $tokSql,
+      |sup AS (
+      |  SELECT lang, CAST(SUM(len(tk)) AS BIGINT) AS supply_tokens
+      |  FROM toks GROUP BY lang HAVING SUM(len(tk)) > 0),
+      |w AS (
+      |  SELECT lang, supply_tokens,
+      |         CAST(floor(sqrt(CAST(supply_tokens AS DOUBLE))) AS BIGINT)
+      |           AS weight_s
+      |  FROM sup),
+      |tot AS (
+      |  SELECT CAST(SUM(supply_tokens) AS BIGINT) AS t,
+      |         CAST(SUM(weight_s) AS BIGINT) AS sw
+      |  FROM w),
+      |base AS (
+      |  SELECT w.lang, w.supply_tokens,
+      |         CAST((t.t * 3000 // 1000) * w.weight_s // t.sw AS BIGINT)
+      |           AS alloc_tokens
+      |  FROM w, tot t),
+      |kb AS (
+      |  SELECT lang, supply_tokens, alloc_tokens,
+      |         least(alloc_tokens // supply_tokens, 20) AS k,
+      |         alloc_tokens
+      |           - least(alloc_tokens // supply_tokens, 20) * supply_tokens
+      |           AS partial_tokens
+      |  FROM base),
+      |eps AS (
+      |  SELECT kb.lang,
+      |         CAST(SUM(supply_tokens
+      |              // (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)))
+      |           AS BIGINT) AS full_value
+      |  FROM kb, unnest(range(1, k + 1)) r(i)
+      |  GROUP BY kb.lang)
+      |SELECT kb.lang, kb.supply_tokens, kb.alloc_tokens,
+      |       CAST(kb.k AS BIGINT) AS epochs_full, kb.partial_tokens,
+      |       CAST(COALESCE(e.full_value, 0) + kb.partial_tokens
+      |            // (CAST(1 AS BIGINT) << CAST(kb.k AS INT))
+      |         AS BIGINT) AS effective_tokens,
+      |       CAST(CASE WHEN kb.alloc_tokens > 0
+      |            THEN (COALESCE(e.full_value, 0) + kb.partial_tokens
+      |                  // (CAST(1 AS BIGINT) << CAST(kb.k AS INT)))
+      |                 * 1000000 // kb.alloc_tokens
+      |            ELSE 0 END AS BIGINT) AS efficiency_ppm
+      |FROM kb LEFT JOIN eps e USING (lang)
+      |ORDER BY lang
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -5078,5 +5422,7 @@ object PipelineQueries {
     t39BpeMerges, d19Triangles, d20ClusterMedoids, t40FilterBias,
     t41ShardBucketed, t42BpeTrain, d21LshAccreted, t43BpeEncode,
     s15SemanticLeakage, s16BlockingRecall, s17KnnGraph, d22SemanticClusters,
-    t44TemperatureMix, s18VecStore, t45BoilerplateStrip)
+    t44TemperatureMix, s18VecStore, t45BoilerplateStrip, t46Repetition,
+    t47DsirWeights, t48PsiDrift, d23ClusterBalanced, s19SourceCentroids,
+    t49EpochDecay)
 }

@@ -239,4 +239,99 @@ object Sampling {
       .filter(col("__rk") <= quota)
       .drop("__rk")
   }
+
+  /** Epoch-decay allocation audit (the data-constrained-scaling
+    * accounting of Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models": repeated epochs of the same tokens are worth
+    * geometrically less — here the conservative r = ½ halving, with
+    * value treated as exhausted past 20 epochs). Given the same √-
+    * temperature weights as [[temperatureMixAllocation]] but a budget
+    * that EXCEEDS total supply, the naive weight-proportional
+    * allocation over-epochs small strata; this audit prices that:
+    * per stratum, the full epochs `k = alloc div supply`, the partial
+    * remainder, and the EFFECTIVE token value
+    * `Σ_{i=1..k} supply div 2^(i-1) + (alloc − k·supply) div 2^k` —
+    * all exact integer arithmetic (the epoch sum is a ≤20-element
+    * `sequence` explode per stratum, both engines replay it term by
+    * term). `efficiency_ppm = effective·10⁶ div alloc` < 10⁶ flags the
+    * strata whose marginal tokens a re-balancing should move.
+    *
+    * Scale shape: one corpus aggregate to per-stratum supply; the rest
+    * is arithmetic on ≤|strata|·20 rows against two broadcast 1-row
+    * totals.
+    */
+  def epochDecayAudit(df: DataFrame, stratumCol: String, tokens: Column,
+      budgetPermille: Long = 3000L, maxEpochs: Int = 20): DataFrame = {
+    require(maxEpochs >= 1 && maxEpochs <= 62, "maxEpochs in [1, 62]")
+    val sup = df.groupBy(col(stratumCol))
+      .agg(sum(tokens).as("supply_tokens"))
+      .filter(col("supply_tokens") > 0)
+      .withColumn("weight_s",
+        floor(sqrt(col("supply_tokens").cast("double"))).cast("long"))
+    val tot = sup.agg(sum(col("supply_tokens")).as("t"),
+      sum(col("weight_s")).as("sw"))
+    val base = sup.crossJoin(broadcast(tot))
+      .withColumn("alloc_tokens",
+        expr(s"(t * $budgetPermille div 1000) * weight_s div sw"))
+      .withColumn("k", least(expr("alloc_tokens div supply_tokens"),
+        lit(maxEpochs.toLong)))
+      .withColumn("partial_tokens",
+        expr("alloc_tokens - k * supply_tokens"))
+      .localCheckpoint(eager = false) // epoch sum + final join share it
+    // Σ_{i=1..k} supply div 2^(i-1): an explicit per-term sum — each
+    // term has its own integer division, so no closed form is exact
+    val eps = base.filter(col("k") >= 1)
+      .select(col(stratumCol), col("supply_tokens"),
+        explode(sequence(lit(1L), col("k"))).as("i"))
+      .groupBy(col(stratumCol))
+      .agg(sum(expr(
+        "supply_tokens div shiftleft(CAST(1 AS BIGINT), CAST(i - 1 AS INT))"))
+        .as("full_value"))
+    base.join(eps, Seq(stratumCol), "left")
+      .withColumn("full_value", coalesce(col("full_value"), lit(0L)))
+      .withColumn("effective_tokens",
+        expr("full_value + partial_tokens div " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"))
+      .withColumn("efficiency_ppm",
+        when(col("alloc_tokens") > 0,
+          expr("effective_tokens * 1000000 div alloc_tokens"))
+          .otherwise(lit(0L)))
+      .select(col(stratumCol), col("supply_tokens"), col("alloc_tokens"),
+        col("k").as("epochs_full"), col("partial_tokens"),
+        col("effective_tokens"), col("efficiency_ppm"))
+  }
+
+  /** Cluster-balanced ("soft-dedup") sampling: instead of hard keep-one
+    * dedup, every row survives with probability 1/|its duplicate
+    * cluster| — so each cluster contributes ONE document in expectation
+    * and repeated content stops dominating the mixture, while rare
+    * phrasings of duplicated material still occasionally survive (the
+    * keep-with-probability-1/n convention web-corpus pipelines use when
+    * hard dedup is too lossy). `members` is a duplicate-cluster
+    * membership frame `(memberIdCol, clusterIdCol)` — e.g. the
+    * connected components of the Jaccard pair graph; rows of `df`
+    * absent from it are singletons and keep rate 10⁶ ppm.
+    *
+    * Deterministic: the coin is the same md5 uniform every sampler here
+    * uses, so the oracle replays the exact kept set. Scale shape:
+    * cluster sizes are one aggregate on the INDEX-sized membership
+    * frame (only paired docs appear in it); the rate join back to the
+    * corpus is id-keyed and broadcasts whenever the dup set is small
+    * relative to the corpus — there is no corpus-axis window anywhere.
+    * Output: kept rows as `(idCol, cluster_size, rate_ppm)`.
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String,
+      members: DataFrame, memberIdCol: String, clusterIdCol: String,
+      salt: String = "cbsample"): DataFrame = {
+    val sizes = members
+      .groupBy(col(clusterIdCol)).agg(count(lit(1)).as("__cs"))
+    val perDoc = members.join(sizes, clusterIdCol)
+      .select(col(memberIdCol).as(idCol), col("__cs"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("cluster_size", coalesce(col("__cs"), lit(1L)))
+      .withColumn("rate_ppm", expr("1000000L div cluster_size"))
+      .filter(hashUniformPpm(col(idCol), salt) < col("rate_ppm"))
+      .select(col(idCol), col("cluster_size"), col("rate_ppm"))
+  }
 }

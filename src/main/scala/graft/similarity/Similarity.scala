@@ -750,6 +750,50 @@ object Similarity {
         col("dot_q"), col("cosine"))
   }
 
+  /** Per-group centroid similarity matrix: each group's (unnormalized)
+    * centroid is the elementwise SUM of its quantized vectors — cosine
+    * is scale-invariant, so the sum stands in for the mean with zero
+    * integer-division loss — and every group pair gets the exact
+    * integer centroid dot plus an IEEE cosine. The corpus-composition
+    * audit: which sources/domains are semantically redundant and which
+    * cover distinct regions of embedding space.
+    *
+    * Shape: one posexplode pass → per-(group, dim) sums (the sufficient
+    * statistic, |groups|·dims rows — index-sized from there on,
+    * whatever the corpus size); the pair matrix is a dim-equi self-join
+    * of THAT frame, bounded by dims·|groups|², never corpus rows.
+    * Norms here are centroid-sum norms (≈ corpusSize²·10⁶ per cell at
+    * the extreme), so the cosine divides by `sqrt(na)·sqrt(nb)` rather
+    * than `sqrt(na·nb)` — the product form [[cosineFromQ]] uses would
+    * overflow long for summed vectors.
+    *
+    * Output: `(g1, g2, n_a, n_b, dot_q, cosine)` for g1 < g2.
+    */
+  def groupCentroidCosines(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val e = widen(df).select(col(groupCol).as("g"),
+        posexplode(quantize(col(vecCol))).as(Seq("dim", "v")))
+    val sums = e.groupBy(col("g"), col("dim"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n_g"))
+      .localCheckpoint(eager = false) // norms + the pair join share it
+    val norms = sums.groupBy(col("g"))
+      .agg(sum(col("sv") * col("sv")).as("nn"), max(col("n_g")).as("n_vecs"))
+    val dots = sums.as("a").join(sums.as("b"),
+        col("a.dim") === col("b.dim") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(sum(col("a.sv") * col("b.sv")).as("dot_q"))
+    dots
+      .join(norms.select(col("g").as("g1"), col("nn").as("n1"),
+        col("n_vecs").as("n_a")), "g1")
+      .join(norms.select(col("g").as("g2"), col("nn").as("n2"),
+        col("n_vecs").as("n_b")), "g2")
+      .select(col("g1"), col("g2"), col("n_a"), col("n_b"), col("dot_q"),
+        when(col("n1") > 0 && col("n2") > 0,
+          col("dot_q").cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cosine"))
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       thresholdPpm: Long, bits: Int = 8): DataFrame = {
     val q = index(df

@@ -318,6 +318,39 @@ class DedupSpec extends SparkSpec {
     assert(re == out.map(t => (t._1, t._3)))
   }
 
+  test("repetitionSignals: overlap union, lexicographic tie-break, short docs") {
+    // doc 1: top bigram "a a" ×3 overlapping → union [0,3] = 4 of 5;
+    //        dup trigram "a a a" ×2 overlapping → union [0,3] = 4 of 5.
+    // doc 2: three bigrams tied at 2 → lexicographically smallest "a d"
+    //        (pos 2,6) → 4 of 8; dup trigrams "b c a"+"c a d" →
+    //        [0,3] ∪ [4,7] = 8 of 8.
+    // doc 3: one token → no grams at all.
+    // doc 4: all-distinct bigrams tie at 1 → smallest "p q" covers 2 of 3;
+    //        the only trigram occurs once → dup3 = 0.
+    val df = Seq(
+      (1L, "a a a a b"),
+      (2L, "b c a d b c a d"),
+      (3L, "x"),
+      (4L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repetitionSignals(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("top2_tokens"), r.getAs[Long]("dup3_tokens"),
+        r.getAs[Long]("top2_ppm"), r.getAs[Long]("dup3_ppm"))).toSeq
+    assert(out == Seq(
+      (1L, 5L, 4L, 4L, 800000L, 800000L),
+      (2L, 8L, 4L, 8L, 500000L, 1000000L),
+      (3L, 1L, 0L, 0L, 0L, 0L),
+      (4L, 3L, 2L, 0L, 666666L, 0L)))
+    // partition-independent (all windows/joins are doc-keyed)
+    val re = Dedup.repetitionSignals(df.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("top2_tokens"),
+        r.getAs[Long]("dup3_tokens"))).toSeq
+    assert(re == out.map(t => (t._1, t._3, t._4)))
+  }
+
   test("containmentPairs: strict token-prefix only; no char-boundary false positives") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")
     val df = Seq(

@@ -480,4 +480,30 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(12) >= buckets(8))
     assert(buckets(8) > 1)
   }
+
+  test("groupCentroidCosines: parallel centroids hit 1.0, orthogonal 0.0; g1<g2 half-matrix") {
+    // a: two copies of e1 (centroid ∥ e1); b: one 2·e1 (parallel to a,
+    // different scale — cosine must still be exactly 1.0); c: e2.
+    val df = Seq(
+      (0L, "a", Array(1.0f, 0.0f)), (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "b", Array(2.0f, 0.0f)),
+      (3L, "c", Array(0.0f, 1.0f)), (4L, "c", Array(0.0f, 3.0f))
+    ).toDF("id", "src", "embedding")
+    val out = Similarity.groupCentroidCosines(df, "src", "embedding")
+      .orderBy("g1", "g2").collect()
+      .map(r => (r.getAs[String]("g1"), r.getAs[String]("g2"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("cosine"))).toSeq
+    assert(out.map(t => (t._1, t._2)) ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")), "strict upper triangle")
+    val m = out.map(t => (t._1, t._2) -> t._5).toMap
+    assert(m(("a", "b")) == 1.0, "parallel centroids, scale-invariant")
+    assert(m(("a", "c")) == 0.0 && m(("b", "c")) == 0.0)
+    assert(out.head._3 == 2L && out.head._4 == 1L, "vector counts carried")
+    // partition independence
+    val re = Similarity.groupCentroidCosines(df.repartition(5), "src",
+        "embedding")
+      .orderBy("g1", "g2").collect().map(_.getAs[Double]("cosine")).toSeq
+    assert(re == out.map(_._5))
+  }
 }

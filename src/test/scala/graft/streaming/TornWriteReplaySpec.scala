@@ -96,6 +96,26 @@ class TornWriteReplaySpec extends SparkSpec {
       tornMustChangeResolution = true)
   }
 
+  test("drift store: torn batch partition + replay ≡ clean run") {
+    val d = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    scenario(
+      p => DriftStream.driftSink(p, "source", "n_chars"),
+      p => DriftStream.currentPsi(spark, p, "source")
+        .orderBy("source").collect().map(_.toString).toSeq,
+      Seq(0, 1, 2).map(i => d.filter(col("doc_id") % 3 === i)),
+      tornMustChangeResolution = true)
+  }
+
+  test("DSIR distribution store: torn batch partition + replay ≡ clean run") {
+    val d = docs.select(col("doc_id"), col("lang"), col("text"))
+    scenario(
+      p => DsirStream.dsirSink(p, "doc_id", "text", "lang = 'en'", 256),
+      p => DsirStream.currentSurprisals(spark, p)
+        .orderBy("b").collect().map(_.toString).toSeq,
+      Seq(0, 1, 2).map(i => d.filter(col("doc_id") % 3 === i)),
+      tornMustChangeResolution = true)
+  }
+
   test("rollup store: torn batch partition + replay ≡ clean run") {
     val feed = Seq(
       ("I", "a", 10L, null, null),
