@@ -169,4 +169,34 @@ object ShardPacking {
         sum(col("tok")).as("tok_sum"),
         min(col(order)).as("first_doc"),
         max(col(order)).as("last_doc"))
+
+  /** Training-sequence emission coordinates — the GPT-style packed
+    * stream: per stratum, documents concatenate in `order` into one
+    * contiguous token stream chopped into fixed `seqLen` context
+    * windows. Per document: its sequence index, its offset inside that
+    * sequence, and `crossings` — how many sequence boundaries cut
+    * through it (the document-fragmentation census that decides
+    * whether a context length is acceptable for a corpus; a doc that
+    * fits entirely inside one window has 0). Contiguous packing wastes
+    * no tokens (only each stratum's final partial window), so there is
+    * no padding column to report.
+    *
+    * The offset axis is [[assignBucketed]]'s skew-proof two-phase
+    * prefix sum with `budget = seqLen` — the t41 machinery's second
+    * consumer; a dominant stratum packs as `buckets` window units, not
+    * one reducer.
+    *
+    * Output: `(stratum, order, n_tokens, start_off, seq_idx, seq_off,
+    * crossings)`.
+    */
+  def sequencePack(docs: DataFrame, stratum: String, order: String,
+      tokens: Column, seqLen: Long, buckets: Int): DataFrame =
+    assignBucketed(docs, stratum, order, tokens, seqLen, buckets)
+      .withColumn("seq_idx", expr(s"start_off div CAST($seqLen AS BIGINT)"))
+      .withColumn("seq_off", col("start_off") % lit(seqLen))
+      .withColumn("crossings", expr(
+        s"CASE WHEN tok > 0 THEN (start_off + tok - 1) div $seqLen - seq_idx" +
+          " ELSE CAST(0 AS BIGINT) END"))
+      .select(col(stratum), col(order), col("tok").as("n_tokens"),
+        col("start_off"), col("seq_idx"), col("seq_off"), col("crossings"))
 }

@@ -5398,6 +5398,167 @@ object PipelineQueries {
       |ORDER BY lang
       |""".stripMargin))
 
+  /** T50 — training-sequence packing coordinates
+    * ([[graft.pipeline.ShardPacking.sequencePack]]): the GPT-style
+    * packed stream — per language, documents concatenate in doc_id
+    * order and chop into 256-token context windows; each document
+    * reports its sequence index, in-sequence offset, and how many
+    * window boundaries cut through it (the fragmentation census that
+    * decides whether a context length suits a corpus). The offset axis
+    * is t41's skew-proof two-phase prefix sum (budget = seqLen) — its
+    * second consumer; the oracle replays the single-window cumsum the
+    * bucketed path is proven bit-identical to.
+    */
+  val t50SequencePack = QueryDef("t50_sequence_pack",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.ShardPacking.sequencePack(
+          docs, "lang", "doc_id",
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          seqLen = 256L, buckets = 8)
+        .orderBy(col("lang"), col("doc_id"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |v AS (SELECT lang, doc_id, CAST(len(tk) AS BIGINT) AS tok FROM toks),
+      |w AS (SELECT lang, doc_id, tok,
+      |        CAST(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |               ROWS UNBOUNDED PRECEDING) - tok AS BIGINT) AS start_off
+      |      FROM v)
+      |SELECT lang, doc_id, tok AS n_tokens, start_off,
+      |       CAST(start_off // 256 AS BIGINT) AS seq_idx,
+      |       CAST(start_off % 256 AS BIGINT) AS seq_off,
+      |       CAST(CASE WHEN tok > 0
+      |            THEN (start_off + tok - 1) // 256 - start_off // 256
+      |            ELSE 0 END AS BIGINT) AS crossings
+      |FROM w
+      |ORDER BY lang, doc_id
+      |""".stripMargin))
+
+  /** T51 — referentially-consistent warehouse subsetting
+    * ([[graft.sampling.Sampling.referentialSample]]): orders sampled
+    * at 10% by the deterministic md5 coin on their key; lineitems
+    * follow their order's decision through a semi join, so the subset
+    * has NO dangling foreign keys (row-independent sampling of both
+    * tables dangles almost surely). Output: every kept order with its
+    * child-row count and integer quantity sum — the oracle replays the
+    * coin and the closure, so a child row kept without its parent (or
+    * dropped with it) hash-mismatches. Parent filter is scan-stage;
+    * the one child shuffle broadcasts when the kept-key set is small
+    * (j13's bloom semi join is the drop-in at larger rates).
+    */
+  val t51ConsistentSample = QueryDef("t51_consistent_sample",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val keptOrders = orders.filter(
+        graft.sampling.Sampling.hashUniformPpm(col("o_orderkey"),
+          "refsample") < lit(100000L))
+      val keptLines = graft.sampling.Sampling.referentialSample(
+        orders, "o_orderkey", li, "l_orderkey", 100000L)
+      val stats = keptLines.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+      keptOrders.select(col("o_orderkey"), col("o_orderpriority"))
+        .join(stats, keptOrders("o_orderkey") === stats("l_orderkey"),
+          "left")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          coalesce(col("qty_sum"), lit(0L)).as("qty_sum"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      |WITH kept AS (
+      |  SELECT o_orderkey, o_orderpriority FROM orders
+      |  WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+      |          || '|refsample'), 1, 15) AS BIGINT) % 1000000 < 100000),
+      |st AS (
+      |  SELECT l.l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+      |  FROM lineitem l
+      |  WHERE l.l_orderkey IN (SELECT o_orderkey FROM kept)
+      |  GROUP BY 1)
+      |SELECT k.o_orderkey, k.o_orderpriority,
+      |       CAST(COALESCE(st.n_lines, 0) AS BIGINT) AS n_lines,
+      |       CAST(COALESCE(st.qty_sum, 0) AS BIGINT) AS qty_sum
+      |FROM kept k LEFT JOIN st ON k.o_orderkey = st.l_orderkey
+      |ORDER BY o_orderkey
+      |""".stripMargin))
+
+  /** S20 — contrastive training-pair mining
+    * ([[Similarity.contrastivePairs]]): per anchor, top-3 positives
+    * (banded candidates at cosine ≥ 0.9 — the planted verbatim twins
+    * guarantee non-vacuous positives at every scale) and top-3 HARD
+    * negatives (highest-cosine candidates strictly below 0.4 — the
+    * same-bucket almost-confusables contrastive losses need; the
+    * [0.4, 0.9) margin band is excluded). Class membership is the
+    * exact integer threshold test; only in-class ranking uses the IEEE
+    * cosine. The oracle replays banding (the s15/s16 shared fragment),
+    * both thresholds in HUGEINT, and the rank.
+    */
+  val s20ContrastivePairs = QueryDef("s20_contrastive_pairs",
+    (s, dir) => {
+      val emb0 = t(s, dir, "embeddings")
+      val aug = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L))
+      Similarity.contrastivePairs(aug, "vec_id", "embedding",
+          kPos = 3, kNeg = 3, posFloorPpm = 900000L, negCeilPpm = 400000L,
+          bands = 8,
+          bitsPerBand =
+            Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")))
+        .orderBy(col("anchor_id"), col("role"), col("rank"))
+    },
+    Some(s"""
+      |WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, embedding
+      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |qv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM aug),
+      |$annParamsSql,
+      |${bandedBlockSql("qv")}
+      |dir AS (
+      |  SELECT id1 AS anchor_id, id2 AS pair_id FROM cand
+      |  UNION ALL
+      |  SELECT id2, id1 FROM cand),
+      |sc AS (
+      |  SELECT d.anchor_id, d.pair_id,
+      |         ${dotSql("a.qv", "b.qv")} AS dot_q,
+      |         ${dotSql("a.qv", "a.qv")} AS n1,
+      |         ${dotSql("b.qv", "b.qv")} AS n2
+      |  FROM dir d JOIN qv a ON a.vec_id = d.anchor_id
+      |             JOIN qv b ON b.vec_id = d.pair_id),
+      |lab AS (
+      |  SELECT anchor_id, pair_id, dot_q,
+      |         CASE WHEN n1 > 0 AND n2 > 0
+      |              THEN CAST(dot_q AS DOUBLE) / sqrt(CAST(n1 * n2 AS DOUBLE))
+      |         END AS cosine,
+      |         CASE WHEN dot_q > 0
+      |                AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 * 1000000
+      |                    >= CAST(n1 AS HUGEINT) * n2 * 900000 * 900000
+      |              THEN 'pos'
+      |              WHEN NOT (dot_q > 0
+      |                AND CAST(dot_q AS HUGEINT) * dot_q * 1000000 * 1000000
+      |                    >= CAST(n1 AS HUGEINT) * n2 * 400000 * 400000)
+      |              THEN 'neg'
+      |         END AS role
+      |  FROM sc),
+      |rk AS (
+      |  SELECT anchor_id, role, pair_id, dot_q, cosine,
+      |         row_number() OVER (PARTITION BY anchor_id, role
+      |           ORDER BY cosine DESC NULLS LAST, pair_id) AS rank
+      |  FROM lab WHERE role IS NOT NULL)
+      |SELECT anchor_id, role, CAST(rank AS INT) AS rank, pair_id, dot_q,
+      |       cosine
+      |FROM rk
+      |WHERE (role = 'pos' AND rank <= 3) OR (role = 'neg' AND rank <= 3)
+      |ORDER BY anchor_id, role, rank
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -5424,5 +5585,6 @@ object PipelineQueries {
     s15SemanticLeakage, s16BlockingRecall, s17KnnGraph, d22SemanticClusters,
     t44TemperatureMix, s18VecStore, t45BoilerplateStrip, t46Repetition,
     t47DsirWeights, t48PsiDrift, d23ClusterBalanced, s19SourceCentroids,
-    t49EpochDecay)
+    t49EpochDecay, t50SequencePack, t51ConsistentSample,
+    s20ContrastivePairs)
 }

@@ -240,6 +240,29 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Referentially-consistent subsetting: sample PARENT rows with the
+    * deterministic md5 Bernoulli on their primary key, and let CHILD
+    * rows follow their parent's decision via a semi join — the
+    * standard way to cut a dev/test environment out of a warehouse
+    * without dangling foreign keys (a row-independent sample of both
+    * tables breaks referential integrity almost surely). Determinism
+    * means the subset is reproducible across runs and engines, and
+    * any table keyed by the same parent can join the same decision.
+    *
+    * Scale shape: the parent filter is scan-stage (no shuffle); the
+    * child semi join shuffles on the key exactly once — and when the
+    * kept-key set is small, AQE broadcasts it; at larger rates the
+    * j13 bloom-pruned semi join is the drop-in scale path.
+    */
+  def referentialSample(parent: DataFrame, pkCol: String,
+      child: DataFrame, fkCol: String, ratePpm: Long,
+      salt: String = "refsample"): DataFrame = {
+    val keep = parent
+      .filter(hashUniformPpm(col(pkCol), salt) < lit(ratePpm))
+      .select(col(pkCol).as(fkCol))
+    child.join(keep, Seq(fkCol), "left_semi")
+  }
+
   /** Epoch-decay allocation audit (the data-constrained-scaling
     * accounting of Muennighoff et al. 2023, "Scaling Data-Constrained
     * Language Models": repeated epochs of the same tokens are worth

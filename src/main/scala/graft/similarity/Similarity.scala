@@ -750,6 +750,60 @@ object Similarity {
         col("dot_q"), col("cosine"))
   }
 
+  /** Contrastive training-pair mining — the emission step for training
+    * embedding/retrieval models off the corpus itself: per anchor, up
+    * to `kPos` POSITIVES (banded candidates at cosine ≥ posFloor —
+    * near-dups, paraphrases, re-encodings) and up to `kNeg` HARD
+    * NEGATIVES (banded candidates strictly below negCeil, ranked by
+    * cosine DESC — the same-bucket almost-confusable pairs contrastive
+    * losses need; random negatives are trivially separable and teach
+    * nothing). Candidates in the margin [negCeil, posFloor) are
+    * dropped — the standard margin-band exclusion.
+    *
+    * Class membership is the exact integer threshold test (dot²·10¹²
+    * vs n1·n2·ppm², decimal-exact) — no float boundary; only the
+    * in-class ranking uses the IEEE cosine, which both engines compute
+    * bit-identically. Per-anchor work is candidate-bounded (≤ bands·
+    * (bitsPerBand+1)·bucket-size, the s16-measured blocking), so the
+    * rank window partitions are bounded lists, never corpus rows.
+    *
+    * Output: `(anchor_id, role, rank, pair_id, dot_q, cosine)`.
+    */
+  def contrastivePairs(df: DataFrame, idCol: String, vecCol: String,
+      kPos: Int, kNeg: Int, posFloorPpm: Long, negCeilPpm: Long,
+      bands: Int, bitsPerBand: Int, probe1: Boolean = true): DataFrame = {
+    require(kPos > 0 && kNeg > 0, "kPos and kNeg must be positive")
+    require(posFloorPpm > negCeilPpm,
+      "positive floor must sit above the negative ceiling (margin band)")
+    val scored = bandedCandidatesRaw(df, idCol, vecCol, bands, bitsPerBand,
+        probe1)
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1").as("anchor_id"), col("id2").as("pair_id"),
+        dotQ(col("v1"), col("v2")).as("dot_q"),
+        normSqQ(col("v1")).as("__n1"), normSqQ(col("v2")).as("__n2"))
+      .distinct()
+    def atLeast(ppm: Long) = {
+      val lhs = (col("dot_q") * col("dot_q")).cast("decimal(38,0)") *
+        lit(1000000L) * lit(1000000L)
+      val rhs = (col("__n1") * col("__n2")).cast("decimal(38,0)") *
+        lit(ppm) * lit(ppm)
+      col("dot_q") > 0 && lhs >= rhs
+    }
+    val labeled = scored
+      .withColumn("role", when(atLeast(posFloorPpm), "pos")
+        .when(!atLeast(negCeilPpm), "neg"))
+      .filter(col("role").isNotNull)
+      .withColumn("cosine",
+        cosineFromQ(col("dot_q"), col("__n1"), col("__n2")))
+    val w = Window.partitionBy(col("anchor_id"), col("role"))
+      .orderBy(col("cosine").desc_nulls_last, col("pair_id"))
+    labeled.withColumn("rank", row_number().over(w))
+      .filter(col("role") === "pos" && col("rank") <= kPos ||
+        col("role") === "neg" && col("rank") <= kNeg)
+      .select(col("anchor_id"), col("role"), col("rank"), col("pair_id"),
+        col("dot_q"), col("cosine"))
+  }
+
   /** Per-group centroid similarity matrix: each group's (unnormalized)
     * centroid is the elementwise SUM of its quantized vectors — cosine
     * is scale-invariant, so the sum stands in for the mean with zero

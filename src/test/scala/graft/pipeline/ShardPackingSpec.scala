@@ -243,4 +243,36 @@ class ShardPackingSpec extends SparkSpec {
         col("tok_in"), 64L, 8)) ==
       m(ShardPacking.manifest(skewed, "lang", "doc_id", col("tok_in"), 64L)))
   }
+
+  test("sequencePack: hand-checked window coordinates and crossing census") {
+    import spark.implicits._
+    // stream a (L=10): 7 → [0,6] fits; 5 → [7,11] crosses once;
+    // 9 → [12,20] crosses once; 25 → [21,45] crosses 0-token doc's
+    // position... doc 4 has 0 tokens at offset 21 (no crossing by
+    // contract); doc 5: 25 → [21,45] spans windows 2,3,4 → 2 crossings.
+    val docs = Seq(
+      ("a", 1L, 7L), ("a", 2L, 5L), ("a", 3L, 9L),
+      ("a", 4L, 0L), ("a", 5L, 25L),
+      ("b", 10L, 10L) // exactly one full window: [0,9], 0 crossings
+    ).toDF("lang", "doc_id", "tok_in")
+    val out = ShardPacking.sequencePack(docs, "lang", "doc_id",
+        col("tok_in"), 10L, 4)
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_off"), r.getAs[Long]("seq_idx"),
+        r.getAs[Long]("seq_off"), r.getAs[Long]("crossings"))).toSeq
+    assert(out == Seq(
+      ("a", 1L, 0L, 0L, 0L, 0L),
+      ("a", 2L, 7L, 0L, 7L, 1L),
+      ("a", 3L, 12L, 1L, 2L, 1L),
+      ("a", 4L, 21L, 2L, 1L, 0L),
+      ("a", 5L, 21L, 2L, 1L, 2L),
+      ("b", 10L, 0L, 0L, 0L, 0L)))
+    // partition independence (the t41 bucketed axis underneath)
+    val re = ShardPacking.sequencePack(docs.repartition(5), "lang",
+        "doc_id", col("tok_in"), 10L, 4)
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("crossings"))).toSeq
+    assert(re == out.map(t => (t._2, t._6)))
+  }
 }

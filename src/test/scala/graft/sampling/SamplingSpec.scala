@@ -216,4 +216,28 @@ class SamplingSpec extends SparkSpec {
       .collect()
     full.foreach(r => assert(r.getAs[Long]("fill_ppm") == 1000000L))
   }
+
+  test("referentialSample: child rows follow their parent's coin exactly") {
+    val parent = (1L to 200L).map(k => (k, s"p$k")).toDF("pk", "payload")
+    // 3 children per parent, including parents the coin will drop
+    val child = (1L to 200L).flatMap(k => (1 to 3).map(i => (k, i)))
+      .toDF("fk", "line")
+    val keptChild = Sampling.referentialSample(parent, "pk", child, "fk",
+        300000L, "rs-spec")
+      .collect().map(r => (r.getAs[Long]("fk"), r.getAs[Int]("line"))).toSeq
+    // the kept-parent set IS the md5 coin — replay it directly
+    val keptPk = parent
+      .filter(Sampling.hashUniformPpm(col("pk"), "rs-spec") < 300000L)
+      .collect().map(_.getAs[Long]("pk")).toSet
+    assert(keptPk.nonEmpty && keptPk.size < 200, "coin must split the keys")
+    assert(keptChild.map(_._1).toSet == keptPk,
+      "closure: exactly the kept parents' children survive")
+    assert(keptChild.size == keptPk.size * 3,
+      "no child of a kept parent is lost")
+    // partition independence
+    val re = Sampling.referentialSample(parent.repartition(7), "pk",
+        child.repartition(5), "fk", 300000L, "rs-spec")
+      .collect().map(r => (r.getAs[Long]("fk"), r.getAs[Int]("line"))).toSet
+    assert(re == keptChild.toSet)
+  }
 }

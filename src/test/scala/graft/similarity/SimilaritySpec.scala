@@ -481,6 +481,42 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(8) > 1)
   }
 
+  test("contrastivePairs: twin is the rank-1 positive; negatives hard, capped, margin excluded") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val emb = base.unionByName(base.filter(col("vec_id") === 40L)
+      .withColumn("vec_id", lit(990000L)))
+    val rows = Similarity.contrastivePairs(emb, "vec_id", "embedding",
+      kPos = 2, kNeg = 3, posFloorPpm = 900000L, negCeilPpm = 400000L,
+      bands = 8, bitsPerBand = 8).collect()
+    val byAnchor = rows.groupBy(r => (r.getAs[Long]("anchor_id"),
+      r.getAs[String]("role")))
+    // the planted twin is its anchor's rank-1 positive, both directions
+    def pos1(a: Long) = byAnchor((a, "pos"))
+      .find(_.getAs[Int]("rank") == 1).get.getAs[Long]("pair_id")
+    assert(pos1(40L) == 990000L && pos1(990000L) == 40L)
+    // class contracts: every positive ≥ 0.9, every negative < 0.4 (or
+    // null-cosine), nothing from the margin band survives
+    rows.foreach { r =>
+      val c = Option(r.getAs[java.lang.Double]("cosine")).map(_.toDouble)
+      if (r.getAs[String]("role") == "pos")
+        assert(c.exists(_ >= 0.899), s"weak positive: $r")
+      else assert(c.forall(_ < 0.401), s"soft negative: $r")
+    }
+    // caps + dense ranks per (anchor, role)
+    byAnchor.foreach { case ((_, role), rs) =>
+      assert(rs.length <= (if (role == "pos") 2 else 3))
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+    // hard negatives: each anchor's negatives are its HIGHEST sub-0.4
+    // cosines — rank order must be non-increasing
+    byAnchor.collect { case ((_, "neg"), rs) if rs.length > 1 =>
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+        .flatMap(r => Option(r.getAs[java.lang.Double]("cosine")))
+        .map(_.toDouble)
+      assert(ordered.zip(ordered.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("groupCentroidCosines: parallel centroids hit 1.0, orthogonal 0.0; g1<g2 half-matrix") {
     // a: two copies of e1 (centroid ∥ e1); b: one 2·e1 (parallel to a,
     // different scale — cosine must still be exactly 1.0); c: e2.
