@@ -5559,6 +5559,97 @@ object PipelineQueries {
       |ORDER BY anchor_id, role, rank
       |""".stripMargin))
 
+  /** T52 — language-ID confusion audit: the labeled lang column vs
+    * [[TextAnalysis.langId]]'s stopword-vote guess, as per-(label,
+    * guess) counts with the within-label share in ppm — the
+    * reliability check a pipeline owes itself before stratifying
+    * sampling/mixing decisions on a predicted label (t17/t22/t44 all
+    * key on lang). The en/es stopword lists resolve those two; zh/de/
+    * fr must land in 'und' — a guess bleeding across labels shows up
+    * as off-diagonal mass. Two grouped counts and one label-total
+    * join; no window, no text pass beyond the one tokenize.
+    */
+  val t52LangConfusion = QueryDef("t52_lang_confusion",
+    (s, dir) => {
+      val g = t(s, dir, "documents").select(col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))
+      val ct = g.groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+      val tot = ct.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+      ct.join(tot, "lang")
+        .select(col("lang"), col("lang_guess"), col("n"),
+          expr("n * 1000000 div t").as("share_ppm"))
+        .orderBy(col("lang"), col("lang_guess"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |g AS (
+      |  SELECT lang,
+      |         CASE WHEN en_hits > es_hits THEN 'en'
+      |              WHEN es_hits > en_hits THEN 'es'
+      |              ELSE 'und' END AS lang_guess
+      |  FROM (
+      |    SELECT lang,
+      |           len(list_intersect(tk, ['the','of','and','to','in','is',
+      |             'for','on','with','as'])) AS en_hits,
+      |           len(list_intersect(tk, ['de','la','que','el','en','y',
+      |             'los','del','las','por'])) AS es_hits
+      |    FROM toks)),
+      |ct AS (SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM g GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM ct GROUP BY 1)
+      |SELECT ct.lang, ct.lang_guess, ct.n,
+      |       CAST(ct.n * 1000000 // tot.t AS BIGINT) AS share_ppm
+      |FROM ct JOIN tot USING (lang)
+      |ORDER BY lang, lang_guess
+      |""".stripMargin))
+
+  /** A9 — one-pass column profiler over the fact table: per numeric
+    * column, non-null count, EXACT distinct count, and min/max — the
+    * Deequ-style completeness/cardinality analyzer a warehouse runs
+    * before trusting a feed. ONE aggregate computes all 8 columns' 32
+    * statistics (multi-distinct goes through Spark's expand — 8× the
+    * scan rows into partial aggs, the standard exact-multi-distinct
+    * price; swap in the t4 KMV sketch per column when exactness can be
+    * traded at 100 TB), then a `stack` unpivots the single wide row
+    * into per-column rows. Min/max surface as DOUBLE so both engines
+    * render identically.
+    */
+  val a9ColumnProfile = QueryDef("a9_column_profile",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("double").as(s"${c}__mn"),
+        max(col(c)).cast("double").as(s"${c}__mx"))) :+
+        count(lit(1)).as("__n")
+      val row = li.agg(aggs.head, aggs.tail: _*)
+      row.select(expr("stack(" + cols.size + ", " +
+          cols.map(c => s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx")
+            .mkString(", ") +
+          ") as (column_name, n_nonnull, n_distinct, min_v, max_v)"),
+          col("__n").as("n_rows"))
+        .orderBy(col("column_name"))
+    },
+    Some(s"""
+      |${Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c =>
+          s"""SELECT '$c' AS column_name,
+             |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(MIN($c) AS DOUBLE) AS min_v,
+             |  CAST(MAX($c) AS DOUBLE) AS max_v,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows
+             |FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n")}
+      |ORDER BY column_name
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -5586,5 +5677,5 @@ object PipelineQueries {
     t44TemperatureMix, s18VecStore, t45BoilerplateStrip, t46Repetition,
     t47DsirWeights, t48PsiDrift, d23ClusterBalanced, s19SourceCentroids,
     t49EpochDecay, t50SequencePack, t51ConsistentSample,
-    s20ContrastivePairs)
+    s20ContrastivePairs, t52LangConfusion, a9ColumnProfile)
 }
