@@ -5650,6 +5650,73 @@ object PipelineQueries {
       |ORDER BY column_name
       |""".stripMargin))
 
+  /** A10 — sketch-based join-cardinality estimation
+    * ([[graft.sketch.Sketch.cmsJoinSize]]): |A ⋈ B| on the token key
+    * for two sources' token multisets — the word-frequency join the
+    * AMS literature benchmarks — estimated from two 4×512 CMS grids
+    * via the per-row inner product (min over rows), next to the exact
+    * Σ c_A·c_B and the overestimate in ppm. The optimizer-statistics
+    * primitive: broadcast/reorder decisions need the join size BEFORE
+    * the join runs, and the grids are bounded and mergeable. The
+    * estimate is provably an upper bound (collisions only add mass) —
+    * the oracle replays both grids cell-exactly, so over_ppm is a pure
+    * function of the data.
+    */
+  val a10JoinCardinality = QueryDef("a10_join_cardinality",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def toks(src: String) = docs.filter(col("source") === src)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val a = toks("src0").localCheckpoint(eager = false)
+      val b = toks("src1").localCheckpoint(eager = false)
+      val exact = a.groupBy(col("token")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("token")).agg(count(lit(1)).as("cb")), "token")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+          .as("exact_join_n"))
+      val na = a.agg(count(lit(1)).as("n_a"))
+      val nb = b.agg(count(lit(1)).as("n_b"))
+      val est = graft.sketch.Sketch.cmsJoinSize(a, "token", b, "token",
+        4, 512)
+      na.crossJoin(broadcast(nb)).crossJoin(broadcast(exact))
+        .crossJoin(broadcast(est))
+        .withColumn("over_ppm", expr(
+          "(cms_join_n - exact_join_n) * 1000000 div " +
+            "greatest(exact_join_n, 1L)"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |ta AS (SELECT unnest(tk) AS token FROM toks WHERE source = 'src0'),
+      |tb AS (SELECT unnest(tk) AS token FROM toks WHERE source = 'src1'),
+      |ga AS (SELECT token, COUNT(*) AS ca FROM ta GROUP BY 1),
+      |gb AS (SELECT token, COUNT(*) AS cb FROM tb GROUP BY 1),
+      |ex AS (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT)
+      |         AS exact_join_n
+      |       FROM ga JOIN gb USING (token)),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cea AS (
+      |  SELECT r,
+      |         CAST('0x' || substr(md5(r || ':' || token), 1, 10) AS BIGINT)
+      |           % 512 AS bucket,
+      |         COUNT(*) AS cnt
+      |  FROM ta CROSS JOIN rr GROUP BY 1, 2),
+      |ceb AS (
+      |  SELECT r,
+      |         CAST('0x' || substr(md5(r || ':' || token), 1, 10) AS BIGINT)
+      |           % 512 AS bucket,
+      |         COUNT(*) AS cnt_b
+      |  FROM tb CROSS JOIN rr GROUP BY 1, 2),
+      |est AS (
+      |  SELECT CAST(MIN(s) AS BIGINT) AS cms_join_n FROM (
+      |    SELECT a.r, SUM(a.cnt * b.cnt_b) AS s
+      |    FROM cea a JOIN ceb b USING (r, bucket) GROUP BY 1)),
+      |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM ta),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM tb)
+      |SELECT n_a, n_b, exact_join_n, cms_join_n,
+      |       CAST((cms_join_n - exact_join_n) * 1000000
+      |            // GREATEST(exact_join_n, 1) AS BIGINT) AS over_ppm
+      |FROM na, nb, ex, est
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -5677,5 +5744,6 @@ object PipelineQueries {
     t44TemperatureMix, s18VecStore, t45BoilerplateStrip, t46Repetition,
     t47DsirWeights, t48PsiDrift, d23ClusterBalanced, s19SourceCentroids,
     t49EpochDecay, t50SequencePack, t51ConsistentSample,
-    s20ContrastivePairs, t52LangConfusion, a9ColumnProfile)
+    s20ContrastivePairs, t52LangConfusion, a9ColumnProfile,
+    a10JoinCardinality)
 }

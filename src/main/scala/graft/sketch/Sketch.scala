@@ -218,6 +218,32 @@ object Sketch {
       .agg(min(col("cnt")).as("cms_n"))
   }
 
+  /** CMS join-size estimation (the AMS/Count-Min inner-product
+    * estimator, Alon–Matias–Szegedy / Cormode–Muthukrishnan): the size
+    * of the key-equi join |A ⋈ B| = Σ_k c_A(k)·c_B(k) estimated as
+    * `min_r Σ_b cntA(r,b)·cntB(r,b)` — the per-row sketch inner
+    * product, an UPPER bound (collisions only add mass) that two
+    * bounded grids answer without touching either table again. The
+    * optimizer-statistics primitive: join reordering and broadcast
+    * decisions need |A ⋈ B| before running the join, and the grids are
+    * mergeable/maintainable incrementally like every CMS.
+    *
+    * Width must scale with table size at the extreme (a cell count is
+    * ~n/width, and the per-row product sums n²/width-ish terms —
+    * width ≥ n²/2⁶² keeps the sum in a long; at 10¹² rows use width ≥
+    * 2²⁰). Depth·width stays a few thousand cells here, broadcastable.
+    */
+  def cmsJoinSize(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val sa = cmsSketch(a, aCol, depth, width)
+    val sb = cmsSketch(b, bCol, depth, width)
+      .withColumnRenamed("cnt", "cnt_b")
+    sa.join(sb, Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("est"))
+      .agg(min(col("est")).as("cms_join_n"))
+  }
+
   // ------------------------------------------------------------------ HLL
 
   /** HyperLogLog (Flajolet et al. 2007) register count: 2^8 buckets. */

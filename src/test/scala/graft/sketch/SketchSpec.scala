@@ -185,4 +185,24 @@ class SketchSpec extends SparkSpec {
         .groupBy("g", "bucket").agg(max(col("r")).as("r")))
     assert(replayed == direct, "replay must not move the store")
   }
+
+  test("cmsJoinSize: collision-free grids give the exact inner product; always an upper bound") {
+    import spark.implicits._
+    // A: x×3, y×2, z×1; B: x×2, z×4, w×5 → exact = 3·2 + 1·4 = 10
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(4)("z") ++ Seq.fill(5)("w"))
+      .toDF("k")
+    val wide = Sketch.cmsJoinSize(a, "k", b, "k", 4, 512)
+      .collect()(0).getAs[Long]("cms_join_n")
+    assert(wide == 10L,
+      s"4 distinct keys in 512 buckets must be collision-free: $wide")
+    // crush the width → collisions only ADD mass, never subtract
+    val narrow = Sketch.cmsJoinSize(a, "k", b, "k", 4, 2)
+      .collect()(0).getAs[Long]("cms_join_n")
+    assert(narrow >= 10L, s"upper bound violated: $narrow")
+    // partition independence
+    val re = Sketch.cmsJoinSize(a.repartition(5), "k", b.repartition(3),
+      "k", 4, 512).collect()(0).getAs[Long]("cms_join_n")
+    assert(re == 10L)
+  }
 }
