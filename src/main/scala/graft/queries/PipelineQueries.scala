@@ -5717,6 +5717,40 @@ object PipelineQueries {
       |FROM na, nb, ex, est
       |""".stripMargin))
 
+  /** A11 — bootstrap uncertainty for a corpus statistic
+    * ([[graft.sampling.Sampling.bootstrapMeans]]): 32 deterministic
+    * Poisson-style bootstrap replicates of the mean document length —
+    * each doc appears Binomial(4, ¼) times per replicate on md5
+    * coins, so the replicate means' spread IS the sampling
+    * distribution and quantiles of it are the confidence interval.
+    * The map-reduce bootstrap (Chamandy et al.): no global resample
+    * coordination, one pass with a 32× fan-out, map-side partials
+    * ≤32 rows per task. The oracle replays every coin.
+    */
+  val a11BootstrapCi = QueryDef("a11_bootstrap_ci",
+    (s, dir) => graft.sampling.Sampling
+      .bootstrapMeans(t(s, dir, "documents"), "doc_id", col("n_chars"))
+      .orderBy(col("trial")),
+    Some("""
+      |WITH tr AS (SELECT unnest(range(1, 33)) AS trial),
+      |co AS (SELECT unnest(range(1, 5)) AS c),
+      |e AS (
+      |  SELECT d.doc_id, d.n_chars, tr.trial,
+      |         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |                || '|bs|' || trial || '|' || c), 1, 15) AS BIGINT)
+      |              % 1000000 < 250000
+      |         THEN 1 ELSE 0 END AS hit
+      |  FROM documents d, tr, co),
+      |pc AS (SELECT doc_id, n_chars, trial, SUM(hit) AS cp
+      |       FROM e GROUP BY 1, 2, 3)
+      |SELECT trial, CAST(SUM(cp) AS BIGINT) AS n_eff,
+      |       CAST(SUM(cp * n_chars) AS BIGINT) AS w_sum,
+      |       CAST(SUM(cp * n_chars) * 1000 // GREATEST(SUM(cp), 1)
+      |         AS BIGINT) AS mean_milli
+      |FROM pc GROUP BY trial
+      |ORDER BY trial
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -5745,5 +5779,5 @@ object PipelineQueries {
     t47DsirWeights, t48PsiDrift, d23ClusterBalanced, s19SourceCentroids,
     t49EpochDecay, t50SequencePack, t51ConsistentSample,
     s20ContrastivePairs, t52LangConfusion, a9ColumnProfile,
-    a10JoinCardinality)
+    a10JoinCardinality, a11BootstrapCi)
 }

@@ -240,6 +240,45 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic Poisson-style bootstrap (Chamandy et al., "Estimating
+    * uncertainty for massive data streams", the map-reduce bootstrap):
+    * every corpus statistic deserves an error bar, and the classic
+    * resample-n-rows bootstrap needs global coordination a cluster
+    * can't afford. Instead each row independently appears
+    * `copies ~ Binomial(4, ¼)` times in each replicate (mean 1,
+    * variance ¾ — the standard Poisson-bootstrap surrogate), with the
+    * coins drawn from the repo's md5 uniform on (key, trial, coin) —
+    * fully deterministic, so the oracle replays every replicate
+    * exactly. Output: one row per replicate `(trial, n_eff, w_sum,
+    * mean_milli)`; the spread of `mean_milli` across trials IS the
+    * sampling distribution of the mean.
+    *
+    * Scale shape: one pass with a `trials`× row fan-out (no coin
+    * explosion — the 4 coins are column expressions), then a groupBy
+    * on `trials` keys: map-side partial aggregation ships ≤`trials`
+    * rows per task whatever the corpus size.
+    */
+  def bootstrapMeans(df: DataFrame, keyCol: String, value: Column,
+      trials: Int = 32): DataFrame = {
+    require(trials > 0, s"trials must be positive, got $trials")
+    val base = df
+      .select(col(keyCol).cast("string").as("__k"),
+        value.cast("long").as("__v"))
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(1L), lit(trials.toLong))).as("trial"))
+    val copies = (1 to 4).map(c =>
+      when(conv(substring(md5(concat_ws("|", col("__k"), lit("bs"),
+          col("trial"), lit(c.toString))), 1, 15), 16, 10).cast("long")
+          % 1000000L < 250000L, 1L).otherwise(0L))
+      .reduce(_ + _)
+    base.withColumn("__c", copies)
+      .groupBy(col("trial"))
+      .agg(sum(col("__c")).as("n_eff"),
+        sum(col("__c") * col("__v")).as("w_sum"))
+      .withColumn("mean_milli",
+        expr("w_sum * 1000 div greatest(n_eff, 1L)"))
+  }
+
   /** Referentially-consistent subsetting: sample PARENT rows with the
     * deterministic md5 Bernoulli on their primary key, and let CHILD
     * rows follow their parent's decision via a semi join — the

@@ -120,4 +120,25 @@ class DsirSpec extends SparkSpec {
       .orderBy("lang").collect().map(_.getAs[Long]("effective_tokens")).toSeq
     assert(re == Seq(193L, 650L))
   }
+
+  test("bootstrapMeans: constant corpus pins every replicate mean; weights near Binomial(4,1/4)") {
+    val df = (1L to 400L).map(i => (i, 7L)).toDF("doc_id", "v")
+    val out = Sampling.bootstrapMeans(df, "doc_id", col("v"), trials = 16)
+      .orderBy("trial").collect()
+      .map(r => (r.getAs[Long]("trial"), r.getAs[Long]("n_eff"),
+        r.getAs[Long]("mean_milli"))).toSeq
+    assert(out.map(_._1) == (1L to 16L), "one row per replicate")
+    // with a constant value the weighted mean is EXACTLY the constant
+    // in every replicate, whatever the coins did
+    assert(out.forall(_._3 == 7000L), s"mean invariance broken: $out")
+    // E[n_eff] = 400, sd = sqrt(400*3/4) ≈ 17 → all replicates within
+    // ±6 sd is a deterministic fact of these md5 coins, asserted once
+    assert(out.forall(t => t._2 > 296L && t._2 < 504L),
+      s"replicate weights far from Binomial(4, 1/4): $out")
+    // deterministic and partition-independent
+    val re = Sampling.bootstrapMeans(df.repartition(7), "doc_id",
+        col("v"), trials = 16)
+      .orderBy("trial").collect().map(_.getAs[Long]("n_eff")).toSeq
+    assert(re == out.map(_._2))
+  }
 }
