@@ -53,6 +53,20 @@ class DsirSpec extends SparkSpec {
     assert(re == out.map(t => (t._1, t._2)))
   }
 
+  test("importanceWeights: bucket-bounded stats broadcast in the executed plan") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Dsir.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en", 256)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ≤buckets-row stats frame must broadcast into the scoring " +
+        "join, not shuffle the corpus-sized count frame")
+    assert(!plan.contains("CartesianProduct"),
+      "no unbounded pair space anywhere in DSIR")
+  }
+
   test("clusterBalancedSample: singletons always survive; rates follow cluster size") {
     // cluster 100: ids 1..10; cluster 200: ids 21,22; singletons 31..33
     val members = ((1L to 10L).map(i => (i, 100L)) ++
