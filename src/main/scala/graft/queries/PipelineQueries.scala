@@ -4898,10 +4898,12 @@ object PipelineQueries {
       |  FROM w),
       |a1 AS (
       |  SELECT w.lang, w.supply_tokens, w.weight_s, t.sw,
-      |         t.t * 900 // 1000 AS budget,
-      |         (t.t * 900 // 1000) * w.weight_s // t.sw AS naive,
-      |         least(w.supply_tokens,
-      |               (t.t * 900 // 1000) * w.weight_s // t.sw) AS alloc1
+      |         CAST(t.t AS HUGEINT) * 900 // 1000 AS budget,
+      |         CAST(t.t AS HUGEINT) * 900 // 1000 * w.weight_s // t.sw
+      |           AS naive,
+      |         least(CAST(w.supply_tokens AS HUGEINT),
+      |               CAST(t.t AS HUGEINT) * 900 // 1000 * w.weight_s // t.sw)
+      |           AS alloc1
       |  FROM w, tot t),
       |t2 AS (
       |  SELECT CAST(SUM(alloc1) AS BIGINT) AS a1s,
@@ -4910,12 +4912,12 @@ object PipelineQueries {
       |SELECT lang, supply_tokens, weight_s,
       |       CAST(weight_s * 1000000 // sw AS BIGINT) AS target_ppm,
       |       CAST(alloc1 + least(supply_tokens - alloc1,
-      |              (budget - a1s) * (supply_tokens - alloc1)
+      |              CAST(budget - a1s AS HUGEINT) * (supply_tokens - alloc1)
       |                // greatest(head, 1)) AS BIGINT) AS alloc_tokens,
       |       CAST(naive >= supply_tokens AS INT) AS capped,
-      |       CAST((alloc1 + least(supply_tokens - alloc1,
-      |              (budget - a1s) * (supply_tokens - alloc1)
-      |                // greatest(head, 1))) * 1000000
+      |       CAST(CAST(alloc1 + least(supply_tokens - alloc1,
+      |              CAST(budget - a1s AS HUGEINT) * (supply_tokens - alloc1)
+      |                // greatest(head, 1)) AS HUGEINT) * 1000000
       |            // greatest(supply_tokens, 1) AS BIGINT) AS fill_ppm
       |FROM a1, t2
       |ORDER BY lang
@@ -5227,8 +5229,10 @@ object PipelineQueries {
       |  FROM dom LEFT JOIN cg ON dom.g = cg.g AND dom.b = cg.b),
       |sl AS (
       |  SELECT g, n_g, p, q,
-      |         CASE WHEN p >= q THEN CAST(length(bin(p // q)) AS BIGINT)
-      |              ELSE -CAST(length(bin(q // p)) AS BIGINT) END AS slog
+      |         CASE WHEN p >= q
+      |              THEN CAST(length(bin(p // greatest(q, 1))) AS BIGINT)
+      |              ELSE -CAST(length(bin(q // greatest(p, 1))) AS BIGINT)
+      |         END AS slog
       |  FROM pq)
       |SELECT g AS source, CAST(MAX(n_g) AS BIGINT) AS n_docs,
       |       CAST(SUM((p - q) * slog) AS BIGINT) AS psi
@@ -5367,7 +5371,8 @@ object PipelineQueries {
       |  FROM w),
       |base AS (
       |  SELECT w.lang, w.supply_tokens,
-      |         CAST((t.t * 3000 // 1000) * w.weight_s // t.sw AS BIGINT)
+      |         CAST(CAST(t.t AS HUGEINT) * 3000 // 1000
+      |              * w.weight_s // t.sw AS BIGINT)
       |           AS alloc_tokens
       |  FROM w, tot t),
       |kb AS (
@@ -5390,8 +5395,9 @@ object PipelineQueries {
       |            // (CAST(1 AS BIGINT) << CAST(kb.k AS INT))
       |         AS BIGINT) AS effective_tokens,
       |       CAST(CASE WHEN kb.alloc_tokens > 0
-      |            THEN (COALESCE(e.full_value, 0) + kb.partial_tokens
-      |                  // (CAST(1 AS BIGINT) << CAST(kb.k AS INT)))
+      |            THEN CAST(COALESCE(e.full_value, 0) + kb.partial_tokens
+      |                  // (CAST(1 AS BIGINT) << CAST(kb.k AS INT))
+      |                  AS HUGEINT)
       |                 * 1000000 // kb.alloc_tokens
       |            ELSE 0 END AS BIGINT) AS efficiency_ppm
       |FROM kb LEFT JOIN eps e USING (lang)

@@ -205,22 +205,32 @@ object Sampling {
       .localCheckpoint(false)
     val tot = supply.agg(sum(col("supply_tokens")).as("__tot"),
       sum(col("weight_s")).as("__sw"))
+    // overflow posture: corpus-total-scale products (budget × weight,
+    // surplus × headroom, alloc × 10⁶) exceed Long at the multi-
+    // trillion-token scale this plans for (budget ~1e13 × weight ~3e6
+    // wraps silently in non-ANSI Spark) — widen each product through
+    // decimal(38,0); `div` (IntegralDivide) brings it back to BIGINT.
+    // weight_s·10⁶ needs no widening (weight ≤ √(2⁶³) ≈ 3e9 → ≤ 3e15).
     val a1 = supply.crossJoin(broadcast(tot))
-      .withColumn("__budget", expr(s"__tot * $budgetPermille div 1000"))
-      .withColumn("__naive", expr("__budget * weight_s div __sw"))
+      .withColumn("__budget",
+        expr(s"CAST(__tot AS DECIMAL(38,0)) * $budgetPermille div 1000"))
+      .withColumn("__naive",
+        expr("CAST(__budget AS DECIMAL(38,0)) * weight_s div __sw"))
       .withColumn("__alloc1", least(col("supply_tokens"), col("__naive")))
     val tot2 = a1.agg(sum(col("__alloc1")).as("__a1"),
       sum(expr("supply_tokens - __alloc1")).as("__head"))
     a1.crossJoin(broadcast(tot2))
       .withColumn("alloc_tokens", expr(
         "__alloc1 + least(supply_tokens - __alloc1, " +
-          "(__budget - __a1) * (supply_tokens - __alloc1) " +
+          "CAST(__budget - __a1 AS DECIMAL(38,0)) " +
+          "* (supply_tokens - __alloc1) " +
           "div greatest(__head, 1L))"))
       .withColumn("target_ppm", expr("weight_s * 1000000L div __sw"))
       .withColumn("capped",
         (col("__naive") >= col("supply_tokens")).cast("int"))
       .withColumn("fill_ppm",
-        expr("alloc_tokens * 1000000L div greatest(supply_tokens, 1L)"))
+        expr("CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000L " +
+          "div greatest(supply_tokens, 1L)"))
       .select(col(groupCol), col("supply_tokens"), col("weight_s"),
         col("target_ppm"), col("alloc_tokens"), col("capped"),
         col("fill_ppm"))
@@ -332,9 +342,12 @@ object Sampling {
         floor(sqrt(col("supply_tokens").cast("double"))).cast("long"))
     val tot = sup.agg(sum(col("supply_tokens")).as("t"),
       sum(col("weight_s")).as("sw"))
+    // same decimal(38,0) widening as temperatureMixAllocation: t·permille
+    // and budget·weight wrap Long at multi-trillion-token supplies
     val base = sup.crossJoin(broadcast(tot))
       .withColumn("alloc_tokens",
-        expr(s"(t * $budgetPermille div 1000) * weight_s div sw"))
+        expr(s"CAST(CAST(t AS DECIMAL(38,0)) * $budgetPermille div 1000" +
+          " AS DECIMAL(38,0)) * weight_s div sw"))
       .withColumn("k", least(expr("alloc_tokens div supply_tokens"),
         lit(maxEpochs.toLong)))
       .withColumn("partial_tokens",
@@ -356,7 +369,8 @@ object Sampling {
           "shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))"))
       .withColumn("efficiency_ppm",
         when(col("alloc_tokens") > 0,
-          expr("effective_tokens * 1000000 div alloc_tokens"))
+          expr("CAST(effective_tokens AS DECIMAL(38,0)) * 1000000 " +
+            "div alloc_tokens"))
           .otherwise(lit(0L)))
       .select(col(stratumCol), col("supply_tokens"), col("alloc_tokens"),
         col("k").as("epochs_full"), col("partial_tokens"),

@@ -74,9 +74,16 @@ object Drift {
       .withColumn("p", expr("(c + 1) * 1000000 div (n_g + nbins)"))
       .withColumn("q",
         expr("((tc - c) + 1) * 1000000 div ((n - n_g) + nbins)"))
+      // greatest(·, 1) guards the divisor: smoothed ppm proportions
+      // round to 0 once a group (or its complement) exceeds ~1e6 rows
+      // while missing a bin — `x div 0` is NULL in non-ANSI Spark and
+      // would silently DROP exactly the missing-bin drift terms PSI
+      // exists to price. With the guard the zero side contributes its
+      // full |log| of the other side (the saturated term), keeping
+      // PSI ≥ 0 and = 0 iff the histograms agree at ppm resolution.
       .withColumn("slog", when(col("p") >= col("q"),
-          length(bin(expr("p div q"))).cast("long"))
-        .otherwise(-length(bin(expr("q div p"))).cast("long")))
+          length(bin(expr("p div greatest(q, 1L)"))).cast("long"))
+        .otherwise(-length(bin(expr("q div greatest(p, 1L)"))).cast("long")))
       .withColumn("term", (col("p") - col("q")) * col("slog"))
     terms.groupBy(col("g"))
       .agg(max(col("n_g")).as("n_docs"), sum(col("term")).as("psi"))

@@ -240,4 +240,42 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("fk"), r.getAs[Int]("line"))).toSet
     assert(re == keptChild.toSet)
   }
+
+  test("temperature mix + epoch decay: multi-trillion-token supplies don't wrap Long") {
+    // the docstring's own regime: budget ~3.4e13 × weight_s ~5e6 ≈ 1.7e20
+    // exceeds Long (9.2e18) — before the decimal(38,0) widening the
+    // products wrapped silently in non-ANSI Spark, yielding negative or
+    // garbage allocations. One row per stratum; sums are over one row.
+    val docs = Seq(("en", 25000000000000L), ("es", 9000000000000L),
+      ("zh", 4000000000000L)).toDF("lang", "tok")
+    val mix = Sampling
+      .temperatureMixAllocation(docs, "lang", col("tok"),
+        budgetPermille = 900L)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val budget = 38000000000000L * 900L / 1000L
+    mix.values.foreach { r =>
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val supply = r.getAs[Long]("supply_tokens")
+      assert(alloc >= 0L, s"allocation wrapped negative: $r")
+      assert(alloc <= supply, s"allocation exceeds supply: $r")
+      val fill = r.getAs[Long]("fill_ppm")
+      assert(fill >= 0L && fill <= 1000000L, s"fill_ppm out of range: $r")
+    }
+    val total = mix.values.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(total <= budget, s"allocated $total above budget $budget")
+    assert(total > budget * 99L / 100L,
+      s"a 900‰ budget against ample supply should near-fill: $total")
+    // epoch decay at 3× budget over the same supplies: the alloc and
+    // efficiency products cross Long too
+    val decay = Sampling.epochDecayAudit(docs, "lang", col("tok"),
+      budgetPermille = 3000L).collect()
+    decay.foreach { r =>
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val eff = r.getAs[Long]("effective_tokens")
+      val ppm = r.getAs[Long]("efficiency_ppm")
+      assert(alloc >= 0L, s"alloc wrapped: $r")
+      assert(eff >= 0L && eff <= alloc, s"effective value out of range: $r")
+      assert(ppm >= 0L && ppm <= 1000000L, s"efficiency_ppm range: $r")
+    }
+  }
 }

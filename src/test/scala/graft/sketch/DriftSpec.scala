@@ -50,4 +50,27 @@ class DriftSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("psi")).toSeq
     assert(re == zero)
   }
+
+  test("psiFromCounts: >1e6-row group with a missed bin keeps its drift term (no NULL slog)") {
+    // fed as a COUNT GRID (psiFromCounts' contract), so the >1e6-row
+    // regime costs 3 rows, not 3M: group `big` holds 3,000,000 rows in
+    // bin 5 and MISSES bin 9 → its smoothed ppm proportion there is
+    // (0+1)*1e6 div (3e6+2) = 0. Before the greatest(·,1) guard the
+    // slog computed `q div 0` → NULL in non-ANSI Spark, silently
+    // dropping exactly the missing-bin term PSI exists to price.
+    val counts = Seq(
+      ("big", 5L, 3000000L),
+      ("small", 5L, 4L),
+      ("small", 9L, 4L)).toDF("g", "b", "c")
+    val out = Drift.psiFromCounts(counts)
+      .collect().map(r => r.getAs[String]("g") ->
+        (if (r.isNullAt(r.fieldIndex("psi"))) None
+         else Some(r.getAs[Long]("psi")))).toMap
+    assert(out.size == 2)
+    assert(out.values.forall(_.isDefined), s"psi must never be NULL: $out")
+    assert(out("big").get > 0L,
+      s"big misses bin 9 entirely - the saturated term must price it: $out")
+    assert(out("small").get > 0L)
+    assert(out.values.forall(_.get >= 0L), "PSI stays non-negative")
+  }
 }
