@@ -5178,12 +5178,18 @@ object PipelineQueries {
       |         CAST(length(bin(tot.tt // ct1)) AS BIGINT) AS stp
       |  FROM st, tot),
       |w AS (
-      |  SELECT pb.doc_id, CAST(SUM(c * (sr - stp)) AS BIGINT) AS weight,
-      |         CAST(SUM(c) AS BIGINT) AS n_bigrams
-      |  FROM pb JOIN su USING (b) GROUP BY 1)
+      |  SELECT pb.doc_id,
+      |         CAST(SUM(CASE WHEN su.sr IS NOT NULL
+      |                       THEN c * (sr - stp) ELSE 0 END)
+      |           AS BIGINT) AS weight,
+      |         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(CASE WHEN su.sr IS NULL THEN c ELSE 0 END)
+      |           AS BIGINT) AS n_unseen
+      |  FROM pb LEFT JOIN su USING (b) GROUP BY 1)
       |SELECT t.doc_id,
       |       CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight,
-      |       CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams
+      |       CAST(COALESCE(w.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(COALESCE(w.n_unseen, 0) AS BIGINT) AS n_unseen
       |FROM toks t LEFT JOIN w USING (doc_id)
       |ORDER BY doc_id
       |""".stripMargin))
@@ -5712,9 +5718,10 @@ object PipelineQueries {
       |         COUNT(*) AS cnt_b
       |  FROM tb CROSS JOIN rr GROUP BY 1, 2),
       |est AS (
-      |  SELECT CAST(MIN(s) AS BIGINT) AS cms_join_n FROM (
+      |  SELECT CAST(MIN(COALESCE(s, 0)) AS BIGINT) AS cms_join_n
+      |  FROM rr LEFT JOIN (
       |    SELECT a.r, SUM(a.cnt * b.cnt_b) AS s
-      |    FROM cea a JOIN ceb b USING (r, bucket) GROUP BY 1)),
+      |    FROM cea a JOIN ceb b USING (r, bucket) GROUP BY 1) j USING (r)),
       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM ta),
       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM tb)
       |SELECT n_a, n_b, exact_join_n, cms_join_n,

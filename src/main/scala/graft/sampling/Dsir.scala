@@ -90,19 +90,35 @@ object Dsir {
   }
 
   /** Score documents against fitted per-bucket surprisals: weight =
-    * `Σ_b c_b · (sr_b − st_b)`, gramless documents kept at 0. `ids` is
-    * the full document frame (one row per doc to score).
+    * `Σ_b c_b · (sr_b − st_b)` over the buckets the fit OBSERVED,
+    * gramless documents kept at 0. `ids` is the full document frame
+    * (one row per doc to score).
+    *
+    * The surprisal join is a LEFT join and unmatched gram mass is
+    * reported as `n_unseen`: through
+    * [[graft.streaming.DsirStream.scoreAgainstStore]] a new document
+    * can carry bigrams hashing into buckets the accreted store never
+    * observed — an inner join silently dropped that mass from both
+    * `weight` and `n_bigrams`, making a fully out-of-register doc
+    * indistinguishable from a gramless one. Now `n_bigrams` is the
+    * TOTAL gram count, `n_unseen` the out-of-register share (0 in any
+    * one-shot fit, whose stats cover every observed bucket by
+    * construction), and weight stays a sum over fitted buckets only.
     */
   def scoreAgainst(ids: DataFrame, pb: DataFrame, surps: DataFrame,
       idCol: String): DataFrame = {
-    val w = pb.join(surps, "b")
+    val w = pb.join(surps, Seq("b"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("c") * (col("sr") - col("st"))).as("w"),
-        sum(col("c")).as("nb"))
+      .agg(
+        sum(when(col("sr").isNotNull, col("c") * (col("sr") - col("st")))
+          .otherwise(lit(0L))).as("w"),
+        sum(col("c")).as("nb"),
+        sum(when(col("sr").isNull, col("c")).otherwise(lit(0L))).as("nu"))
     ids.select(col(idCol))
       .join(w, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("w"), lit(0L)).as("weight"),
-        coalesce(col("nb"), lit(0L)).as("n_bigrams"))
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nu"), lit(0L)).as("n_unseen"))
   }
 }

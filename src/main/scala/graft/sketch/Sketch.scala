@@ -238,10 +238,19 @@ object Sketch {
     val sa = cmsSketch(a, aCol, depth, width)
     val sb = cmsSketch(b, bCol, depth, width)
       .withColumnRenamed("cnt", "cnt_b")
-    sa.join(sb, Seq("r", "bucket"))
+    val perRow = sa.join(sb, Seq("r", "bucket"))
       .groupBy(col("r"))
       .agg(sum(col("cnt") * col("cnt_b")).as("est"))
-      .agg(min(col("est")).as("cms_join_n"))
+    // min over a depth-row SPINE, not over surviving join rows: a hash
+    // row whose grids share zero non-empty buckets proves the true join
+    // is EMPTY, and its 0 must drive the min to 0 — the inner-join form
+    // dropped that row, returning the smallest positive collision mass
+    // for provably-disjoint key sets (still an upper bound, but the
+    // exact-zero certificate is the estimator's sharpest answer).
+    val spine = a.sparkSession.range(0, depth.toLong)
+      .select(col("id").cast("int").as("r"))
+    spine.join(perRow, Seq("r"), "left")
+      .agg(min(coalesce(col("est"), lit(0L))).as("cms_join_n"))
   }
 
   // ------------------------------------------------------------------ HLL

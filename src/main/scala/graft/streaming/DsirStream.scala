@@ -67,7 +67,10 @@ object DsirStream {
   }
 
   /** Score a document frame against the ACCRETED distributions —
-    * `(idCol, weight, n_bigrams)`, gramless docs kept at 0.
+    * `(idCol, weight, n_bigrams, n_unseen)`, gramless docs kept at 0.
+    * `n_unseen` counts gram mass in buckets the store never observed
+    * (out-of-register content), which a gramless doc (n_bigrams = 0)
+    * never has — the two zero-weight cases are distinguishable.
     */
   def scoreAgainstStore(spark: SparkSession, storePath: String,
       docs: DataFrame, idCol: String, textCol: String,

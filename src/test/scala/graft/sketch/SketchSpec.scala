@@ -205,4 +205,17 @@ class SketchSpec extends SparkSpec {
       "k", 4, 512).collect()(0).getAs[Long]("cms_join_n")
     assert(re == 10L)
   }
+
+  test("cmsJoinSize: a zero-overlap hash row certifies an empty join (min = 0)") {
+    import spark.implicits._
+    // disjoint key sets: with 512 buckets the two 2-key grids share no
+    // non-empty cell in at least one of the 4 rows — that row's 0 must
+    // drive the min to 0 (the exact-empty certificate), not be dropped
+    // by an inner join leaving the smallest positive collision mass
+    val a = Seq("alpha", "beta").toDF("k")
+    val b = Seq("gamma", "delta").toDF("k")
+    val est = Sketch.cmsJoinSize(a, "k", b, "k", 4, 512)
+      .collect()(0).getAs[Long]("cms_join_n")
+    assert(est == 0L, s"disjoint key sets must certify an empty join: $est")
+  }
 }

@@ -69,6 +69,34 @@ class DsirStreamSpec extends SparkSpec {
     } finally deleteRecursively(base)
   }
 
+  test("out-of-register docs are distinguishable from gramless ones (n_unseen)") {
+    val base = Files.createTempDirectory("graft-dsirstream-unseen")
+    try {
+      import spark.implicits._
+      val path = s"$base/p"
+      val history = Seq((1L, "alpha beta gamma alpha", "en"))
+        .toDF("doc_id", "text", "lang")
+      DsirStream.dsirSink(path, "doc_id", "text", "lang = 'en'",
+        buckets)(history, 0L)
+      // 10: in-register (every bigram seen); 11: disjoint vocabulary
+      // (bigrams hash into buckets the store never observed); 12: gramless
+      val newDocs = Seq((10L, "alpha beta gamma"),
+        (11L, "uno dos tres"), (12L, "solo")).toDF("doc_id", "text")
+      val out = DsirStream.scoreAgainstStore(spark, path, newDocs,
+          "doc_id", "text", buckets)
+        .orderBy("doc_id").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("weight"), r.getAs[Long]("n_bigrams"),
+            r.getAs[Long]("n_unseen"))).toMap
+      assert(out(10L)._3 == 0L, s"in-register doc has no unseen mass: $out")
+      assert(out(11L)._2 == 2L && out(11L)._3 > 0L,
+        s"out-of-register grams must surface as n_unseen, not vanish: $out")
+      assert(out(12L) == ((0L, 0L, 0L)), "gramless stays all-zero")
+      assert(out(11L)._2 > 0L && out(12L)._2 == 0L,
+        "the two zero-weight cases are distinguishable")
+    } finally deleteRecursively(base)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     Files.walk(p).iterator().asScala.toSeq.reverse
