@@ -5737,8 +5737,10 @@ object PipelineQueries {
     * coins, so the replicate means' spread IS the sampling
     * distribution and quantiles of it are the confidence interval.
     * The map-reduce bootstrap (Chamandy et al.): no global resample
-    * coordination, one pass with a 32× fan-out, map-side partials
-    * ≤32 rows per task. The oracle replays every coin.
+    * coordination, ONE wide aggregate with zero row fan-out — the 32
+    * replicates are 64 conditional sums on the scan row (the a9
+    * profiler shape), stacked to rows from the 1-row result. The
+    * oracle replays every coin.
     */
   val a11BootstrapCi = QueryDef("a11_bootstrap_ci",
     (s, dir) => graft.sampling.Sampling

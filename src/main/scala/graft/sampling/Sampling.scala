@@ -263,10 +263,15 @@ object Sampling {
     * mean_milli)`; the spread of `mean_milli` across trials IS the
     * sampling distribution of the mean.
     *
-    * Scale shape: one pass with a `trials`× row fan-out (no coin
-    * explosion — the 4 coins are column expressions), then a groupBy
-    * on `trials` keys: map-side partial aggregation ships ≤`trials`
-    * rows per task whatever the corpus size.
+    * Scale shape: ONE aggregate-only pass with ZERO row fan-out — the
+    * trials axis is 2·`trials` conditional sums in a single wide
+    * aggregate (each replicate's copy count is a column expression on
+    * the scan row, the a9 profiler shape), so map-side partials ship
+    * one wide row per task and the `trial` rows come from a `stack`
+    * unpivot of the 1-row result. The earlier form exploded a
+    * `trials`× row axis before the groupBy — linear, but `trials`×
+    * the scan-stage rows (and their shuffle write) bought nothing the
+    * conditional aggregate doesn't compute from the same md5 coins.
     */
   def bootstrapMeans(df: DataFrame, keyCol: String, value: Column,
       trials: Int = 32): DataFrame = {
@@ -274,17 +279,28 @@ object Sampling {
     val base = df
       .select(col(keyCol).cast("string").as("__k"),
         value.cast("long").as("__v"))
-      .select(col("__k"), col("__v"),
-        explode(sequence(lit(1L), lit(trials.toLong))).as("trial"))
-    val copies = (1 to 4).map(c =>
+    // Binomial(4, 1/4) copy count for replicate t — the md5 input
+    // renders identically to the old explode form's long `trial`
+    // column, so every coin (and the oracle replay) is unchanged
+    def copies(t: Int): Column = (1 to 4).map(c =>
       when(conv(substring(md5(concat_ws("|", col("__k"), lit("bs"),
-          col("trial"), lit(c.toString))), 1, 15), 16, 10).cast("long")
+          lit(t.toLong), lit(c.toString))), 1, 15), 16, 10).cast("long")
           % 1000000L < 250000L, 1L).otherwise(0L))
       .reduce(_ + _)
-    base.withColumn("__c", copies)
-      .groupBy(col("trial"))
-      .agg(sum(col("__c")).as("n_eff"),
-        sum(col("__c") * col("__v")).as("w_sum"))
+    // copy counts materialize once per (row, trial) in a projection;
+    // the aggregate reads each twice (n_eff and w_sum) without
+    // re-hashing
+    val withCopies = base.select(col("__v") +:
+      (1 to trials).map(t => copies(t).as(s"__c$t")): _*)
+    // coalesce: an EMPTY corpus yields `trials` all-zero replicate rows
+    // (the un-grouped aggregate always emits its one wide row)
+    val aggs = (1 to trials).flatMap(t => Seq(
+      coalesce(sum(col(s"__c$t")), lit(0L)).as(s"n_$t"),
+      coalesce(sum(col(s"__c$t") * col("__v")), lit(0L)).as(s"w_$t")))
+    withCopies.agg(aggs.head, aggs.tail: _*)
+      .select(expr("stack(" + trials + ", " +
+        (1 to trials).map(t => s"${t}L, n_$t, w_$t").mkString(", ") +
+        ") as (trial, n_eff, w_sum)"))
       .withColumn("mean_milli",
         expr("w_sum * 1000 div greatest(n_eff, 1L)"))
   }

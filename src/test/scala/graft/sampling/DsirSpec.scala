@@ -155,4 +155,19 @@ class DsirSpec extends SparkSpec {
       .orderBy("trial").collect().map(_.getAs[Long]("n_eff")).toSeq
     assert(re == out.map(_._2))
   }
+
+  test("bootstrapMeans: no trials-axis row fan-out in the executed plan") {
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("doc_id", "v")
+    val out = Sampling.bootstrapMeans(df, "doc_id", col("v"), trials = 8)
+    out.collect() // finalize the adaptive plan
+    val plan = out.queryExecution.executedPlan.toString
+    // the replicate axis must be conditional aggregates on the scan row,
+    // never an explode multiplying corpus rows before the aggregation;
+    // the only generator is the stack unpivot of the 1-row result
+    // (the adaptive plan string prints final + initial plans, so node
+    // counts double — assert on generator KIND, not occurrence count)
+    assert(!plan.contains("explode("),
+      s"trials axis exploded corpus rows:\n$plan")
+    assert(plan.contains("stack("), "the 1-row unpivot is the stack form")
+  }
 }
