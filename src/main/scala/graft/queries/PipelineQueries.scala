@@ -4575,6 +4575,94 @@ object PipelineQueries {
       |ORDER BY id1, id2
       |""".stripMargin))
 
+  /** S21 — EXACT asymmetric decontamination
+    * ([[Similarity.exactNearPairsAsym]]): the same cross-split leakage
+    * question as s15, answered with 10⁶ ppm recall BY CONSTRUCTION.
+    * s16 measures s15's banded blocking at 76% recall at cosine 0.4 —
+    * and for decontamination a blocking miss is a leaked eval pair the
+    * detector never shows anyone. Every cross-split pair touches the
+    * val∪test side (three splits: a split1≠split2 pair cannot be
+    * train×train), and that side is small by construction (10% here;
+    * real benchmark suites are thousands of rows against billions) —
+    * so broadcast its quantized vectors and confirm with the exact
+    * integer cosine against ONE linear corpus scan, no blocking stage,
+    * no pair space beyond |eval|·|corpus|. The SimilaritySpec subset
+    * gate pins s15 ⊆ s21 row-for-row on the same corpus, and s16's
+    * `exact_asym` row measures the operator's recall at 10⁶ ppm
+    * through the same harness that measures the blockers. Same
+    * planted-leakage corpus as s15 (every `vec_id % 17 = 0` embedding
+    * re-ingested under +10⁷ with an independent split hash).
+    */
+  val s21ExactLeakage = QueryDef("s21_exact_leakage",
+    (s, dir) => {
+      val emb0 = t(s, dir, "embeddings")
+      val emb = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L))
+      val u = graft.sampling.Sampling.hashUniformPpm(col("vec_id"), "split")
+      val split = emb.select(col("vec_id"),
+        when(u < 900000L, "train").when(u < 950000L, "val")
+          .otherwise("test").as("split"))
+        .localCheckpoint(eager = false) // eval filter + two label joins
+      val evalSide = emb.join(
+        split.filter(col("split") =!= "train").select("vec_id"), "vec_id")
+      Similarity.exactNearPairsAsym(evalSide, emb, "vec_id", "embedding",
+          400000L)
+        .select(least(col("eval_id"), col("corpus_id")).as("id1"),
+          greatest(col("eval_id"), col("corpus_id")).as("id2"),
+          col("dot_q"))
+        .distinct() // a val×test pair is found from both endpoints
+        .join(split.select(col("vec_id").as("id1"), col("split").as("split1")),
+          Seq("id1"))
+        .join(split.select(col("vec_id").as("id2"), col("split").as("split2")),
+          Seq("id2"))
+        .filter(col("split1") =!= col("split2"))
+        .select(col("id1"), col("id2"), col("split1"), col("split2"),
+          col("dot_q"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      |WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, embedding
+      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |nv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM aug),
+      |nn AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS nsq FROM nv),
+      |sp AS (
+      |  SELECT vec_id,
+      |         CASE WHEN ppm < 900000 THEN 'train'
+      |              WHEN ppm < 950000 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT vec_id,
+      |           CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT)
+      |             % 1000000 AS ppm
+      |    FROM aug)),
+      |ev AS (
+      |  SELECT n.vec_id, n.qv, n.nsq FROM nn n JOIN sp s USING (vec_id)
+      |  WHERE s.split <> 'train'),
+      |conf AS (
+      |  SELECT DISTINCT least(eid, cid) AS id1, greatest(eid, cid) AS id2,
+      |         dot AS dot_q
+      |  FROM (
+      |    SELECT e.vec_id AS eid, c.vec_id AS cid,
+      |           ${dotSql("e.qv", "c.qv")} AS dot, e.nsq AS n1, c.nsq AS n2
+      |    FROM ev e JOIN nn c ON e.vec_id <> c.vec_id) p
+      |  WHERE dot > 0
+      |    AND CAST(dot AS HUGEINT) * dot * 1000000 * 1000000
+      |        >= CAST(n1 AS HUGEINT) * n2 * 400000 * 400000)
+      |SELECT id1, id2, s1.split AS split1, s2.split AS split2, dot_q
+      |FROM conf
+      |JOIN sp s1 ON s1.vec_id = id1
+      |JOIN sp s2 ON s2.vec_id = id2
+      |WHERE s1.split <> s2.split
+      |ORDER BY id1, id2
+      |""".stripMargin))
+
   /** DuckDB replay of [[Similarity.cosineNearDupPairsBanded]]'s banded
     * multi-probe blocking over a quantized-vector CTE `src(vec_id, qv)`:
     * the deterministic Rademacher hyperplane family (s13's md5 mirror),
@@ -4624,7 +4712,11 @@ object PipelineQueries {
     * cannot reveal it: the oracle replays the same blocking). Measured
     * at sf0.1: single-band 2% — the all-bits-equal bucket is tuned for
     * near-1.0 cosine — vs 76% for 8 hyperplane bands with 1-bit
-    * multi-probe, which s15 adopts. The exact side is a broadcast
+    * multi-probe, which s15 adopts. The third row scores the s21
+    * decontamination operator ([[Similarity.exactNearPairsAsym]])
+    * through the same harness: unblocked, its recall is 10⁶ ppm — the
+    * measured justification for paying its linear scan when a miss is
+    * a contaminated benchmark. The exact side is a broadcast
     * nested-loop of the 1-in-20 query sample against the corpus
     * (n²/20 — the s1 measurement shape, run at gate scales; at 100 TB
     * you measure recall on exactly such a sample, never the full pair
@@ -4657,7 +4749,18 @@ object PipelineQueries {
         400000L, bits = bits)
       val banded = Similarity.cosineNearDupPairsBanded(emb, "vec_id",
         "embedding", 400000L, bands = 8, bitsPerBand = bits, probe1 = true)
+      // the s21 decontamination operator, scored through the SAME
+      // harness: its proposer is the unblocked eval×corpus scan, so its
+      // measured recall is 10⁶ ppm — the row that justifies paying the
+      // linear scan when a miss is a contaminated benchmark
+      val asym = Similarity.exactNearPairsAsym(
+          emb.filter(col("vec_id") % 20 === 0), emb, "vec_id", "embedding",
+          400000L)
+        .select(least(col("eval_id"), col("corpus_id")).as("id1"),
+          greatest(col("eval_id"), col("corpus_id")).as("id2"))
+        .distinct()
       recallRow("banded_probe1", banded)
+        .unionByName(recallRow("exact_asym", asym))
         .unionByName(recallRow("single_band", plain))
         .withColumn("recall_ppm",
           expr("hits * 1000000L div greatest(n_exact, 1L)"))
@@ -4705,6 +4808,11 @@ object PipelineQueries {
       |         CAST(COALESCE(SUM(CASE WHEN b.id1 IS NOT NULL THEN 1 ELSE 0 END), 0)
       |              AS BIGINT) AS hits
       |  FROM ex e LEFT JOIN banded b ON e.id1 = b.id1 AND e.id2 = b.id2
+      |  UNION ALL
+      |  SELECT 'exact_asym' AS method, COUNT(*) AS n_exact,
+      |         CAST(COALESCE(SUM(CASE WHEN x.id1 IS NOT NULL THEN 1 ELSE 0 END), 0)
+      |              AS BIGINT) AS hits
+      |  FROM ex e LEFT JOIN ex x ON e.id1 = x.id1 AND e.id2 = x.id2
       |  UNION ALL
       |  SELECT 'single_band' AS method, COUNT(*) AS n_exact,
       |         CAST(COALESCE(SUM(CASE WHEN p.id1 IS NOT NULL THEN 1 ELSE 0 END), 0)
@@ -5794,5 +5902,5 @@ object PipelineQueries {
     t47DsirWeights, t48PsiDrift, d23ClusterBalanced, s19SourceCentroids,
     t49EpochDecay, t50SequencePack, t51ConsistentSample,
     s20ContrastivePairs, t52LangConfusion, a9ColumnProfile,
-    a10JoinCardinality, a11BootstrapCi)
+    a10JoinCardinality, a11BootstrapCi, s21ExactLeakage)
 }

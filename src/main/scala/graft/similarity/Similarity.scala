@@ -848,6 +848,43 @@ object Similarity {
           .as("cosine"))
   }
 
+  /** Asymmetric EXACT near-pair scan — the decontamination primitive:
+    * every `evalSide` vector against every `corpus` vector, confirmed
+    * by the same exact integer cosine test the blocked pair operators
+    * use (`dot > 0 && dot²·10¹² ≥ t²·|a|²·|b|²`, decimal-exact), with
+    * NO blocking stage — recall is 10⁶ ppm BY CONSTRUCTION. This is
+    * the answer to the s16 measurement: LSH blocking at a leakage
+    * threshold like cosine 0.4 misses a quarter of the true pairs
+    * (76% recall for 8 bands + 1-bit probe), and for eval-set
+    * decontamination a miss IS a contaminated benchmark. Eval/val
+    * splits are tiny relative to the corpus by construction, so the
+    * asymmetric shape is affordable where symmetric exactness is not:
+    * broadcast the quantized eval vectors (a BroadcastNestedLoopJoin —
+    * the corpus never shuffles), ONE linear corpus scan, |eval|·dims
+    * multiply-accumulates per corpus row. Keep the banded blocking
+    * ([[cosineNearDupPairsBanded]]) for corpus×corpus dedup, where
+    * both sides are big and ~0.9 thresholds make blocking near-exact.
+    *
+    * Output: `(eval_id, corpus_id, dot_q)`, one DIRECTED row per
+    * confirmed pair with `eval_id ≠ corpus_id` — two eval-side rows
+    * above threshold appear in both directions; callers canonicalize.
+    */
+  def exactNearPairsAsym(evalSide: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, thresholdPpm: Long): DataFrame = {
+    val q = evalSide.select(col(idCol).as("eval_id"),
+      quantize(col(vecCol)).as("qv"))
+    val c = index(widen(corpus).select(col(idCol).as("corpus_id"),
+      quantize(col(vecCol)).as("cv")))
+    val dot = dotQ(col("qv"), col("cv"))
+    val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
+    val rhs = (normSqQ(col("qv")) * normSqQ(col("cv"))).cast("decimal(38,0)") *
+      lit(thresholdPpm) * lit(thresholdPpm)
+    broadcast(q).crossJoin(c)
+      .filter(col("eval_id") =!= col("corpus_id"))
+      .filter(dot > 0 && lhs >= rhs)
+      .select(col("eval_id"), col("corpus_id"), dot.as("dot_q"))
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       thresholdPpm: Long, bits: Int = 8): DataFrame = {
     val q = index(df
