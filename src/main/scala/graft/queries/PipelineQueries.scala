@@ -5874,6 +5874,76 @@ object PipelineQueries {
       |ORDER BY trial
       |""".stripMargin))
 
+  /** A12 — the SKETCHED column profiler a9's scaladoc promises: the
+    * same per-column completeness/cardinality/range statistics with
+    * the KMV k-minima sketch ([[graft.sketch.Sketch.KmvAggregator]],
+    * k=256) replacing exact `countDistinct` — ONE aggregate, NO
+    * `Expand`. a9's exact multi-distinct rides Spark's 8-way expand
+    * (8× the scan rows into partial aggregation — the registry's
+    * slowest query at 4 s / sf0.1); here each of the 8 columns ships
+    * at most 256 longs per partition partial, so the scan is read
+    * ONCE at its true width. This is the plan you run at 100 TB; a9
+    * stays registered as the exactness gate. The md5 k-minima are a
+    * pure function of the data, so the DuckDB oracle reproduces
+    * sketch and estimate EXACTLY (the t4 property) — and when a
+    * column has fewer than k distinct values the sketch IS the
+    * distinct set and the "estimate" is exact (5 of these 8 columns
+    * at gate scale). ProfilerSketchSpec pins the Expand absence in
+    * the executed plan (and its presence in a9's), exactness below k,
+    * and the estimate error vs a9's exact counts above k.
+    */
+  val a12ColumnProfileSketch = QueryDef("a12_column_profile_sketch",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val k = 256
+      val sk = udaf(graft.sketch.Sketch.KmvAggregator(k))
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}__nn"),
+        sk(graft.sketch.Sketch.hash40(col(c))).as(s"${c}__sk"),
+        min(col(c)).cast("double").as(s"${c}__mn"),
+        max(col(c)).cast("double").as(s"${c}__mx"))) :+
+        count(lit(1)).as("__n")
+      val row = li.agg(aggs.head, aggs.tail: _*)
+      val est = cols.foldLeft(row)((df, c) => df.withColumn(s"${c}__nd",
+        when(size(col(s"${c}__sk")) < k, size(col(s"${c}__sk")).cast("long"))
+          .otherwise(expr(
+            s"${(k - 1).toLong * graft.sketch.Sketch.HashSpace}L" +
+              s" DIV element_at(${c}__sk, $k)"))))
+      est.select(expr("stack(" + cols.size + ", " +
+          cols.map(c => s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx")
+            .mkString(", ") +
+          ") as (column_name, n_nonnull, n_distinct_est, min_v, max_v)"),
+          col("__n").as("n_rows"))
+        .orderBy(col("column_name"))
+    },
+    Some(s"""
+      |${Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c =>
+          s"""SELECT '$c' AS column_name, s.n_nonnull, k.nd AS n_distinct_est,
+             |  s.min_v, s.max_v, s.n_rows
+             |FROM (SELECT CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+             |             CAST(MIN($c) AS DOUBLE) AS min_v,
+             |             CAST(MAX($c) AS DOUBLE) AS max_v,
+             |             CAST(COUNT(*) AS BIGINT) AS n_rows
+             |      FROM lineitem) s
+             |CROSS JOIN (
+             |  SELECT CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+             |              ELSE ${255L * graft.sketch.Sketch.HashSpace} // MAX(hh)
+             |              END AS BIGINT) AS nd
+             |  FROM (
+             |    SELECT hh FROM (
+             |      SELECT DISTINCT CAST('0x' ||
+             |          substr(md5(CAST($c AS VARCHAR)), 1, 10) AS BIGINT) AS hh
+             |      FROM lineitem WHERE $c IS NOT NULL)
+             |    ORDER BY hh LIMIT 256)) k""".stripMargin)
+        .mkString("\nUNION ALL\n")}
+      |ORDER BY column_name
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -5902,5 +5972,6 @@ object PipelineQueries {
     t47DsirWeights, t48PsiDrift, d23ClusterBalanced, s19SourceCentroids,
     t49EpochDecay, t50SequencePack, t51ConsistentSample,
     s20ContrastivePairs, t52LangConfusion, a9ColumnProfile,
-    a10JoinCardinality, a11BootstrapCi, s21ExactLeakage)
+    a10JoinCardinality, a11BootstrapCi, s21ExactLeakage,
+    a12ColumnProfileSketch)
 }
