@@ -4672,14 +4672,14 @@ object PipelineQueries {
     * integer cosine test. Emitted as a fragment (trailing comma) so s15
     * and s16 share one replay of the blocking they both stand on.
     */
-  private def bandedBlockSql(src: String): String = s"""
+  private def bandedBlockSql(src: String, bands: Int = 8): String = s"""
       |rp AS (
       |  SELECT i.i AS i,
       |         list_transform(range(0, 64),
       |           j -> CASE WHEN CAST('0x' || substr(md5('rp-' || i.i || '-' || j),
       |                               1, 1) AS INT) % 2 = 0
       |                     THEN 1 ELSE -1 END) AS r
-      |  FROM (SELECT unnest(range(8 * (SELECT bits FROM params))) AS i) i),
+      |  FROM (SELECT unnest(range($bands * (SELECT bits FROM params))) AS i) i),
       |pl AS (
       |  SELECT v.vec_id, CAST(r.i // p.bits AS INT) AS band,
       |         CASE WHEN ${dotSql("v.qv", "r.r")} > 0
@@ -4830,16 +4830,21 @@ object PipelineQueries {
     * query (s1/s2 rank a 1-in-20 sample; a graph build cannot sample).
     * Per-node work is candidate-bounded (≤ bands·(bits+1)·bucket-size),
     * the ranking window partitions on the node (bounded lists, never a
-    * corpus-wide partition), and recall inherits s16's measured blocking
-    * curve. The oracle replays the shared blocking fragment, mirrors the
-    * directed candidate set from the canonical pair CTE, and re-ranks
-    * with the same (cosine desc, neighbor) order.
+    * corpus-wide partition), and recall is MEASURED per node by s22 —
+    * which is why the graph runs 16 bands where the pair detectors run
+    * 8: graph recall@5 at 8 bands is 66–70% (sf0.01/sf0.1,
+    * `tools.GraphRecallProbe`), 16 bands lifts it to ~90% at the SAME
+    * wall time (the probe's sf0.1 row: 69.6% → 89.8%, 4.1 s both; 24
+    * bands buys 96.2% for +25% wall — the documented next notch). The
+    * oracle replays the shared blocking fragment at the same band
+    * count, mirrors the directed candidate set from the canonical pair
+    * CTE, and re-ranks with the same (cosine desc, neighbor) order.
     */
   val s17KnnGraph = QueryDef("s17_knn_graph",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnGraphBanded(emb, "vec_id", "embedding", k = 5,
-          bands = 8,
+          bands = 16,
           bitsPerBand =
             Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")),
           probe1 = true)
@@ -4848,7 +4853,7 @@ object PipelineQueries {
     Some(s"""
       |WITH $qSql,
       |$annParamsSql,
-      |${bandedBlockSql("qv")}
+      |${bandedBlockSql("qv", bands = 16)}
       |sym AS (
       |  SELECT id1, id2 FROM cand
       |  UNION ALL
@@ -4868,6 +4873,92 @@ object PipelineQueries {
       |SELECT node_id, CAST(rank AS INT) AS rank, neighbor_id, dot_q, cosine
       |FROM ranked WHERE rank <= 5
       |ORDER BY node_id, rank
+      |""".stripMargin))
+
+  /** S22 — k-NN GRAPH recall@5, measured per node: s17's graph top-5
+    * scored against the exact brute-force top-5 on a 1-in-20 node
+    * sample — the s11 pattern applied to the graph artifact. Pair-level
+    * blocking recall (s16) and top-k GRAPH recall are different
+    * metrics: a node's true 5th neighbor can sit below the blocking's
+    * proposal radius even when most above-threshold pairs are found,
+    * so the graph build's acceptance number must be measured on the
+    * graph itself, not inferred from the pair curve. Ranking is
+    * per-node (filtering the sample before or after ranking is
+    * equivalent — each node ranks only its own candidate list), so the
+    * measured rows ARE rows of the s17 artifact. The exact side is the
+    * broadcast 1-in-20 sample against the corpus (the s1/s16
+    * measurement shape — at 100 TB recall is always measured on such a
+    * sample, never the full node set). The metric already did its job
+    * once: at s17's original 8 bands it measured 66–70%, and the
+    * `tools.GraphRecallProbe` sweep showed 16 bands buys ~90% at the
+    * same wall time — which is why s17 now runs 16 (24 bands → 96% at
+    * +25% wall is the next documented notch).
+    */
+  val s22KnnGraphRecall = QueryDef("s22_knn_graph_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 20 === 0), emb, "vec_id", "embedding", 5)
+      val graph = Similarity.knnGraphBanded(emb, "vec_id", "embedding",
+          k = 5, bands = 16,
+          bitsPerBand =
+            Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")),
+          probe1 = true)
+        .filter(col("node_id") % 20 === 0)
+      exact.select(col("query_id").as("node_id"), col("neighbor_id"))
+        .join(graph.select(col("node_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1L)),
+          Seq("node_id", "neighbor_id"), "left")
+        .groupBy(col("node_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000L div n_exact"))
+        .orderBy(col("node_id"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |$annParamsSql,
+      |${bandedBlockSql("qv", bands = 16)}
+      |sym AS (
+      |  SELECT id1, id2 FROM cand
+      |  UNION ALL
+      |  SELECT id2 AS id1, id1 AS id2 FROM cand),
+      |g_scored AS (
+      |  SELECT s.id1 AS node_id, s.id2 AS neighbor_id,
+      |         CASE WHEN ${dotSql("x.qv", "x.qv")} > 0 AND ${dotSql("y.qv", "y.qv")} > 0
+      |              THEN CAST(${dotSql("x.qv", "y.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("x.qv", "x.qv")} * ${dotSql("y.qv", "y.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM sym s JOIN qv x ON x.vec_id = s.id1 JOIN qv y ON y.vec_id = s.id2
+      |  WHERE s.id1 % 20 = 0),
+      |g_ranked AS (
+      |  SELECT node_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY node_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM g_scored) WHERE rank <= 5),
+      |ex_scored AS (
+      |  SELECT q.vec_id AS node_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q, qv c
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+      |exact AS (
+      |  SELECT node_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY node_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM ex_scored) WHERE rank <= 5)
+      |SELECT e.node_id AS node_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |       CAST(COALESCE(SUM(CASE WHEN g.node_id IS NOT NULL
+      |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+      |       CAST(COALESCE(SUM(CASE WHEN g.node_id IS NOT NULL
+      |                               THEN 1 ELSE 0 END), 0) * 1000000
+      |            // COUNT(*) AS BIGINT) AS recall_ppm
+      |FROM exact e LEFT JOIN g_ranked g
+      |  ON e.node_id = g.node_id AND e.neighbor_id = g.neighbor_id
+      |GROUP BY e.node_id
+      |ORDER BY e.node_id
       |""".stripMargin))
 
   /** D22 — SEMANTIC dedup clusters, keep-one (the SemDeDup pass):
@@ -5973,5 +6064,5 @@ object PipelineQueries {
     t49EpochDecay, t50SequencePack, t51ConsistentSample,
     s20ContrastivePairs, t52LangConfusion, a9ColumnProfile,
     a10JoinCardinality, a11BootstrapCi, s21ExactLeakage,
-    a12ColumnProfileSketch)
+    a12ColumnProfileSketch, s22KnnGraphRecall)
 }
