@@ -4961,6 +4961,68 @@ object PipelineQueries {
       |ORDER BY e.node_id
       |""".stripMargin))
 
+  /** S23 — INT8 quantization recall audit
+    * ([[Similarity.int8RecallAudit]]): exact cosine top-5 in the full
+    * milli-unit space vs top-5 computed entirely in 1-byte codes, per
+    * sampled query, as exact integer recall_ppm. The storage question
+    * it answers is THE 100 TB vector-store question — float32→int8 is
+    * a 4× cut of the dominant asset (more index per executor, smaller
+    * broadcasts, cheaper scans) and must be bought with a measured
+    * recall number, not a hope. The int8 code is half-away-from-zero
+    * `round(x·127/1000)` on the exact milli longs in abs form (Spark
+    * `div` truncates, DuckDB `//` floors; they agree only on
+    * non-negative numerators), so the oracle replays code-building,
+    * both rankings, and the join-count algebra exactly.
+    */
+  val s23Int8Recall = QueryDef("s23_int8_recall",
+    (s, dir) => Similarity.int8RecallAudit(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 5, sampleMod = 20L),
+    Some(s"""
+      |WITH $qSql,
+      |q8 AS (
+      |  SELECT vec_id,
+      |         list_transform(qv, x -> CASE WHEN x >= 0
+      |             THEN (x * 127 + 500) // 1000
+      |             ELSE -((-x * 127 + 500) // 1000) END) AS cv
+      |  FROM qv),
+      |ex_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q, qv c
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM ex_scored) WHERE rank <= 5),
+      |a_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.cv", "q.cv")} > 0 AND ${dotSql("c.cv", "c.cv")} > 0
+      |              THEN CAST(${dotSql("q.cv", "c.cv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.cv", "q.cv")} * ${dotSql("c.cv", "c.cv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM q8 q, q8 c
+      |  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM a_scored) WHERE rank <= 5)
+      |SELECT e.query_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |       CAST(COALESCE(SUM(CASE WHEN a.query_id IS NOT NULL
+      |                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+      |       CAST(COALESCE(SUM(CASE WHEN a.query_id IS NOT NULL
+      |                               THEN 1 ELSE 0 END), 0) * 1000000
+      |            // COUNT(*) AS BIGINT) AS recall_ppm
+      |FROM exact e LEFT JOIN approx a
+      |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id
+      |""".stripMargin))
+
   /** D22 — SEMANTIC dedup clusters, keep-one (the SemDeDup pass):
     * connected components over banded near-dup pairs at cosine ≥ 0.9,
     * electing per cluster the largest-norm member (ties → smallest id)
@@ -6064,5 +6126,5 @@ object PipelineQueries {
     t49EpochDecay, t50SequencePack, t51ConsistentSample,
     s20ContrastivePairs, t52LangConfusion, a9ColumnProfile,
     a10JoinCardinality, a11BootstrapCi, s21ExactLeakage,
-    a12ColumnProfileSketch, s22KnnGraphRecall)
+    a12ColumnProfileSketch, s22KnnGraphRecall, s23Int8Recall)
 }

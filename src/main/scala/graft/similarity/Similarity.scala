@@ -219,6 +219,54 @@ object Similarity {
         col("col.neighbor_id"), col("col.dot_q"), col("col.cosine"))
   }
 
+  /** INT8 quantization recall audit — the measured answer to "can the
+    * vector store drop to 1 byte/dim?": at corpus scale the embedding
+    * store is the dominant ANN asset (10⁹ × 64-dim float32 = 256 GB of
+    * raw vectors; int8 cuts it 4× and widens what a single executor can
+    * hold or broadcast), and the only honest way to adopt it is to
+    * MEASURE what the narrower code costs in retrieval quality. For the
+    * 1-in-`sampleMod` query sample, exact cosine top-k in the full
+    * milli-unit space is compared against top-k computed ENTIRELY in
+    * the int8 space, per query, as exact integer recall_ppm — the
+    * s11/s22 measurement shape. The int8 code is `round(x · 127/1000)`
+    * half away from zero on the exact milli-unit longs, computed as
+    * `sign(x) · ((|x|·127 + 500) div 1000)` so every division sees a
+    * NON-NEGATIVE numerator — Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and they only agree on non-negatives;
+    * the abs form is what makes the audit oracle-replayable. Unit-norm
+    * embeddings give |x| ≤ 1000, so the code is a true int8 in
+    * [-127, 127]. Both rankings share the deterministic (cosine desc
+    * nulls last, neighbor_id) tie-break and the mergeable
+    * [[TopKAggregator]] (k-slot partials, never the pair space).
+    */
+  def int8RecallAudit(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleMod: Long): DataFrame = {
+    val base = index(widen(df).select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("qv")))
+    val q8 = expr(
+      """transform(qv, x -> CASE WHEN x >= 0
+        |  THEN (x * 127 + 500) DIV 1000
+        |  ELSE -((-x * 127 + 500) DIV 1000) END)""".stripMargin)
+    val c8 = index(base.select(col("id").as("neighbor_id"), q8.as("cv")))
+    val exact = topKFromQuantized(
+      base.filter(col("id") % sampleMod === 0)
+        .select(col("id").as("query_id"), col("qv")),
+      base.select(col("id").as("neighbor_id"), col("qv").as("cv")), k)
+    val approx = topKFromQuantized(
+      c8.filter(col("neighbor_id") % sampleMod === 0)
+        .select(col("neighbor_id").as("query_id"), col("cv").as("qv")),
+      c8, k)
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000L div n_exact"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic Rademacher (±1) matrix for [[randomProjection]]:
     * entry (i, j) is +1 when the first hex digit of md5("rp-i-j") is
     * even — reproducible on any engine from the same md5 arithmetic
