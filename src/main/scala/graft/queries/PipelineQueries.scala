@@ -6097,6 +6097,381 @@ object PipelineQueries {
       |ORDER BY column_name
       |""".stripMargin))
 
+  /** T54 — normalization-lift dedup accounting: exact dedup run twice,
+    * on the raw content hash and on the [[TextAnalysis.canonicalText]]
+    * hash (lowercase, punctuation strip, whitespace collapse), with the
+    * per-source LIFT — duplicate groups only the canonical form can see.
+    * Re-crawls of one page differ overwhelmingly in case/padding/
+    * punctuation rendering, so this is the cheapest recall win in the
+    * dedup ladder: scan-stage normalization, exact-dedup cost, no
+    * near-dup machinery. A planted re-crawl tier (every 7th doc
+    * re-ingested with case flipped and padding added) gives the lift a
+    * nonzero, exactly-predictable value the oracle confirms. Plan: the
+    * two distinct-counts run as TWO-LEVEL aggregations — (source, hash)
+    * pre-aggregate with map-side combine, then per-source counts —
+    * never a multi-countDistinct expand (the a9 lesson: an expand
+    * doubles scan rows into the partials; two narrow hash aggregations
+    * shuffle only distinct hashes).
+    */
+  val t54NormalizeDedup = QueryDef("t54_normalize_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val aug = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("   ")).as("text"),
+          col("source")))
+      def dedupCensus(h: org.apache.spark.sql.Column, nm: String) =
+        aug.groupBy(col("source"), h.as("__h"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as(s"__nd_$nm"), sum(col("__c")).as(s"__n_$nm"))
+      val raw = dedupCensus(TextAnalysis.contentHash(col("text")), "raw")
+      val can = dedupCensus(
+        TextAnalysis.contentHash(TextAnalysis.canonicalText(col("text"))),
+        "canon")
+      raw.join(can, "source")
+        .select(col("source"),
+          col("__n_raw").as("n_docs"),
+          (col("__n_raw") - col("__nd_raw")).as("dup_raw"),
+          (col("__n_canon") - col("__nd_canon")).as("dup_canon"),
+          (col("__nd_raw") - col("__nd_canon")).as("lift"),
+          expr("(__nd_raw - __nd_canon) * 1000000 div __n_raw")
+            .as("lift_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      |WITH aug AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, '  ' || upper(text) || '   ', source
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |cn AS (
+      |  SELECT source, md5(text) AS hraw,
+      |         md5(regexp_replace(trim(translate(lower(text),
+      |               '.,;:!?"''()[]', '')), '\s+', ' ', 'g')) AS hcan
+      |  FROM aug),
+      |r AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(COUNT(DISTINCT hraw) AS BIGINT) AS ndr,
+      |         CAST(COUNT(DISTINCT hcan) AS BIGINT) AS ndc
+      |  FROM cn GROUP BY 1)
+      |SELECT source, n AS n_docs, n - ndr AS dup_raw, n - ndc AS dup_canon,
+      |       ndr - ndc AS lift,
+      |       CAST((ndr - ndc) * 1000000 // n AS BIGINT) AS lift_ppm
+      |FROM r ORDER BY source
+      |""".stripMargin))
+
+  /** T55 — per-source lexical-diversity census
+    * ([[graft.text.Diversity.tokenDiversity]]): type–token ratio,
+    * Simpson concentration, heaviest-token share, and mean unigram
+    * surprisal (t25's dampened-log convention), all exact integers.
+    * The mixture planner's upstream health check: a source whose
+    * scraper looped or whose extractor collapsed to boilerplate shows a
+    * diversity cliff (TTR down, Simpson/top-share up) before exact
+    * dedup prices the damage. One (source, token) shuffle with map-side
+    * combine; the group-totals join is a broadcast of |sources| rows;
+    * c(c−1)/N(N−1) products are decimal(38,0)-widened (HUGEINT on the
+    * oracle side) — trillion-token groups wrap a raw long product.
+    */
+  val t55SourceDiversity = QueryDef("t55_source_diversity",
+    (s, dir) => graft.text.Diversity
+      .tokenDiversity(t(s, dir, "documents"), "source", "text")
+      .orderBy(col("source")),
+    Some(s"""
+      |WITH $tokSql,
+      |tok AS (SELECT source, unnest(tk) AS token FROM toks),
+      |ct AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1, 2),
+      |tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+      |              CAST(COUNT(*) AS BIGINT) AS v
+      |       FROM ct GROUP BY 1),
+      |j AS (SELECT ct.source, c, n, v,
+      |             CAST(length(bin(n // c)) AS BIGINT) AS surp
+      |      FROM ct JOIN tt USING (source)),
+      |fin AS (SELECT source, MAX(n) AS n_tokens, MAX(v) AS vocab,
+      |               MAX(c) AS maxc,
+      |               SUM(CAST(c AS HUGEINT) * (c - 1)) AS coin,
+      |               CAST(SUM(c * surp) AS BIGINT) AS bits
+      |        FROM j GROUP BY 1)
+      |SELECT source, n_tokens, vocab,
+      |       CAST(CAST(vocab AS HUGEINT) * 1000000 // GREATEST(n_tokens, 1)
+      |            AS BIGINT) AS ttr_ppm,
+      |       CAST(coin * 1000000
+      |            // GREATEST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 1)
+      |            AS BIGINT) AS simpson_ppm,
+      |       CAST(CAST(maxc AS HUGEINT) * 1000000 // GREATEST(n_tokens, 1)
+      |            AS BIGINT) AS top_share_ppm,
+      |       CAST(bits * 1000 // GREATEST(n_tokens, 1) AS BIGINT)
+      |         AS mean_bits_milli
+      |FROM fin ORDER BY source
+      |""".stripMargin))
+
+  /** T53 — trained NB language-ID confusion audit: a multinomial Naive
+    * Bayes classifier ([[graft.text.NbLang]], hashed-bucket counts +
+    * Laplace smoothing + class prior, all in the integer surprisal
+    * convention) is FIT on an 80% md5 split of the corpus's own labels
+    * and audited on the 20% holdout as a per-(label, prediction)
+    * confusion matrix — t52's question ("can sampling stratify on a
+    * predicted lang?") asked of a trained model instead of the fixed
+    * stopword vote. Honest measured finding on this corpus: the
+    * generator draws every label's text from one shared vocabulary, so
+    * even the fit model is prior-dominated — accuracy ≈ the majority
+    * class (en), which is exactly what the off-diagonal mass shows.
+    * The operator, not the corpus, is the deliverable: training is one
+    * (label, bucket) shuffle into a ≤|labels|·1024-row broadcast model;
+    * scoring is a broadcast join + grouped argmin, linear in holdout
+    * tokens.
+    */
+  val t53NbLangConfusion = QueryDef("t53_nb_lang_confusion",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val u = graft.sampling.Sampling.hashUniformPpm(col("doc_id"), "nb")
+      val tagged = docs.select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("__train", u < 800000L)
+        .localCheckpoint(eager = false) // train fit + holdout score
+      val train = tagged.filter(col("__train"))
+      val hold = tagged.filter(!col("__train"))
+      val counts = graft.text.NbLang.trainCounts(train, "lang", "text", 1024)
+        .localCheckpoint(eager = false) // label totals + scoring join
+      val labels = graft.text.NbLang.labelStats(train, "lang", counts)
+      val pred = graft.text.NbLang
+        .predict(hold, "doc_id", "text", counts, labels, 1024)
+      val ct = hold.select("doc_id", "lang").join(pred, "doc_id")
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+      val tot = ct.groupBy(col("lang")).agg(sum(col("n")).as("t"))
+      ct.join(tot, "lang")
+        .select(col("lang"), col("pred").as("pred_lang"), col("n"),
+          expr("n * 1000000 div t").as("share_ppm"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |sp AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|nb'),
+      |              1, 15) AS BIGINT) % 1000000 < 800000 AS is_train
+      |  FROM documents),
+      |bk AS (
+      |  SELECT t.doc_id, t.lang,
+      |         CAST('0x' || substr(md5('nb-' || token), 1, 15) AS BIGINT)
+      |           % 1024 AS bucket
+      |  FROM (SELECT doc_id, lang, unnest(tk) AS token FROM toks) t),
+      |trc AS (SELECT lang AS label, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM bk JOIN sp USING (doc_id) WHERE is_train GROUP BY 1, 2),
+      |lab0 AS (SELECT d.lang AS label, CAST(COUNT(*) AS BIGINT) AS p
+      |         FROM documents d JOIN sp USING (doc_id) WHERE is_train
+      |         GROUP BY 1),
+      |tls AS (SELECT label, CAST(SUM(c) AS BIGINT) AS t FROM trc GROUP BY 1),
+      |dl AS (SELECT CAST(SUM(p) AS BIGINT) AS d,
+      |              CAST(COUNT(*) AS BIGINT) AS l FROM lab0),
+      |lab AS (SELECT label, p, coalesce(t, 0) AS t,
+      |               CAST(length(bin((d + l) // (p + 1))) AS BIGINT)
+      |                 AS prior_surp
+      |        FROM lab0 LEFT JOIN tls USING (label), dl),
+      |pdb AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS k
+      |        FROM bk JOIN sp USING (doc_id) WHERE NOT is_train
+      |        GROUP BY 1, 2),
+      |sc AS (SELECT pdb.doc_id, lab.label,
+      |              CAST(SUM(k * length(bin(
+      |                  (t + 1024) // (coalesce(c, 0) + 1)))) AS BIGINT)
+      |                + MAX(prior_surp) AS bits
+      |       FROM pdb CROSS JOIN lab
+      |       LEFT JOIN trc ON trc.label = lab.label
+      |                    AND trc.bucket = pdb.bucket
+      |       GROUP BY 1, 2),
+      |pr AS (SELECT doc_id, label AS pred FROM sc
+      |       QUALIFY row_number()
+      |         OVER (PARTITION BY doc_id ORDER BY bits, label) = 1),
+      |fb AS (SELECT label AS fbl FROM lab
+      |       QUALIFY row_number() OVER (ORDER BY prior_surp, label) = 1),
+      |hv AS (SELECT d.doc_id, d.lang FROM documents d JOIN sp USING (doc_id)
+      |       WHERE NOT is_train),
+      |fin AS (SELECT hv.lang, coalesce(pr.pred, fb.fbl) AS pred_lang
+      |        FROM hv LEFT JOIN pr USING (doc_id), fb),
+      |ct AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM fin GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM ct GROUP BY 1)
+      |SELECT ct.lang, ct.pred_lang, ct.n,
+      |       CAST(ct.n * 1000000 // tot.t AS BIGINT) AS share_ppm
+      |FROM ct JOIN tot USING (lang)
+      |ORDER BY lang, pred_lang
+      |""".stripMargin))
+
+  /** T56 — the decontaminated split ARTIFACT: s21 detects cross-split
+    * leakage; this emits what a training run actually consumes — the
+    * repaired assignment. Every train document confirmed (exact
+    * integer cosine ≥ 0.4, [[Similarity.exactNearPairsAsym]] — recall
+    * 10⁶ ppm by construction, the property that matters when a miss is
+    * a contaminated benchmark) against ANY eval/val document moves to
+    * 'quarantine'; eval/val rows are the protected assets and never
+    * move. Quarantine-not-delete is deliberate: the ledger of what was
+    * pulled and why is itself an audit artifact (t16's funnel stance).
+    * Plan: s21's broadcast-eval linear corpus scan, then one id-keyed
+    * left join to relabel — no new shuffle shape beyond s21's.
+    */
+  val t56DecontaminatedSplit = QueryDef("t56_decontaminated_split",
+    (s, dir) => {
+      val emb0 = t(s, dir, "embeddings")
+      val emb = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L))
+      val u = graft.sampling.Sampling.hashUniformPpm(col("vec_id"), "split")
+      val split = emb.select(col("vec_id"),
+        when(u < 900000L, "train").when(u < 950000L, "val")
+          .otherwise("test").as("split"))
+        .localCheckpoint(eager = false) // eval filter + relabel join
+      val evalSide = emb.join(
+        split.filter(col("split") =!= "train").select("vec_id"), "vec_id")
+      val leaked = Similarity
+        .exactNearPairsAsym(evalSide, emb, "vec_id", "embedding", 400000L)
+        .join(split.select(col("vec_id").as("corpus_id"),
+          col("split").as("__cs")), "corpus_id")
+        .filter(col("__cs") === "train")
+        .select(col("corpus_id").as("vec_id")).distinct()
+        .withColumn("__leak", lit(1))
+      split.join(leaked, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("split"),
+          when(col("__leak").isNotNull, "quarantine")
+            .otherwise(col("split")).as("final_split"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      |WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, embedding
+      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |nv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM aug),
+      |nn AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS nsq FROM nv),
+      |sp AS (
+      |  SELECT vec_id,
+      |         CASE WHEN ppm < 900000 THEN 'train'
+      |              WHEN ppm < 950000 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT vec_id,
+      |           CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT)
+      |             % 1000000 AS ppm
+      |    FROM aug)),
+      |ev AS (
+      |  SELECT n.vec_id, n.qv, n.nsq FROM nn n JOIN sp s USING (vec_id)
+      |  WHERE s.split <> 'train'),
+      |lk AS (
+      |  SELECT DISTINCT cid AS vec_id FROM (
+      |    SELECT c.vec_id AS cid, ${dotSql("e.qv", "c.qv")} AS dot,
+      |           e.nsq AS n1, c.nsq AS n2
+      |    FROM ev e JOIN nn c ON e.vec_id <> c.vec_id
+      |    JOIN sp sc ON sc.vec_id = c.vec_id AND sc.split = 'train') p
+      |  WHERE dot > 0
+      |    AND CAST(dot AS HUGEINT) * dot * 1000000 * 1000000
+      |        >= CAST(n1 AS HUGEINT) * n2 * 400000 * 400000)
+      |SELECT sp.vec_id, sp.split,
+      |       CASE WHEN lk.vec_id IS NOT NULL THEN 'quarantine'
+      |            ELSE sp.split END AS final_split
+      |FROM sp LEFT JOIN lk USING (vec_id)
+      |ORDER BY vec_id
+      |""".stripMargin))
+
+  /** A13 — sketched cross-source overlap matrix
+    * ([[graft.sketch.Sketch.kmvOverlapMatrix]]): union, intersection,
+    * and Jaccard estimates for every source pair from per-source KMV
+    * sketches of the 3-gram shingle space, next to the exact counts and
+    * the union error — the a12-vs-a9 story applied to t29: the exact
+    * overlap join shuffles every distinct gram; the sketch ships ≤k
+    * longs per (source, partition) and the pair math runs on a
+    * broadcast kilobyte frame. At 100 TB you run ONLY the sketch side
+    * (mergeable across ingest batches, t26-style); the exact side here
+    * is the error audit that prices the trade. Estimates and exacts
+    * both live on the 40-bit HASH space (like-for-like: what KMV
+    * actually estimates), and the error surfaces as |err| ppm plus a
+    * signed raw difference — a signed ppm would hit the Spark-div vs
+    * DuckDB-floor divergence on negatives (the s23 lesson).
+    */
+  val a13KmvOverlap = QueryDef("a13_kmv_overlap",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rows = Dedup
+        .positionalShingleRows(docs, "doc_id", "text", 3,
+          carry = Seq("source"))
+        .select(col("source"), graft.sketch.Sketch.hash40(col("s")).as("h"))
+        .localCheckpoint(eager = false) // sketch pass + exact audit pass
+      val est = graft.sketch.Sketch.kmvOverlapMatrix(rows, "source", "h", 256)
+        .withColumnRenamed("g1", "source_1")
+        .withColumnRenamed("g2", "source_2")
+      val v = rows.distinct().localCheckpoint(eager = false)
+      val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val inter = v.select(col("source").as("source_1"), col("h"))
+        .join(v.select(col("source").as("source_2"), col("h")), "h")
+        .filter(col("source_1") < col("source_2"))
+        .groupBy(col("source_1"), col("source_2"))
+        .agg(count(lit(1)).as("__xi"))
+      est
+        .join(broadcast(sizes.select(col("source").as("source_1"),
+          col("sz").as("__sa"))), "source_1")
+        .join(broadcast(sizes.select(col("source").as("source_2"),
+          col("sz").as("__sb"))), "source_2")
+        .join(broadcast(inter), Seq("source_1", "source_2"), "left")
+        .withColumn("exact_inter", coalesce(col("__xi"), lit(0L)))
+        .withColumn("exact_union", expr("__sa + __sb - exact_inter"))
+        .select(col("source_1"), col("source_2"), col("merged_size"),
+          col("union_est"), col("inter_k"), col("inter_est"),
+          col("jaccard_ppm_est"), col("exact_union"), col("exact_inter"),
+          (col("union_est") - col("exact_union")).as("union_diff"),
+          expr("abs(union_est - exact_union) * 1000000 div " +
+            "greatest(exact_union, 1L)").as("union_err_abs_ppm"))
+        .orderBy(col("source_1"), col("source_2"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |v AS (SELECT DISTINCT source,
+      |             CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) AS h
+      |      FROM (SELECT source, unnest(sh) AS s FROM sh)),
+      |sk AS (SELECT source, list_slice(list_sort(list(h)), 1, 256) AS sk
+      |       FROM v GROUP BY 1),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+      |          FROM v GROUP BY 1),
+      |mm AS (SELECT a.source AS source_1, b.source AS source_2,
+      |              a.sk AS sk1, b.sk AS sk2,
+      |              list_slice(list_sort(list_distinct(
+      |                list_concat(a.sk, b.sk))), 1, 256) AS mg
+      |       FROM sk a JOIN sk b ON a.source < b.source),
+      |ee AS (SELECT source_1, source_2, CAST(len(mg) AS BIGINT) AS msz,
+      |              CAST(CASE WHEN len(mg) < 256 THEN len(mg)
+      |                   ELSE 280375465082880 // mg[256] END AS BIGINT)
+      |                AS union_est,
+      |              CAST(len(list_intersect(list_intersect(mg, sk1), sk2))
+      |                   AS BIGINT) AS inter_k
+      |       FROM mm),
+      |ix AS (SELECT a.source AS source_1, b.source AS source_2,
+      |              CAST(COUNT(*) AS BIGINT) AS xi
+      |       FROM v a JOIN v b ON a.h = b.h AND a.source < b.source
+      |       GROUP BY 1, 2)
+      |SELECT e.source_1, e.source_2, msz AS merged_size, union_est,
+      |       inter_k,
+      |       CAST(inter_k * union_est // GREATEST(msz, 1) AS BIGINT)
+      |         AS inter_est,
+      |       CAST(inter_k * 1000000 // GREATEST(msz, 1) AS BIGINT)
+      |         AS jaccard_ppm_est,
+      |       CAST(sa.sz + sb.sz - coalesce(ix.xi, 0) AS BIGINT)
+      |         AS exact_union,
+      |       CAST(coalesce(ix.xi, 0) AS BIGINT) AS exact_inter,
+      |       CAST(union_est - (sa.sz + sb.sz - coalesce(ix.xi, 0))
+      |            AS BIGINT) AS union_diff,
+      |       CAST(abs(union_est - (sa.sz + sb.sz - coalesce(ix.xi, 0)))
+      |            * 1000000
+      |            // GREATEST(sa.sz + sb.sz - coalesce(ix.xi, 0), 1)
+      |            AS BIGINT) AS union_err_abs_ppm
+      |FROM ee e
+      |JOIN sizes sa ON sa.source = e.source_1
+      |JOIN sizes sb ON sb.source = e.source_2
+      |LEFT JOIN ix ON ix.source_1 = e.source_1 AND ix.source_2 = e.source_2
+      |ORDER BY e.source_1, e.source_2
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -6126,5 +6501,7 @@ object PipelineQueries {
     t49EpochDecay, t50SequencePack, t51ConsistentSample,
     s20ContrastivePairs, t52LangConfusion, a9ColumnProfile,
     a10JoinCardinality, a11BootstrapCi, s21ExactLeakage,
-    a12ColumnProfileSketch, s22KnnGraphRecall, s23Int8Recall)
+    a12ColumnProfileSketch, s22KnnGraphRecall, s23Int8Recall,
+    t54NormalizeDedup, t55SourceDiversity, t53NbLangConfusion,
+    t56DecontaminatedSplit, a13KmvOverlap)
 }

@@ -348,4 +348,49 @@ object Sketch {
           .as("distinct_estimate"),
         size(col("sk")).cast("long").as("sketch_size")): _*)
   }
+
+  /** Pairwise set-operation estimates between groups from per-group KMV
+    * sketches — the sketched twin of the exact cross-source overlap
+    * join (t29): union cardinality, intersection cardinality, and
+    * Jaccard for every group pair, all from bounded mergeable state.
+    *
+    * KMV set algebra (Beyer et al. 2007): the k minima of A ∪ B are a
+    * pure function of the two sides' k minima, so `merged` IS the
+    * union's sketch (union_est = (k−1)·U div τ, exact when < k values
+    * exist); the fraction ρ of merged minima present in BOTH sides is
+    * an unbiased Jaccard estimate (every merged value is a uniform
+    * draw from the union), and inter_est = ρ · union_est.
+    *
+    * Plan shape at 100 TB: ONE (group, hash) aggregation with map-side
+    * combine ships ≤k longs per group per partition; the pair frame is
+    * |groups|² rows of ≤k-long arrays — a broadcast nested-loop of a
+    * KILOBYTE-scale frame, never a data-axis join. The exact t29 join
+    * shuffles every distinct gram; this shuffles none of them.
+    */
+  def kmvOverlapMatrix(df: DataFrame, groupCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    val sketch = udaf(KmvAggregator(k))
+    val sk = df.groupBy(col(groupCol)).agg(sketch(col(hashCol)).as("sk"))
+      .localCheckpoint(eager = false) // both sides of the pair join
+    val pairs = sk.select(col(groupCol).as("g1"), col("sk").as("sk1"))
+      .join(broadcast(sk.select(col(groupCol).as("g2"),
+        col("sk").as("sk2"))), col("g1") < col("g2"))
+    pairs
+      .withColumn("mg",
+        slice(array_sort(array_union(col("sk1"), col("sk2"))), 1, k))
+      .withColumn("msz", size(col("mg")).cast("long"))
+      .withColumn("union_est",
+        when(col("msz") < k, col("msz"))
+          .otherwise(expr(
+            s"${(k - 1).toLong * HashSpace}L DIV element_at(mg, $k)")))
+      .withColumn("inter_k",
+        size(array_intersect(array_intersect(col("mg"), col("sk1")),
+          col("sk2"))).cast("long"))
+      .select(col("g1"), col("g2"), col("msz").as("merged_size"),
+        col("union_est"),
+        col("inter_k"),
+        expr("inter_k * union_est DIV greatest(msz, 1L)").as("inter_est"),
+        expr("inter_k * 1000000L DIV greatest(msz, 1L)")
+          .as("jaccard_ppm_est"))
+  }
 }

@@ -177,4 +177,28 @@ object TextAnalysis {
 
   def phoneCount(text: Column): Column =
     size(regexp_extract_all(text, lit(PhoneRegex), lit(0)))
+
+  // ------------------------------------------------------- canonical form
+
+  /** Punctuation stripped by [[canonicalText]]: the ASCII set whose
+    * presence/absence most often distinguishes re-crawls of the same
+    * page. A fixed `translate` set (not a regex class) so both engines
+    * delete exactly the same bytes — Unicode category classes are a
+    * known Java-vs-RE2 divergence point.
+    */
+  val CanonicalStrip = ".,;:!?\"'()[]"
+
+  /** Canonical text form for normalization-aware exact dedup: lowercase,
+    * strip [[CanonicalStrip]] punctuation, collapse whitespace runs to a
+    * single space, trim. Re-crawls of one page differ overwhelmingly in
+    * case, padding, and punctuation rendering — hashing the canonical
+    * form instead of the raw bytes recovers those duplicate groups at
+    * exact-dedup cost (one scan-stage expression, no shuffle; the CCNet/
+    * RefinedWeb normalization step before hashing). Composition order
+    * matters: punctuation is deleted BEFORE whitespace collapses, so
+    * `"end . start"` and `"end  start"` canonicalize identically.
+    */
+  def canonicalText(text: Column): Column =
+    regexp_replace(
+      trim(translate(lower(text), CanonicalStrip, "")), "\\s+", " ")
 }

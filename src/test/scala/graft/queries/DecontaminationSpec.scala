@@ -56,4 +56,31 @@ class DecontaminationSpec extends SparkSpec {
       assert(rows(k) == rows((k._2, k._1)), s"asymmetric dot for $k")
     }
   }
+
+  test("t56 quarantine set == the train-side endpoints of s21's pairs") {
+    val s21 = PipelineQueries.s21ExactLeakage.fn(spark, dir)
+      .localCheckpoint()
+    val t56 = PipelineQueries.t56DecontaminatedSplit.fn(spark, dir)
+      .localCheckpoint()
+    val wantQuarantine = s21.collect().flatMap { r =>
+      Seq(r.getLong(s21.columns.indexOf("id1")) ->
+            r.getString(s21.columns.indexOf("split1")),
+        r.getLong(s21.columns.indexOf("id2")) ->
+            r.getString(s21.columns.indexOf("split2")))
+    }.filter(_._2 == "train").map(_._1).toSet
+    assert(wantQuarantine.nonEmpty,
+      "planted corpus must leak at least one train doc")
+    val got = t56.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    val gotQuarantine =
+      got.filter(_._3 == "quarantine").map(_._1).toSet
+    assert(gotQuarantine == wantQuarantine)
+    // only train rows may move, and only to quarantine; eval/val rows
+    // are the protected assets and keep their split verbatim
+    got.foreach { case (id, split, fin) =>
+      if (split == "train")
+        assert(fin == "train" || fin == "quarantine", s"$id: $split->$fin")
+      else assert(fin == split, s"protected row moved: $id: $split->$fin")
+    }
+  }
 }

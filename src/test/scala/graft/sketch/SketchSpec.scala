@@ -218,4 +218,45 @@ class SketchSpec extends SparkSpec {
       .collect()(0).getAs[Long]("cms_join_n")
     assert(est == 0L, s"disjoint key sets must certify an empty join: $est")
   }
+
+  test("kmvOverlapMatrix: below-k pairs are exact; disjoint sets inter 0") {
+    import spark.implicits._
+    // |A|=30, |B|=20, |A∩B|=10 — all far below k=256, so the merged
+    // sketch IS the union and every estimate must be exact
+    val rows = ((1 to 30).map(i => ("a", s"v$i")) ++
+      (21 to 40).map(i => ("b", s"v$i")) ++
+      (1 to 5).map(i => ("c", s"w$i"))).toDF("g", "s")
+      .select(col("g"), Sketch.hash40(col("s")).as("h"))
+    val got = Sketch.kmvOverlapMatrix(rows, "g", "h", 256)
+      .orderBy("g1", "g2").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = got(("a", "b"))
+    assert(ab.getAs[Long]("union_est") == 40L)
+    assert(ab.getAs[Long]("inter_k") == 10L
+      && ab.getAs[Long]("inter_est") == 10L)
+    assert(ab.getAs[Long]("jaccard_ppm_est") == 250000L) // 10/40
+    val ac = got(("a", "c"))
+    assert(ac.getAs[Long]("inter_k") == 0L
+      && ac.getAs[Long]("inter_est") == 0L
+      && ac.getAs[Long]("union_est") == 35L)
+  }
+
+  test("kmvOverlapMatrix: above k the union estimate tracks truth and is partition-independent") {
+    import spark.implicits._
+    // two 3000-element sets sharing 1000 values: union = 5000
+    val rows = ((1 to 3000).map(i => ("a", s"x$i")) ++
+      (2001 to 5000).map(i => ("b", s"x$i"))).toDF("g", "s")
+      .select(col("g"), Sketch.hash40(col("s")).as("h"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketch.kmvOverlapMatrix(df, "g", "h", 256).collect()(0)
+    val r1 = run(rows.repartition(1))
+    val r7 = run(rows.repartition(7))
+    assert(r1.toSeq == r7.toSeq, "sketch pair math must not see layout")
+    val est = r1.getAs[Long]("union_est")
+    assert(math.abs(est - 5000L) < 1000L, // k=256 → σ ≈ 6%: 3σ ≈ 19%
+      s"union estimate $est too far from 5000")
+    val jac = r1.getAs[Long]("jaccard_ppm_est")
+    assert(jac > 80000L && jac < 320000L, // truth 200000 ppm
+      s"jaccard estimate $jac too far from 200000")
+  }
 }

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NbLangSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 1024
+
+  private def fitAndPredict(train: Seq[(String, String)],
+      hold: Seq[(Long, String)]) = {
+    val tr = train.toDF("lang", "text")
+    val hd = hold.toDF("doc_id", "text")
+    val counts = NbLang.trainCounts(tr, "lang", "text", B)
+    val labels = NbLang.labelStats(tr, "lang", counts)
+    NbLang.predict(hd, "doc_id", "text", counts, labels, B)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("separable corpus: holdout evidence routes to the right label") {
+    val train = Seq(
+      ("aa", "apple apple banana"), ("aa", "apple cherry"),
+      ("bb", "zebra yak zebra"), ("bb", "yak xylo"))
+    val got = fitAndPredict(train,
+      Seq((1L, "apple banana apple"), (2L, "zebra zebra yak"),
+        (3L, "cherry apple")))
+    assert(got(1L) == "aa" && got(2L) == "bb" && got(3L) == "aa")
+  }
+
+  test("gramless holdout doc falls back to the prior argmin") {
+    val train = Seq( // 'aa' is the majority class: 3 docs vs 1
+      ("aa", "apple"), ("aa", "banana"), ("aa", "cherry"), ("bb", "zebra"))
+    val got = fitAndPredict(train, Seq((9L, ""), (10L, "   ")))
+    assert(got(9L) == "aa" && got(10L) == "aa")
+  }
+
+  test("exact-tie evidence breaks to the lexicographically smaller label") {
+    // perfectly symmetric classes; the shared token scores identically
+    val train = Seq(("aa", "common"), ("bb", "common"))
+    val got = fitAndPredict(train, Seq((5L, "common common")))
+    assert(got(5L) == "aa")
+  }
+
+  test("unseen token is evidence FOR the smaller class (NB smoothing)") {
+    // T_aa >> T_bb; an unseen bucket prices 1/(T+B): cheaper under bb
+    val manyA = "apple " * 3000
+    val train = Seq(("aa", manyA.trim), ("bb", "zebra"))
+    val got = fitAndPredict(train, Seq((7L, "neverseen")))
+    assert(got(7L) == "bb")
+  }
+
+  test("prediction is partition-count independent and total") {
+    val train = (1 to 40).map(i =>
+      (if (i % 2 == 0) "ee" else "ff", s"tok${i % 7} tok${i % 3} shared"))
+    val hold = (1L to 20L).map(i => (i, s"tok${i % 7} shared"))
+    val tr1 = train.toDF("lang", "text").repartition(1)
+    val tr7 = train.toDF("lang", "text").repartition(7)
+    def run(tr: org.apache.spark.sql.DataFrame) = {
+      val c = NbLang.trainCounts(tr, "lang", "text", B)
+      val l = NbLang.labelStats(tr, "lang", c)
+      NbLang.predict(hold.toDF("doc_id", "text"), "doc_id", "text", c, l, B)
+        .orderBy("doc_id").collect().toSeq
+    }
+    val a = run(tr1)
+    assert(a == run(tr7))
+    assert(a.size == 20) // every holdout doc gets exactly one prediction
+  }
+}

@@ -111,4 +111,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == (3L, 0, 0, "no pii here, just 1234567890 and an at sign @ alone"))
     assert(got(3) == (4L, 0, 0, ""))
   }
+
+  test("canonicalText: case, padding, punctuation, whitespace runs all fold") {
+    val got = Seq(
+      "  The CAT,  sat!  ",
+      "the cat sat",
+      "the. (cat) 'sat'?",
+      "end . start",
+      "end  start",
+      "",
+      "  ,.! ").toDF("t")
+      .select(TextAnalysis.canonicalText(col("t"))).as[String].collect()
+    assert(got(0) == "the cat sat" && got(1) == "the cat sat"
+      && got(2) == "the cat sat")
+    // punctuation deletes BEFORE whitespace collapses: both forms agree
+    assert(got(3) == "end start" && got(4) == "end start")
+    assert(got(5) == "" && got(6) == "")
+  }
+
+  test("canonicalText recovers planted re-crawl variants under content hash") {
+    val base = Seq("alpha beta gamma", "delta epsilon").toDF("text")
+    val planted = base.select(
+      concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+    val aug = base.unionByName(planted)
+    val raw = aug.select(TextAnalysis.contentHash(col("text"))).distinct().count()
+    val canon = aug.select(TextAnalysis.contentHash(
+      TextAnalysis.canonicalText(col("text")))).distinct().count()
+    assert(raw == 4L && canon == 2L) // lift = planted rows exactly
+  }
 }
