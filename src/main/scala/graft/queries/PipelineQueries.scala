@@ -6472,6 +6472,94 @@ object PipelineQueries {
       |ORDER BY e.source_1, e.source_2
       |""".stripMargin))
 
+  /** DuckDB replay of [[graft.sampling.Sampling.cappedMixAllocation]]
+    * for one (budget, maxEpochs) scenario as a CTE chain prefixed `nm`,
+    * reading per-stratum supply from a `sup(lang, supply_tokens,
+    * weight_s)` CTE. Emitted twice by t57 so both the headroom and the
+    * starved regime replay from one shared supply scan.
+    */
+  private def cappedMixSql(nm: String, tag: String, b: Long,
+      me: Long): String = s"""
+      |${nm}0 AS (
+      |  SELECT lang, supply_tokens, weight_s,
+      |         CAST(CAST(supply_tokens AS HUGEINT) * $me // 1000
+      |              AS BIGINT) AS cap_tokens
+      |  FROM sup),
+      |${nm}t AS (SELECT CAST(SUM(supply_tokens) AS HUGEINT) AS tot,
+      |                  CAST(SUM(weight_s) AS HUGEINT) AS sw
+      |           FROM ${nm}0),
+      |${nm}1 AS (
+      |  SELECT s.lang, s.supply_tokens, s.weight_s, s.cap_tokens,
+      |         (t.tot * $b) // 1000 AS budget,
+      |         (((t.tot * $b) // 1000) * s.weight_s) // t.sw AS naive,
+      |         LEAST(CAST(s.cap_tokens AS HUGEINT),
+      |               (((t.tot * $b) // 1000) * s.weight_s) // t.sw)
+      |           AS alloc1
+      |  FROM ${nm}0 s, ${nm}t t),
+      |${nm}2 AS (SELECT CAST(SUM(alloc1) AS HUGEINT) AS a1,
+      |                  CAST(SUM(cap_tokens - alloc1) AS HUGEINT) AS head
+      |           FROM ${nm}1),
+      |${nm}3 AS (
+      |  SELECT s.lang, s.supply_tokens, s.cap_tokens, s.weight_s,
+      |         s.budget, s.naive,
+      |         CAST(s.alloc1 + LEAST(CAST(s.cap_tokens AS HUGEINT)
+      |                 - s.alloc1,
+      |               ((s.budget - t.a1)
+      |                * (CAST(s.cap_tokens AS HUGEINT) - s.alloc1))
+      |               // GREATEST(t.head, 1)) AS BIGINT) AS alloc_tokens
+      |  FROM ${nm}1 s, ${nm}2 t),
+      |${nm}f AS (SELECT CAST(SUM(alloc_tokens) AS HUGEINT) AS af
+      |           FROM ${nm}3),
+      |$nm AS (
+      |  SELECT '$tag' AS scenario, s.lang, s.supply_tokens, s.cap_tokens,
+      |         s.weight_s, s.alloc_tokens,
+      |         CAST(CAST(s.alloc_tokens AS HUGEINT) * 1000
+      |              // GREATEST(s.supply_tokens, 1) AS BIGINT)
+      |           AS epochs_permille,
+      |         CAST(CASE WHEN s.alloc_tokens = s.cap_tokens THEN 1 ELSE 0
+      |              END AS INT) AS capped,
+      |         CAST(s.budget - t.af AS BIGINT) AS unalloc_tokens
+      |  FROM ${nm}3 s, ${nm}f t)""".stripMargin
+
+  /** T57 — mixture allocation under per-stratum EPOCH CAPS
+    * ([[graft.sampling.Sampling.cappedMixAllocation]]): the
+    * data-constrained regime t44 cannot express — budget 1500‰ of
+    * supply, so repetition is mandatory, bounded by a per-stratum
+    * epoch ceiling. TWO scenarios gate from one supply scan:
+    * 'headroom' (cap 1800‰: on the gate corpus de/es/fr hit their
+    * ceiling, the surplus redistributes to en/zh, budget places to
+    * within integer remainders) and 'starved' (cap
+    * 1300‰ < budget: EVERY stratum caps and the unreachable remainder
+    * surfaces as unalloc_tokens > 0 — conservation made explicit
+    * rather than silently dropped). epochs_permille > 1000 is the
+    * repetition read-out the t49 decay audit then prices.
+    */
+  val t57CappedMix = QueryDef("t57_capped_mix",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      def run(tag: String, b: Long, me: Long) =
+        graft.sampling.Sampling
+          .cappedMixAllocation(docs, "lang", col("n_chars"), b, me)
+          .withColumn("scenario", lit(tag))
+      run("headroom", 1500L, 1800L)
+        .unionByName(run("starved", 1500L, 1300L))
+        .select(col("scenario"), col("lang"), col("supply_tokens"),
+          col("cap_tokens"), col("weight_s"), col("alloc_tokens"),
+          col("epochs_permille"), col("capped"), col("unalloc_tokens"))
+        .orderBy(col("scenario"), col("lang"))
+    },
+    Some(s"""
+      |WITH sup AS (
+      |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS supply_tokens,
+      |         CAST(floor(sqrt(CAST(SUM(n_chars) AS DOUBLE))) AS BIGINT)
+      |           AS weight_s
+      |  FROM documents GROUP BY 1),
+      |${cappedMixSql("h", "headroom", 1500L, 1800L)},
+      |${cappedMixSql("st", "starved", 1500L, 1300L)}
+      |SELECT * FROM h UNION ALL SELECT * FROM st
+      |ORDER BY scenario, lang
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -6503,5 +6591,5 @@ object PipelineQueries {
     a10JoinCardinality, a11BootstrapCi, s21ExactLeakage,
     a12ColumnProfileSketch, s22KnnGraphRecall, s23Int8Recall,
     t54NormalizeDedup, t55SourceDiversity, t53NbLangConfusion,
-    t56DecontaminatedSplit, a13KmvOverlap)
+    t56DecontaminatedSplit, a13KmvOverlap, t57CappedMix)
 }

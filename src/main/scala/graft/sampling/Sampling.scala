@@ -250,6 +250,72 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Temperature mixture allocation under per-stratum EPOCH CAPS — the
+    * data-constrained regime [[temperatureMixAllocation]] cannot model:
+    * when the token budget exceeds what single-epoch sampling can
+    * supply, real mixers repeat data, but bounded ("no more than ~2
+    * epochs of any source" — repetition beyond that measurably decays,
+    * the t49/Muennighoff result). Here each stratum's ceiling is
+    * `supply · maxEpochsPermille/1000` (may EXCEED supply — that is the
+    * point), allocation is ∝ √supply capped at the ceiling, one
+    * deterministic surplus-redistribution round proportional to
+    * remaining cap headroom, and any budget the caps make unreachable
+    * is reported as `unalloc_tokens` — conservation is explicit, never
+    * silently dropped (Σalloc + unalloc = budget, spec-pinned).
+    *
+    * Same plan economics as t44: ONE corpus aggregate, then integer
+    * arithmetic on a |strata|-row frame against broadcast 1-row totals;
+    * every corpus-total-scale product decimal(38,0)-widened.
+    * `epochs_permille` (alloc·1000 div supply) is the planner's
+    * read-out: >1000 means that stratum repeats.
+    */
+  def cappedMixAllocation(docs: DataFrame, groupCol: String,
+      tokens: Column, budgetPermille: Long,
+      maxEpochsPermille: Long): DataFrame = {
+    require(budgetPermille > 0,
+      s"budgetPermille must be positive, got $budgetPermille")
+    require(maxEpochsPermille > 0,
+      s"maxEpochsPermille must be positive, got $maxEpochsPermille")
+    val supply = docs.groupBy(col(groupCol))
+      .agg(sum(tokens).as("supply_tokens"))
+      .withColumn("weight_s",
+        floor(sqrt(col("supply_tokens").cast("double"))).cast("bigint"))
+      .withColumn("cap_tokens", expr(
+        s"CAST(supply_tokens AS DECIMAL(38,0)) * $maxEpochsPermille " +
+          "div 1000"))
+      .localCheckpoint(false)
+    val tot = supply.agg(sum(col("supply_tokens")).as("__tot"),
+      sum(col("weight_s")).as("__sw"))
+    val a1 = supply.crossJoin(broadcast(tot))
+      .withColumn("__budget",
+        expr(s"CAST(__tot AS DECIMAL(38,0)) * $budgetPermille div 1000"))
+      .withColumn("__naive",
+        expr("CAST(__budget AS DECIMAL(38,0)) * weight_s div __sw"))
+      .withColumn("__alloc1", least(col("cap_tokens"), col("__naive")))
+    val tot2 = a1.agg(sum(col("__alloc1")).as("__a1"),
+      sum(expr("cap_tokens - __alloc1")).as("__head"))
+    val fin = a1.crossJoin(broadcast(tot2))
+      .withColumn("alloc_tokens", expr(
+        "__alloc1 + least(cap_tokens - __alloc1, " +
+          "CAST(__budget - __a1 AS DECIMAL(38,0)) " +
+          "* (cap_tokens - __alloc1) " +
+          "div greatest(__head, 1L))"))
+      .localCheckpoint(false) // rows + the Σalloc total
+    val tot3 = fin.agg(sum(col("alloc_tokens")).as("__af"))
+    fin.crossJoin(broadcast(tot3))
+      .select(col(groupCol), col("supply_tokens"), col("cap_tokens"),
+        col("weight_s"), col("alloc_tokens"),
+        expr("CAST(alloc_tokens AS DECIMAL(38,0)) * 1000 " +
+          "div greatest(supply_tokens, 1L)").as("epochs_permille"),
+        // at-ceiling AFTER redistribution (not t44's naive-exceeded
+        // flag): redistribution can fill a stratum whose naive share
+        // was below cap, and "this stratum can absorb no more budget"
+        // is the fact the planner acts on
+        (col("alloc_tokens") === col("cap_tokens")).cast("int")
+          .as("capped"),
+        expr("CAST(__budget - __af AS BIGINT)").as("unalloc_tokens"))
+  }
+
   /** Deterministic Poisson-style bootstrap (Chamandy et al., "Estimating
     * uncertainty for massive data streams", the map-reduce bootstrap):
     * every corpus statistic deserves an error bar, and the classic

@@ -52,11 +52,18 @@ object NbLang {
     * (0 when a label's train docs are all gramless). |labels| rows.
     */
   def labelStats(trainDocs: DataFrame, labelCol: String,
-      counts: DataFrame): DataFrame = {
-    val prior = trainDocs.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("p"))
+      counts: DataFrame): DataFrame =
+    labelStatsFromPriors(trainDocs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("p")), counts)
+
+  /** [[labelStats]] from an already-aggregated prior frame
+    * `(label, p)` — the form an accreted store resolves without
+    * re-reading history ([[graft.streaming.NbStream]]).
+    */
+  def labelStatsFromPriors(priors: DataFrame, counts: DataFrame)
+      : DataFrame = {
     val totals = counts.groupBy(col("label")).agg(sum(col("c")).as("t"))
-    prior.join(totals, Seq("label"), "left")
+    priors.join(totals, Seq("label"), "left")
       .select(col("label"), col("p"), coalesce(col("t"), lit(0L)).as("t"))
   }
 

@@ -217,6 +217,53 @@ class SamplingSpec extends SparkSpec {
     full.foreach(r => assert(r.getAs[Long]("fill_ppm") == 1000000L))
   }
 
+  test("capped mix: conservation with explicit unalloc; caps honored; starved regime all-cap") {
+    val docs = Seq.tabulate(400) { i =>
+      val lang = if (i % 4 != 0) "en" else Seq("de", "fr", "zh")(i % 3)
+      (i.toLong, lang, 10L + i % 5)
+    }.toDF("id", "lang", "tok")
+    def run(b: Long, me: Long) = Sampling
+      .cappedMixAllocation(docs, "lang", col("tok"), b, me)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    // headroom regime: budget 1500‰ < total cap 2000‰
+    val h = run(1500L, 2000L)
+    val supply = h.map { case (l, r) => l -> r.getAs[Long]("supply_tokens") }
+    val budget = supply.values.sum * 1500L / 1000L
+    h.foreach { case (l, r) =>
+      val cap = r.getAs[Long]("cap_tokens")
+      assert(cap == supply(l) * 2000L / 1000L)
+      assert(r.getAs[Long]("alloc_tokens") <= cap, s"$l above its cap")
+      assert(r.getAs[Long]("unalloc_tokens") >= 0L)
+    }
+    val hAlloc = h.values.map(_.getAs[Long]("alloc_tokens")).sum
+    val hUn = h.values.head.getAs[Long]("unalloc_tokens")
+    assert(hAlloc + hUn == budget, "conservation: alloc + unalloc = budget")
+    // integer remainders only — the caps leave headroom, so ~all places
+    assert(hUn <= h.size.toLong, s"headroom regime left $hUn unplaced")
+    // small strata must repeat (epochs > 1000‰), en must not cap
+    assert(h("de").getAs[Long]("epochs_permille") > 1000L)
+    assert(h("en").getAs[Int]("capped") == 0)
+    // starved regime: cap 1300‰ < budget 1500‰ — every stratum caps and
+    // the unreachable remainder is explicit
+    val s = run(1500L, 1300L)
+    s.foreach { case (l, r) =>
+      assert(r.getAs[Int]("capped") == 1, s"$l must cap when starved")
+      assert(r.getAs[Long]("alloc_tokens") == r.getAs[Long]("cap_tokens"))
+    }
+    val sAlloc = s.values.map(_.getAs[Long]("alloc_tokens")).sum
+    val sUn = s.values.head.getAs[Long]("unalloc_tokens")
+    assert(sAlloc + sUn == budget)
+    assert(sUn > 0L, "starved regime must report unallocated budget")
+    // trillion-token regime: products must not wrap
+    val big = Seq(("en", 25000000000000L), ("es", 9000000000000L))
+      .toDF("lang", "tok")
+    Sampling.cappedMixAllocation(big, "lang", col("tok"), 1500L, 2000L)
+      .collect().foreach { r =>
+        val a = r.getAs[Long]("alloc_tokens")
+        assert(a >= 0L && a <= r.getAs[Long]("cap_tokens"), s"wrapped: $r")
+      }
+  }
+
   test("referentialSample: child rows follow their parent's coin exactly") {
     val parent = (1L to 200L).map(k => (k, s"p$k")).toDF("pk", "payload")
     // 3 children per parent, including parents the coin will drop
