@@ -6420,8 +6420,9 @@ object PipelineQueries {
           col("union_est"), col("inter_k"), col("inter_est"),
           col("jaccard_ppm_est"), col("exact_union"), col("exact_inter"),
           (col("union_est") - col("exact_union")).as("union_diff"),
-          expr("abs(union_est - exact_union) * 1000000 div " +
-            "greatest(exact_union, 1L)").as("union_err_abs_ppm"))
+          expr("CAST(abs(union_est - exact_union) AS DECIMAL(38,0)) " +
+            "* 1000000 div greatest(exact_union, 1L)")
+            .as("union_err_abs_ppm"))
         .orderBy(col("source_1"), col("source_2"))
     },
     Some(s"""
@@ -6461,8 +6462,8 @@ object PipelineQueries {
       |       CAST(coalesce(ix.xi, 0) AS BIGINT) AS exact_inter,
       |       CAST(union_est - (sa.sz + sb.sz - coalesce(ix.xi, 0))
       |            AS BIGINT) AS union_diff,
-      |       CAST(abs(union_est - (sa.sz + sb.sz - coalesce(ix.xi, 0)))
-      |            * 1000000
+      |       CAST(CAST(abs(union_est - (sa.sz + sb.sz - coalesce(ix.xi, 0)))
+      |                 AS HUGEINT) * 1000000
       |            // GREATEST(sa.sz + sb.sz - coalesce(ix.xi, 0), 1)
       |            AS BIGINT) AS union_err_abs_ppm
       |FROM ee e
@@ -6560,6 +6561,134 @@ object PipelineQueries {
       |ORDER BY scenario, lang
       |""".stripMargin))
 
+  /** One accuracy tier of the a14 sweep: pair math over the shared
+    * 1024-wide sketches sliced to `k`, joined to the exact spine, and
+    * reduced to one error row. The k-minima of a k′-minima list are
+    * the k-minima (k ≤ k′), so every tier replays from ONE sketch CTE.
+    */
+  private def kmvErrSql(k: Int): String = s"""
+      |m$k AS (
+      |  SELECT p.g1, p.g2, p.exact_union, p.exact_jac_ppm,
+      |         list_slice(sa.sk, 1, $k) AS sk1,
+      |         list_slice(sb.sk, 1, $k) AS sk2,
+      |         list_slice(list_sort(list_distinct(list_concat(
+      |             list_slice(sa.sk, 1, $k), list_slice(sb.sk, 1, $k)))),
+      |           1, $k) AS mg
+      |  FROM spine p JOIN skw sa ON sa.source = p.g1
+      |               JOIN skw sb ON sb.source = p.g2),
+      |e$k AS (
+      |  SELECT exact_union, exact_jac_ppm,
+      |         CAST(len(mg) AS BIGINT) AS msz,
+      |         CAST(CASE WHEN len(mg) < $k THEN len(mg)
+      |              ELSE ${(k - 1).toLong * graft.sketch.Sketch.HashSpace}
+      |                   // mg[$k] END AS BIGINT) AS union_est,
+      |         CAST(len(list_intersect(list_intersect(mg, sk1), sk2))
+      |              AS BIGINT) AS ik
+      |  FROM m$k),
+      |r$k AS (
+      |  SELECT CAST($k AS INT) AS k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |         CAST(SUM(CAST(abs(union_est - exact_union) AS HUGEINT)
+      |                  * 1000000 // GREATEST(exact_union, 1))
+      |              // COUNT(*) AS BIGINT) AS mean_union_err_ppm,
+      |         CAST(MAX(CAST(abs(union_est - exact_union) AS HUGEINT)
+      |                  * 1000000 // GREATEST(exact_union, 1)) AS BIGINT)
+      |           AS max_union_err_ppm,
+      |         CAST(SUM(abs(CAST(ik AS HUGEINT) * 1000000
+      |                      // GREATEST(msz, 1) - exact_jac_ppm))
+      |              // COUNT(*) AS BIGINT) AS mean_jac_err_ppm,
+      |         CAST(MAX(abs(CAST(ik AS HUGEINT) * 1000000
+      |                      // GREATEST(msz, 1) - exact_jac_ppm)) AS BIGINT)
+      |           AS max_jac_err_ppm
+      |  FROM e$k)""".stripMargin
+
+  /** A14 — the KMV accuracy LEVER, measured: a13 runs one k; this
+    * sweeps k ∈ {64, 256, 1024} and reports the error curve against
+    * the exact overlap spine — mean/max union error (relative ppm) and
+    * Jaccard error (absolute ppm) over all source pairs. One corpus
+    * pass builds ONE 1024-wide sketch per source; every narrower tier
+    * is an array slice (the k-minima of a k′-minima list are the
+    * k-minima), so the sweep costs one aggregation plus kilobyte-frame
+    * arithmetic — the measurement you run before choosing how many
+    * longs per group the 100 TB profile store should carry. Expected
+    * and observed: error ≈ 1/√(k−1) halves per 4× k.
+    */
+  val a14KmvErrorCurve = QueryDef("a14_kmv_error_curve",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rows = Dedup
+        .positionalShingleRows(docs, "doc_id", "text", 3,
+          carry = Seq("source"))
+        .select(col("source"), graft.sketch.Sketch.hash40(col("s")).as("h"))
+        .localCheckpoint(eager = false) // sketch pass + exact spine
+      val wide = udaf(graft.sketch.Sketch.KmvAggregator(1024))
+      val skw = rows.groupBy(col("source"))
+        .agg(wide(col("h")).as("sk"))
+        .localCheckpoint(eager = false) // sliced by all three tiers
+      val v = rows.distinct().localCheckpoint(eager = false)
+      val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        .localCheckpoint(eager = false) // both sides of the spine
+      val inter = v.select(col("source").as("g1"), col("h"))
+        .join(v.select(col("source").as("g2"), col("h")), "h")
+        .filter(col("g1") < col("g2"))
+        .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("xi"))
+      val spine = sizes.select(col("source").as("g1"), col("sz").as("sa"))
+        .join(broadcast(sizes.select(col("source").as("g2"),
+          col("sz").as("sb"))), col("g1") < col("g2"))
+        .join(broadcast(inter), Seq("g1", "g2"), "left")
+        .select(col("g1"), col("g2"),
+          expr("sa + sb - coalesce(xi, 0L)").as("exact_union"),
+          expr("coalesce(xi, 0L) * 1000000 div " +
+            "greatest(sa + sb - coalesce(xi, 0L), 1L)")
+            .as("exact_jac_ppm"))
+        .localCheckpoint(eager = false) // joined by all three tiers
+      val uErr = expr("CAST(abs(union_est - exact_union) AS DECIMAL(38,0))" +
+        " * 1000000 div greatest(exact_union, 1L)")
+      val jErr = expr("abs(jaccard_ppm_est - exact_jac_ppm)")
+      val tiers = Seq(64, 256, 1024).map { k =>
+        graft.sketch.Sketch.kmvOverlapPairsFromSketches(skw, "source", k)
+          .join(spine, Seq("g1", "g2"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(uErr).as("__su"), max(uErr).as("max_union_err_ppm"),
+            sum(jErr).as("__sj"), max(jErr).as("max_jac_err_ppm"))
+          .select(lit(k).as("k"), col("n_pairs"),
+            expr("__su div n_pairs").as("mean_union_err_ppm"),
+            col("max_union_err_ppm"),
+            expr("__sj div n_pairs").as("mean_jac_err_ppm"),
+            col("max_jac_err_ppm"))
+      }
+      tiers.reduce(_.unionByName(_)).orderBy(col("k"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |$shSql,
+      |v AS (SELECT DISTINCT source,
+      |             CAST('0x' || substr(md5(s), 1, 10) AS BIGINT) AS h
+      |      FROM (SELECT source, unnest(sh) AS s FROM sh)),
+      |skw AS (SELECT source, list_slice(list_sort(list(h)), 1, 1024) AS sk
+      |        FROM v GROUP BY 1),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+      |          FROM v GROUP BY 1),
+      |ix AS (SELECT a.source AS g1, b.source AS g2,
+      |              CAST(COUNT(*) AS BIGINT) AS xi
+      |       FROM v a JOIN v b ON a.h = b.h AND a.source < b.source
+      |       GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT a.source AS g1, b.source AS g2,
+      |         CAST(a.sz + b.sz - coalesce(ix.xi, 0) AS BIGINT)
+      |           AS exact_union,
+      |         CAST(coalesce(ix.xi, 0) * 1000000
+      |              // GREATEST(a.sz + b.sz - coalesce(ix.xi, 0), 1)
+      |              AS BIGINT) AS exact_jac_ppm
+      |  FROM sizes a JOIN sizes b ON a.source < b.source
+      |  LEFT JOIN ix ON ix.g1 = a.source AND ix.g2 = b.source),
+      |${kmvErrSql(64)},
+      |${kmvErrSql(256)},
+      |${kmvErrSql(1024)}
+      |SELECT * FROM r64 UNION ALL SELECT * FROM r256
+      |UNION ALL SELECT * FROM r1024
+      |ORDER BY k
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -6591,5 +6720,6 @@ object PipelineQueries {
     a10JoinCardinality, a11BootstrapCi, s21ExactLeakage,
     a12ColumnProfileSketch, s22KnnGraphRecall, s23Int8Recall,
     t54NormalizeDedup, t55SourceDiversity, t53NbLangConfusion,
-    t56DecontaminatedSplit, a13KmvOverlap, t57CappedMix)
+    t56DecontaminatedSplit, a13KmvOverlap, t57CappedMix,
+    a14KmvErrorCurve)
 }

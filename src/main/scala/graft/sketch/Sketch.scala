@@ -372,6 +372,19 @@ object Sketch {
     val sketch = udaf(KmvAggregator(k))
     val sk = df.groupBy(col(groupCol)).agg(sketch(col(hashCol)).as("sk"))
       .localCheckpoint(eager = false) // both sides of the pair join
+    kmvOverlapPairsFromSketches(sk, groupCol, k)
+  }
+
+  /** [[kmvOverlapMatrix]]'s pair math over ALREADY-built per-group
+    * sketches `(groupCol, sk)` — callers may pass sketches built at a
+    * LARGER k: the k smallest of a k′-minima list (k ≤ k′) are the
+    * k-minima, so slicing one wide sketch evaluates every narrower
+    * accuracy tier from a single corpus pass (the a14 sweep).
+    */
+  def kmvOverlapPairsFromSketches(sketches: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val sk = sketches.select(col(groupCol),
+      slice(col("sk"), 1, k).as("sk"))
     val pairs = sk.select(col(groupCol).as("g1"), col("sk").as("sk1"))
       .join(broadcast(sk.select(col(groupCol).as("g2"),
         col("sk").as("sk2"))), col("g1") < col("g2"))
