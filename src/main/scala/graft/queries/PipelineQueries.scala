@@ -6238,6 +6238,8 @@ object PipelineQueries {
         .predict(hold, "doc_id", "text", counts, labels, 1024)
       val ct = hold.select("doc_id", "lang").join(pred, "doc_id")
         .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // matrix + label totals share it:
+        // without the cut both branches re-run the whole NB scoring
       val tot = ct.groupBy(col("lang")).agg(sum(col("n")).as("t"))
       ct.join(tot, "lang")
         .select(col("lang"), col("pred").as("pred_lang"), col("n"),
