@@ -6213,21 +6213,29 @@ object PipelineQueries {
     * and audited on the 20% holdout as a per-(label, prediction)
     * confusion matrix — t52's question ("can sampling stratify on a
     * predicted lang?") asked of a trained model instead of the fixed
-    * stopword vote. Honest measured finding on this corpus: the
+    * stopword vote. TWO audit tiers gate together: 'organic' — the
+    * corpus as-is, where the honest measured finding is that the
     * generator draws every label's text from one shared vocabulary, so
-    * even the fit model is prior-dominated — accuracy ≈ the majority
-    * class (en), which is exactly what the off-diagonal mass shows.
-    * The operator, not the corpus, is the deliverable: training is one
-    * (label, bucket) shuffle into a ≤|labels|·1024-row broadcast model;
-    * scoring is a broadcast join + grouped argmin, linear in holdout
-    * tokens.
+    * even the fit model is prior-dominated (accuracy ≈ the majority
+    * class) — and 'planted', a re-ingest tier (every 11th doc, new id,
+    * 8 lang-marker tokens appended) where signal EXISTS by
+    * construction and the same model must route it: planted-tier
+    * accuracy is ~100%, proving the operator separates what is
+    * separable and the organic matrix reports a property of the DATA,
+    * not a broken classifier. Training is one (label, bucket) shuffle
+    * into a ≤|labels|·1024-row broadcast model; scoring is a broadcast
+    * join + grouped argmin, linear in holdout tokens.
     */
   val t53NbLangConfusion = QueryDef("t53_nb_lang_confusion",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val docs = docs0.unionByName(docs0.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("lang"),
+          concat(col("text"),
+            repeat(concat(lit(" tokmark_"), col("lang")), 8)).as("text")))
       val u = graft.sampling.Sampling.hashUniformPpm(col("doc_id"), "nb")
-      val tagged = docs.select(col("doc_id"), col("lang"), col("text"))
-        .withColumn("__train", u < 800000L)
+      val tagged = docs.withColumn("__train", u < 800000L)
         .localCheckpoint(eager = false) // train fit + holdout score
       val train = tagged.filter(col("__train"))
       val hold = tagged.filter(!col("__train"))
@@ -6237,31 +6245,45 @@ object PipelineQueries {
       val pred = graft.text.NbLang
         .predict(hold, "doc_id", "text", counts, labels, 1024)
       val ct = hold.select("doc_id", "lang").join(pred, "doc_id")
-        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .withColumn("tier", when(col("doc_id") >= 20000000L, "planted")
+          .otherwise("organic"))
+        .groupBy(col("tier"), col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
         .localCheckpoint(eager = false) // matrix + label totals share it:
         // without the cut both branches re-run the whole NB scoring
-      val tot = ct.groupBy(col("lang")).agg(sum(col("n")).as("t"))
-      ct.join(tot, "lang")
-        .select(col("lang"), col("pred").as("pred_lang"), col("n"),
-          expr("n * 1000000 div t").as("share_ppm"))
-        .orderBy(col("lang"), col("pred_lang"))
+      val tot = ct.groupBy(col("tier"), col("lang"))
+        .agg(sum(col("n")).as("t"))
+      ct.join(tot, Seq("tier", "lang"))
+        .select(col("tier"), col("lang"), col("pred").as("pred_lang"),
+          col("n"), expr("n * 1000000 div t").as("share_ppm"))
+        .orderBy(col("tier"), col("lang"), col("pred_lang"))
     },
     Some(s"""
-      |WITH $tokSql,
+      |WITH aug AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, lang,
+      |         text || repeat(' tokmark_' || lang, 8)
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |toksa AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |                     x -> x <> '') AS tk
+      |  FROM aug),
       |sp AS (
       |  SELECT doc_id,
       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|nb'),
       |              1, 15) AS BIGINT) % 1000000 < 800000 AS is_train
-      |  FROM documents),
+      |  FROM aug),
       |bk AS (
       |  SELECT t.doc_id, t.lang,
       |         CAST('0x' || substr(md5('nb-' || token), 1, 15) AS BIGINT)
       |           % 1024 AS bucket
-      |  FROM (SELECT doc_id, lang, unnest(tk) AS token FROM toks) t),
+      |  FROM (SELECT doc_id, lang, unnest(tk) AS token FROM toksa) t),
       |trc AS (SELECT lang AS label, bucket, CAST(COUNT(*) AS BIGINT) AS c
       |        FROM bk JOIN sp USING (doc_id) WHERE is_train GROUP BY 1, 2),
-      |lab0 AS (SELECT d.lang AS label, CAST(COUNT(*) AS BIGINT) AS p
-      |         FROM documents d JOIN sp USING (doc_id) WHERE is_train
+      |lab0 AS (SELECT a.lang AS label, CAST(COUNT(*) AS BIGINT) AS p
+      |         FROM aug a JOIN sp USING (doc_id) WHERE is_train
       |         GROUP BY 1),
       |tls AS (SELECT label, CAST(SUM(c) AS BIGINT) AS t FROM trc GROUP BY 1),
       |dl AS (SELECT CAST(SUM(p) AS BIGINT) AS d,
@@ -6286,17 +6308,20 @@ object PipelineQueries {
       |         OVER (PARTITION BY doc_id ORDER BY bits, label) = 1),
       |fb AS (SELECT label AS fbl FROM lab
       |       QUALIFY row_number() OVER (ORDER BY prior_surp, label) = 1),
-      |hv AS (SELECT d.doc_id, d.lang FROM documents d JOIN sp USING (doc_id)
+      |hv AS (SELECT a.doc_id, a.lang FROM aug a JOIN sp USING (doc_id)
       |       WHERE NOT is_train),
-      |fin AS (SELECT hv.lang, coalesce(pr.pred, fb.fbl) AS pred_lang
+      |fin AS (SELECT CASE WHEN hv.doc_id >= 20000000 THEN 'planted'
+      |                    ELSE 'organic' END AS tier,
+      |               hv.lang, coalesce(pr.pred, fb.fbl) AS pred_lang
       |        FROM hv LEFT JOIN pr USING (doc_id), fb),
-      |ct AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
-      |       FROM fin GROUP BY 1, 2),
-      |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM ct GROUP BY 1)
-      |SELECT ct.lang, ct.pred_lang, ct.n,
+      |ct AS (SELECT tier, lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM fin GROUP BY 1, 2, 3),
+      |tot AS (SELECT tier, lang, CAST(SUM(n) AS BIGINT) AS t
+      |        FROM ct GROUP BY 1, 2)
+      |SELECT ct.tier, ct.lang, ct.pred_lang, ct.n,
       |       CAST(ct.n * 1000000 // tot.t AS BIGINT) AS share_ppm
-      |FROM ct JOIN tot USING (lang)
-      |ORDER BY lang, pred_lang
+      |FROM ct JOIN tot USING (tier, lang)
+      |ORDER BY tier, lang, pred_lang
       |""".stripMargin))
 
   /** T56 — the decontaminated split ARTIFACT: s21 detects cross-split
@@ -6691,6 +6716,137 @@ object PipelineQueries {
       |ORDER BY k
       |""".stripMargin))
 
+  /** One threshold tier of the s24 sweep: the `j` pair frame filtered
+    * at `tp` ppm (HUGEINT-exact, the house cosine test), reduced to
+    * (threshold, cross-pair count, distinct quarantined train docs).
+    */
+  private def decontamThrSql(tp: Long): String = s"""
+      |p$tp AS (SELECT * FROM j
+      |  WHERE CAST(dot AS HUGEINT) * dot * 1000000 * 1000000
+      |        >= CAST(n1 AS HUGEINT) * n2 * $tp * $tp),
+      |q$tp AS (
+      |  SELECT CAST($tp AS BIGINT) AS threshold_ppm,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM p$tp)
+      |           AS n_cross_pairs,
+      |         (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM (
+      |            SELECT id1 AS id FROM p$tp WHERE split1 = 'train'
+      |            UNION ALL
+      |            SELECT id2 FROM p$tp WHERE split2 = 'train'))
+      |           AS n_quarantined)""".stripMargin
+
+  /** S24 — the decontamination AGGRESSIVENESS lever, measured: t56
+    * quarantines at cosine 0.4; this sweeps the threshold
+    * {0.3, 0.4, 0.5, 0.6} and reports, per tier, the cross-split pair
+    * count and the distinct train docs a quarantine at that threshold
+    * would pull — the curve a pipeline owner reads before trading
+    * benchmark safety against train-set yield. ONE broadcast-eval
+    * linear scan at the loosest threshold (0.3) feeds every tier: the
+    * tighter tests are pure arithmetic on the surviving pair frame
+    * (norms join back id-keyed), so the sweep costs one s21 scan plus
+    * kilobyte-frame filters, never four scans.
+    */
+  val s24DecontamThresholds = QueryDef("s24_decontam_thresholds",
+    (s, dir) => {
+      val emb0 = t(s, dir, "embeddings")
+      val emb = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000000L))
+      val u = graft.sampling.Sampling.hashUniformPpm(col("vec_id"), "split")
+      val split = emb.select(col("vec_id"),
+        when(u < 900000L, "train").when(u < 950000L, "val")
+          .otherwise("test").as("split"))
+        .localCheckpoint(eager = false) // eval filter + two label joins
+      val norms = emb.select(col("vec_id"),
+        Similarity.normSqQ(Similarity.quantize(col("embedding")))
+          .as("nsq"))
+        .localCheckpoint(eager = false) // joined for both endpoints
+      val evalSide = emb.join(
+        split.filter(col("split") =!= "train").select("vec_id"), "vec_id")
+      val pairs = Similarity
+        .exactNearPairsAsym(evalSide, emb, "vec_id", "embedding", 300000L)
+        .select(least(col("eval_id"), col("corpus_id")).as("id1"),
+          greatest(col("eval_id"), col("corpus_id")).as("id2"),
+          col("dot_q"))
+        .distinct()
+        .join(split.select(col("vec_id").as("id1"),
+          col("split").as("split1")), "id1")
+        .join(split.select(col("vec_id").as("id2"),
+          col("split").as("split2")), "id2")
+        .filter(col("split1") =!= col("split2"))
+        .join(norms.select(col("vec_id").as("id1"), col("nsq").as("n1")),
+          "id1")
+        .join(norms.select(col("vec_id").as("id2"), col("nsq").as("n2")),
+          "id2")
+        .localCheckpoint(eager = false) // one scan, four threshold reads
+      val tiers = Seq(300000L, 400000L, 500000L, 600000L).map { tp =>
+        val pass = pairs.filter(expr(
+          s"CAST(dot_q AS DECIMAL(38,0)) * dot_q * 1000000 * 1000000 " +
+            s">= CAST(n1 AS DECIMAL(38,0)) * n2 * $tp * $tp"))
+          .localCheckpoint(eager = false) // pair count + endpoint distinct
+        val np = pass.agg(count(lit(1)).as("n_cross_pairs"))
+        val nq = pass.select(explode(array(
+            struct(col("id1").as("id"), col("split1").as("sp")),
+            struct(col("id2").as("id"), col("split2").as("sp")))).as("e"))
+          .filter(col("e.sp") === "train")
+          .agg(countDistinct(col("e.id")).as("n_quarantined"))
+        np.crossJoin(broadcast(nq))
+          .select(lit(tp).as("threshold_ppm"), col("n_cross_pairs"),
+            col("n_quarantined"))
+      }
+      tiers.reduce(_.unionByName(_)).orderBy(col("threshold_ppm"))
+    },
+    Some(s"""
+      |WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, embedding
+      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |nv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM aug),
+      |nn AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS nsq FROM nv),
+      |sp AS (
+      |  SELECT vec_id,
+      |         CASE WHEN ppm < 900000 THEN 'train'
+      |              WHEN ppm < 950000 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT vec_id,
+      |           CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|split'), 1, 15) AS BIGINT)
+      |             % 1000000 AS ppm
+      |    FROM aug)),
+      |ev AS (
+      |  SELECT n.vec_id, n.qv, n.nsq FROM nn n JOIN sp s USING (vec_id)
+      |  WHERE s.split <> 'train'),
+      |cp AS (
+      |  SELECT DISTINCT least(eid, cid) AS id1, greatest(eid, cid) AS id2,
+      |         dot
+      |  FROM (
+      |    SELECT e.vec_id AS eid, c.vec_id AS cid,
+      |           ${dotSql("e.qv", "c.qv")} AS dot, e.nsq AS n1, c.nsq AS n2
+      |    FROM ev e JOIN nn c ON e.vec_id <> c.vec_id) p0
+      |  WHERE dot > 0
+      |    AND CAST(dot AS HUGEINT) * dot * 1000000 * 1000000
+      |        >= CAST(n1 AS HUGEINT) * n2 * 300000 * 300000),
+      |j AS MATERIALIZED (
+      |  SELECT cp.id1, cp.id2, cp.dot, s1.split AS split1,
+      |         s2.split AS split2, a.nsq AS n1, b.nsq AS n2
+      |  FROM cp
+      |  JOIN sp s1 ON s1.vec_id = cp.id1
+      |  JOIN sp s2 ON s2.vec_id = cp.id2
+      |  JOIN nn a ON a.vec_id = cp.id1
+      |  JOIN nn b ON b.vec_id = cp.id2
+      |  WHERE s1.split <> s2.split),
+      |${decontamThrSql(300000L)},
+      |${decontamThrSql(400000L)},
+      |${decontamThrSql(500000L)},
+      |${decontamThrSql(600000L)}
+      |SELECT * FROM q300000 UNION ALL SELECT * FROM q400000
+      |UNION ALL SELECT * FROM q500000 UNION ALL SELECT * FROM q600000
+      |ORDER BY threshold_ppm
+      |""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(
     tTextStats, t2CorpusProfile, t3DeterministicSample, t4KmvDistinct,
     t5TokenHistogram, t6LengthQuantiles, t7KmvByGroup, t8WeightedSample,
@@ -6723,5 +6879,5 @@ object PipelineQueries {
     a12ColumnProfileSketch, s22KnnGraphRecall, s23Int8Recall,
     t54NormalizeDedup, t55SourceDiversity, t53NbLangConfusion,
     t56DecontaminatedSplit, a13KmvOverlap, t57CappedMix,
-    a14KmvErrorCurve)
+    a14KmvErrorCurve, s24DecontamThresholds)
 }

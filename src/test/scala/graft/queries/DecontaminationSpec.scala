@@ -83,4 +83,19 @@ class DecontaminationSpec extends SparkSpec {
       else assert(fin == split, s"protected row moved: $id: $split->$fin")
     }
   }
+
+  test("s24 threshold curve: both counts monotone non-increasing; 0.4 tier == t56's quarantine size") {
+    val rows = PipelineQueries.s24DecontamThresholds.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(300000L, 400000L, 500000L, 600000L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3,
+        s"tightening the threshold must never add pairs: $a -> $b")
+    }
+    val q400 = rows.find(_._1 == 400000L).get._3
+    val t56Quarantine = PipelineQueries.t56DecontaminatedSplit
+      .fn(spark, dir).filter(col("final_split") === "quarantine").count()
+    assert(q400 == t56Quarantine,
+      s"s24@0.4 ($q400) must price exactly what t56 pulls ($t56Quarantine)")
+  }
 }
