@@ -51,6 +51,20 @@ class NbLangSpec extends SparkSpec {
     assert(got(7L) == "bb")
   }
 
+  test("bag-of-words property: token order never changes a prediction") {
+    val train = Seq(("aa", "apple banana apple cherry"),
+      ("bb", "zebra yak zebra xylo"))
+    val forward = fitAndPredict(train,
+      Seq((1L, "apple cherry banana"), (2L, "zebra xylo yak")))
+    // same multisets, shuffled order — multinomial NB sees only counts
+    val shuffled = fitAndPredict(
+      Seq(("aa", "cherry apple apple banana"),
+        ("bb", "xylo zebra zebra yak")),
+      Seq((1L, "banana apple cherry"), (2L, "yak zebra xylo")))
+    assert(forward == shuffled)
+    assert(forward(1L) == "aa" && forward(2L) == "bb")
+  }
+
   test("prediction is partition-count independent and total") {
     val train = (1 to 40).map(i =>
       (if (i % 2 == 0) "ee" else "ff", s"tok${i % 7} tok${i % 3} shared"))
