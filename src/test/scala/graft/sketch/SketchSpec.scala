@@ -241,6 +241,31 @@ class SketchSpec extends SparkSpec {
       && ac.getAs[Long]("union_est") == 35L)
   }
 
+  test("KMV nesting: a wide sketch sliced to k ≡ the directly-built k sketch (a14's premise)") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => ("g", s"x$i")).toDF("g", "s")
+      .select(col("g"), Sketch.hash40(col("s")).as("h"))
+    def sketchAt(k: Int) = {
+      val agg = udaf(Sketch.KmvAggregator(k))
+      rows.groupBy(col("g")).agg(agg(col("h")).as("sk"))
+        .select(col("sk")).as[Array[Long]].head().toSeq
+    }
+    val wide = sketchAt(1024)
+    assert(sketchAt(64) == wide.take(64) && sketchAt(256) == wide.take(256))
+    // and therefore every a14 tier's pair math from the wide sketch
+    // equals the one computed from its own narrow sketch
+    val two = ((1 to 3000).map(i => ("a", s"x$i")) ++
+      (2001 to 5000).map(i => ("b", s"x$i"))).toDF("g", "s")
+      .select(col("g"), Sketch.hash40(col("s")).as("h"))
+    val wideAgg = udaf(Sketch.KmvAggregator(1024))
+    val skw = two.groupBy(col("g")).agg(wideAgg(col("h")).as("sk"))
+    val fromWide = Sketch.kmvOverlapPairsFromSketches(skw, "g", 256)
+      .collect()(0).toSeq
+    val direct = Sketch.kmvOverlapMatrix(two, "g", "h", 256)
+      .collect()(0).toSeq
+    assert(fromWide == direct)
+  }
+
   test("kmvOverlapMatrix: above k the union estimate tracks truth and is partition-independent") {
     import spark.implicits._
     // two 3000-element sets sharing 1000 values: union = 5000
