@@ -4514,7 +4514,10 @@ object PipelineQueries {
     */
   val s15SemanticLeakage = QueryDef("s15_semantic_leakage",
     (s, dir) => {
+      // id-range guard: planted re-ingests live at vec_id + 10⁷ (no-op
+      // at gate scales; collision-proof domain bound at any other)
       val emb0 = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 10000000L)
       val emb = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
         .withColumn("vec_id", col("vec_id") + 10000000L))
       val u = graft.sampling.Sampling.hashUniformPpm(col("vec_id"), "split")
@@ -4537,10 +4540,10 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH aug AS (
-      |  SELECT vec_id, embedding FROM embeddings
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10000000
       |  UNION ALL
       |  SELECT vec_id + 10000000, embedding
-      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |  FROM embeddings WHERE vec_id % 17 = 0 AND vec_id < 10000000),
       |qv AS (
       |  SELECT vec_id,
       |         list_transform(embedding,
@@ -4595,7 +4598,10 @@ object PipelineQueries {
     */
   val s21ExactLeakage = QueryDef("s21_exact_leakage",
     (s, dir) => {
+      // id-range guard: planted re-ingests live at vec_id + 10⁷ (no-op
+      // at gate scales; collision-proof domain bound at any other)
       val emb0 = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 10000000L)
       val emb = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
         .withColumn("vec_id", col("vec_id") + 10000000L))
       val u = graft.sampling.Sampling.hashUniformPpm(col("vec_id"), "split")
@@ -4622,10 +4628,10 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH aug AS (
-      |  SELECT vec_id, embedding FROM embeddings
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10000000
       |  UNION ALL
       |  SELECT vec_id + 10000000, embedding
-      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |  FROM embeddings WHERE vec_id % 17 = 0 AND vec_id < 10000000),
       |nv AS (
       |  SELECT vec_id,
       |         list_transform(embedding,
@@ -4844,7 +4850,7 @@ object PipelineQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.knnGraphBanded(emb, "vec_id", "embedding", k = 5,
-          bands = 16,
+          bands = 24,
           bitsPerBand =
             Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")),
           probe1 = true)
@@ -4853,7 +4859,7 @@ object PipelineQueries {
     Some(s"""
       |WITH $qSql,
       |$annParamsSql,
-      |${bandedBlockSql("qv", bands = 16)}
+      |${bandedBlockSql("qv", bands = 24)}
       |sym AS (
       |  SELECT id1, id2 FROM cand
       |  UNION ALL
@@ -4888,11 +4894,13 @@ object PipelineQueries {
     * measured rows ARE rows of the s17 artifact. The exact side is the
     * broadcast 1-in-20 sample against the corpus (the s1/s16
     * measurement shape — at 100 TB recall is always measured on such a
-    * sample, never the full node set). The metric already did its job
-    * once: at s17's original 8 bands it measured 66–70%, and the
-    * `tools.GraphRecallProbe` sweep showed 16 bands buys ~90% at the
-    * same wall time — which is why s17 now runs 16 (24 bands → 96% at
-    * +25% wall is the next documented notch).
+    * sample, never the full node set). The metric has now paid for
+    * itself twice: 8 bands measured 66–70% → escalated to 16 (~90%),
+    * and the r13 `tools.GraphRecallProbe` re-sweep at sf0.1 (16 → 89.8%,
+    * 24 → 96.2%, 32 → 98.6%) priced the next notch cheap enough to
+    * take — s17 now runs 24 bands, and the measured mean recall is a
+    * README ratchet number (it must not regress silently). 32 bands →
+    * 98.6% is the next documented notch.
     */
   val s22KnnGraphRecall = QueryDef("s22_knn_graph_recall",
     (s, dir) => {
@@ -4900,7 +4908,7 @@ object PipelineQueries {
       val exact = Similarity.bruteForceTopK(
         emb.filter(col("vec_id") % 20 === 0), emb, "vec_id", "embedding", 5)
       val graph = Similarity.knnGraphBanded(emb, "vec_id", "embedding",
-          k = 5, bands = 16,
+          k = 5, bands = 24,
           bitsPerBand =
             Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")),
           probe1 = true)
@@ -4918,7 +4926,7 @@ object PipelineQueries {
     Some(s"""
       |WITH $qSql,
       |$annParamsSql,
-      |${bandedBlockSql("qv", bands = 16)}
+      |${bandedBlockSql("qv", bands = 24)}
       |sym AS (
       |  SELECT id1, id2 FROM cand
       |  UNION ALL
@@ -5160,10 +5168,10 @@ object PipelineQueries {
       |a1 AS (
       |  SELECT w.lang, w.supply_tokens, w.weight_s, t.sw,
       |         CAST(t.t AS HUGEINT) * 900 // 1000 AS budget,
-      |         CAST(t.t AS HUGEINT) * 900 // 1000 * w.weight_s // t.sw
+      |         CAST(t.t AS HUGEINT) * 900 // 1000 * w.weight_s // GREATEST(t.sw, 1)
       |           AS naive,
       |         least(CAST(w.supply_tokens AS HUGEINT),
-      |               CAST(t.t AS HUGEINT) * 900 // 1000 * w.weight_s // t.sw)
+      |               CAST(t.t AS HUGEINT) * 900 // 1000 * w.weight_s // GREATEST(t.sw, 1))
       |           AS alloc1
       |  FROM w, tot t),
       |t2 AS (
@@ -5171,7 +5179,7 @@ object PipelineQueries {
       |         CAST(SUM(supply_tokens - alloc1) AS BIGINT) AS head
       |  FROM a1)
       |SELECT lang, supply_tokens, weight_s,
-      |       CAST(weight_s * 1000000 // sw AS BIGINT) AS target_ppm,
+      |       CAST(weight_s * 1000000 // GREATEST(sw, 1) AS BIGINT) AS target_ppm,
       |       CAST(alloc1 + least(supply_tokens - alloc1,
       |              CAST(budget - a1s AS HUGEINT) * (supply_tokens - alloc1)
       |                // greatest(head, 1)) AS BIGINT) AS alloc_tokens,
@@ -5208,6 +5216,48 @@ object PipelineQueries {
           "vec_id", "embedding", path)
         path
       })
+
+  /** The int8-codec twin of [[vecStoreDir]]: identical accretion
+    * protocol (bootstrap third + two appends through the stored meta),
+    * but the vector sidecar persists 1-BYTE codes
+    * ([[graft.similarity.Similarity.int8FromMilli]], array<tinyint> on
+    * parquet) — s23 measured what the narrow code costs in recall;
+    * this store is where the 4× cut of the dominant 100 TB asset is
+    * actually harvested. Banding and confirms run in the widened int8
+    * long space, so probes are a pure function of (vector, meta) as in
+    * the milli store.
+    */
+  private def vecStore8Dir(s: SparkSession, dir: String): String =
+    vecStoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir
+        + "|int8", {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-vecstore8").toString + "/vidx"
+        val emb = t(s, dir, "embeddings")
+        VecIndex.writeVecIndex(emb.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", path, bands = 8,
+          bitsPerBand =
+            Similarity.scaledBits(Tables.rowCount(s, dir, "embeddings")),
+          nBuckets = 64, codec = "int8")
+        VecIndex.appendToVecIndex(emb.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding", path)
+        VecIndex.appendToVecIndex(emb.filter(col("vec_id") % 3 === 2),
+          "vec_id", "embedding", path)
+        path
+      })
+
+  /** The int8 code space as a CTE over [[qSql]]'s milli-unit `qv` —
+    * the same expression [[graft.similarity.Similarity.int8FromMilli]]
+    * evaluates Spark-side (`//` for `DIV`; non-negative numerators
+    * keep the two engines' integer divisions equal).
+    */
+  private val q8Sql =
+    """q8 AS (
+      |  SELECT vec_id,
+      |         list_transform(qv, x -> CASE WHEN x >= 0
+      |           THEN (x * 127 + 500) // 1000
+      |           ELSE -((-x * 127 + 500) // 1000) END) AS qv
+      |  FROM qv)""".stripMargin
 
   /** S18 — persisted banded VECTOR store, accreted and probed
     * ([[graft.similarity.VecIndex]]): the embedding twin of the d14/d21
@@ -5261,6 +5311,166 @@ object PipelineQueries {
       |           * 900000 * 900000)
       |SELECT probe_id, corpus_id, dot_q FROM conf
       |ORDER BY probe_id, corpus_id
+      |""".stripMargin))
+
+  /** S25 — the s18 accreted-store gate on the INT8 store
+    * ([[vecStore8Dir]]): same planted re-ingest probe batch, same 0.9
+    * dedup threshold, but every vector the store scores was persisted
+    * as a 1-byte code — the round where s23's measured 4× storage cut
+    * stops being a measurement and becomes the store's format. The
+    * oracle is STORE-FREE in the int8 code space: it re-derives codes,
+    * bands, multi-probe, and the exact integer-cosine confirm from raw
+    * embeddings, so an encode/decode bug (truncated tinyint, asymmetric
+    * rounding, meta codec drift) hash-mismatches while the oracle
+    * stands still. The probe tier derives from ids < 10⁷ only — the
+    * planted offset's documented domain (see the id-range guards note).
+    */
+  val s25VecStoreInt8 = QueryDef("s25_vec_store_int8",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb
+        .filter(col("vec_id") % 17 === 0 && col("vec_id") < 10000000L)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+      VecIndex.probeVecIndex(s, probes, "vec_id", "embedding",
+          vecStore8Dir(s, dir), 900000L)
+        .orderBy(col("probe_id"), col("corpus_id"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |$q8Sql,
+      |$annParamsSql,
+      |${bandedBlockSql("q8")}
+      |pbb AS (
+      |  SELECT vec_id + 10000000 AS probe_id, vec_id AS orig_id,
+      |         band, bucket
+      |  FROM bb WHERE vec_id % 17 = 0 AND vec_id < 10000000),
+      |ppr AS (
+      |  SELECT probe_id, orig_id, band,
+      |         CAST(xor(bucket, CAST(f AS INT)) AS INT) AS bucket
+      |  FROM pbb, fl),
+      |cands AS (
+      |  SELECT DISTINCT p.probe_id, p.orig_id, b.vec_id AS corpus_id
+      |  FROM ppr p JOIN bb b ON p.band = b.band AND p.bucket = b.bucket),
+      |conf AS (
+      |  SELECT c.probe_id, c.corpus_id,
+      |         ${dotSql("x.qv", "y.qv")} AS dot_q
+      |  FROM cands c
+      |  JOIN q8 x ON x.vec_id = c.orig_id
+      |  JOIN q8 y ON y.vec_id = c.corpus_id
+      |  WHERE c.probe_id <> c.corpus_id
+      |    AND ${dotSql("x.qv", "y.qv")} > 0
+      |    AND CAST(${dotSql("x.qv", "y.qv")} AS HUGEINT) * ${dotSql("x.qv", "y.qv")}
+      |        * 1000000 * 1000000
+      |        >= CAST(${dotSql("x.qv", "x.qv")} AS HUGEINT) * ${dotSql("y.qv", "y.qv")}
+      |           * 900000 * 900000)
+      |SELECT probe_id, corpus_id, dot_q FROM conf
+      |ORDER BY probe_id, corpus_id
+      |""".stripMargin))
+
+  /** S26 — s23's recall question asked of the STORE PATH end-to-end:
+    * per probe, the exact milli-space near set (integer cosine ≥ 0.4
+    * against the full corpus — [[Similarity.exactNearPairsAsym]], the
+    * measurement harness's broadcast-sample shape) is scored against
+    * what the int8 banded store actually returns at the same
+    * threshold. s23 priced QUANTIZATION alone (brute-force both
+    * spaces); s16 priced BANDING alone (milli space); a store user
+    * pays both at once, and this row is that composite as a measured
+    * per-probe recall_ppm — plus n_store, so int8 boundary admissions
+    * (store pairs the milli truth excludes) are visible on the same
+    * row. Probes are the 1-in-20 organic sample (self excluded) plus
+    * the planted re-ingest tier, whose cosine-1.0 originals keep the
+    * row non-vacuous at every scale factor.
+    */
+  val s26Int8StoreRecall = QueryDef("s26_int8_store_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val planted = emb
+        .filter(col("vec_id") % 17 === 0 && col("vec_id") < 10000000L)
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+      val probes = emb.filter(col("vec_id") % 20 === 0)
+        .unionByName(planted)
+        .localCheckpoint(eager = false) // truth + store probe share it
+      val truthPairs = Similarity
+        .exactNearPairsAsym(probes, emb, "vec_id", "embedding", 400000L)
+        .select(col("eval_id").as("probe_id"), col("corpus_id"))
+        .localCheckpoint(eager = false)
+      val gotPairs = VecIndex.probeVecIndex(s, probes, "vec_id",
+          "embedding", vecStore8Dir(s, dir), 400000L)
+        .select(col("probe_id"), col("corpus_id"))
+        .localCheckpoint(eager = false) // hits join + n_store census
+      val perProbe = truthPairs
+        .join(gotPairs.withColumn("__h", lit(1L)),
+          Seq("probe_id", "corpus_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__h")), lit(0L)).as("hits"))
+      val storeCnt = gotPairs.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_store"))
+      perProbe.join(storeCnt, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("n_store"), lit(0L)).as("n_store"), col("hits"),
+          expr("hits * 1000000L div n_exact").as("recall_ppm"))
+        .orderBy(col("probe_id"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |$q8Sql,
+      |$annParamsSql,
+      |${bandedBlockSql("q8")}
+      |pq AS (
+      |  SELECT vec_id AS probe_id, vec_id AS src_id, band, bucket
+      |  FROM bb WHERE vec_id % 20 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, vec_id, band, bucket
+      |  FROM bb WHERE vec_id % 17 = 0 AND vec_id < 10000000),
+      |ppr AS (
+      |  SELECT probe_id, src_id, band,
+      |         CAST(xor(bucket, CAST(f AS INT)) AS INT) AS bucket
+      |  FROM pq, fl),
+      |scand AS (
+      |  SELECT DISTINCT p.probe_id, p.src_id, b.vec_id AS corpus_id
+      |  FROM ppr p JOIN bb b ON p.band = b.band AND p.bucket = b.bucket),
+      |sconf AS (
+      |  SELECT c.probe_id, c.corpus_id
+      |  FROM scand c
+      |  JOIN q8 x ON x.vec_id = c.src_id
+      |  JOIN q8 y ON y.vec_id = c.corpus_id
+      |  WHERE c.probe_id <> c.corpus_id
+      |    AND ${dotSql("x.qv", "y.qv")} > 0
+      |    AND CAST(${dotSql("x.qv", "y.qv")} AS HUGEINT) * ${dotSql("x.qv", "y.qv")}
+      |        * 1000000 * 1000000
+      |        >= CAST(${dotSql("x.qv", "x.qv")} AS HUGEINT) * ${dotSql("y.qv", "y.qv")}
+      |           * 400000 * 400000),
+      |plist AS (
+      |  SELECT vec_id AS probe_id, vec_id AS src_id FROM qv
+      |  WHERE vec_id % 20 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 10000000, vec_id FROM qv
+      |  WHERE vec_id % 17 = 0 AND vec_id < 10000000),
+      |truth AS (
+      |  SELECT p.probe_id, c.vec_id AS corpus_id
+      |  FROM plist p
+      |  JOIN qv x ON x.vec_id = p.src_id
+      |  JOIN qv c ON c.vec_id <> p.probe_id
+      |  WHERE ${dotSql("x.qv", "c.qv")} > 0
+      |    AND CAST(${dotSql("x.qv", "c.qv")} AS HUGEINT) * ${dotSql("x.qv", "c.qv")}
+      |        * 1000000 * 1000000
+      |        >= CAST(${dotSql("x.qv", "x.qv")} AS HUGEINT) * ${dotSql("c.qv", "c.qv")}
+      |           * 400000 * 400000),
+      |per AS (
+      |  SELECT t.probe_id, COUNT(*) AS n_exact,
+      |         SUM(CASE WHEN s.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+      |           AS hits
+      |  FROM truth t LEFT JOIN sconf s
+      |    ON s.probe_id = t.probe_id AND s.corpus_id = t.corpus_id
+      |  GROUP BY 1),
+      |sc AS (SELECT probe_id, COUNT(*) AS n_store FROM sconf GROUP BY 1)
+      |SELECT p.probe_id, CAST(p.n_exact AS BIGINT) AS n_exact,
+      |       CAST(COALESCE(sc.n_store, 0) AS BIGINT) AS n_store,
+      |       CAST(p.hits AS BIGINT) AS hits,
+      |       CAST(p.hits * 1000000 // p.n_exact AS BIGINT) AS recall_ppm
+      |FROM per p LEFT JOIN sc USING (probe_id)
+      |ORDER BY probe_id
       |""".stripMargin))
 
   /** T45 — boilerplate STRIPPING accounting
@@ -5639,7 +5849,7 @@ object PipelineQueries {
       |base AS (
       |  SELECT w.lang, w.supply_tokens,
       |         CAST(CAST(t.t AS HUGEINT) * 3000 // 1000
-      |              * w.weight_s // t.sw AS BIGINT)
+      |              * w.weight_s // GREATEST(t.sw, 1) AS BIGINT)
       |           AS alloc_tokens
       |  FROM w, tot t),
       |kb AS (
@@ -5771,7 +5981,10 @@ object PipelineQueries {
     */
   val s20ContrastivePairs = QueryDef("s20_contrastive_pairs",
     (s, dir) => {
+      // id-range guard: planted re-ingests live at vec_id + 10⁷ (no-op
+      // at gate scales; collision-proof domain bound at any other)
       val emb0 = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 10000000L)
       val aug = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
         .withColumn("vec_id", col("vec_id") + 10000000L))
       Similarity.contrastivePairs(aug, "vec_id", "embedding",
@@ -5783,10 +5996,10 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH aug AS (
-      |  SELECT vec_id, embedding FROM embeddings
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10000000
       |  UNION ALL
       |  SELECT vec_id + 10000000, embedding
-      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |  FROM embeddings WHERE vec_id % 17 = 0 AND vec_id < 10000000),
       |qv AS (
       |  SELECT vec_id,
       |         list_transform(embedding,
@@ -6008,17 +6221,23 @@ object PipelineQueries {
       .bootstrapMeans(t(s, dir, "documents"), "doc_id", col("n_chars"))
       .orderBy(col("trial")),
     Some("""
-      |WITH tr AS (SELECT unnest(range(1, 33)) AS trial),
-      |co AS (SELECT unnest(range(1, 5)) AS c),
-      |e AS (
-      |  SELECT d.doc_id, d.n_chars, tr.trial,
-      |         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-      |                || '|bs|' || trial || '|' || c), 1, 15) AS BIGINT)
-      |              % 1000000 < 250000
-      |         THEN 1 ELSE 0 END AS hit
-      |  FROM documents d, tr, co),
-      |pc AS (SELECT doc_id, n_chars, trial, SUM(hit) AS cp
-      |       FROM e GROUP BY 1, 2, 3)
+      |WITH bl AS (
+      |  SELECT d.n_chars, r.blk,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |                || '|bs|' || r.blk), 1, 15) AS BIGINT) AS h
+      |  FROM documents d, unnest(range(0, 5)) r(blk)),
+      |tr AS (SELECT unnest(range(1, 33)) AS trial),
+      |pc AS (
+      |  SELECT b.n_chars, t.trial,
+      |         CASE WHEN ((h >> CAST(((t.trial - 1) % 7) * 8 AS INT))
+      |                    & 3) = 0 THEN 1 ELSE 0 END
+      |       + CASE WHEN ((h >> CAST(((t.trial - 1) % 7) * 8 + 2 AS INT))
+      |                    & 3) = 0 THEN 1 ELSE 0 END
+      |       + CASE WHEN ((h >> CAST(((t.trial - 1) % 7) * 8 + 4 AS INT))
+      |                    & 3) = 0 THEN 1 ELSE 0 END
+      |       + CASE WHEN ((h >> CAST(((t.trial - 1) % 7) * 8 + 6 AS INT))
+      |                    & 3) = 0 THEN 1 ELSE 0 END AS cp
+      |  FROM bl b JOIN tr t ON (t.trial - 1) // 7 = b.blk)
       |SELECT trial, CAST(SUM(cp) AS BIGINT) AS n_eff,
       |       CAST(SUM(cp * n_chars) AS BIGINT) AS w_sum,
       |       CAST(SUM(cp * n_chars) * 1000 // GREATEST(SUM(cp), 1)
@@ -6035,8 +6254,12 @@ object PipelineQueries {
     * (8× the scan rows into partial aggregation — the registry's
     * slowest query at 4 s / sf0.1); here each of the 8 columns ships
     * at most 256 longs per partition partial, so the scan is read
-    * ONCE at its true width. This is the plan you run at 100 TB; a9
-    * stays registered as the exactness gate. The md5 k-minima are a
+    * ONCE at its true width. Role after r13: the KMV-SKETCH gate —
+    * its k-minima are the store format of the t4/a13/a14 sketch
+    * family; the typed-UDAF ObjectHashAggregate keeps it out of
+    * whole-stage codegen, so the CHEAP profiler is now a15's HLL
+    * hash-agg form (1.64 s vs 4.6–4.8 s for a9/a12 at sf0.1
+    * same-boot), with a9 as the exactness gate. The md5 k-minima are a
     * pure function of the data, so the DuckDB oracle reproduces
     * sketch and estimate EXACTLY (the t4 property) — and when a
     * column has fewer than k distinct values the sketch IS the
@@ -6097,6 +6320,98 @@ object PipelineQueries {
       |ORDER BY column_name
       |""".stripMargin))
 
+  /** A15 — the HLL column profiler that makes the SKETCHED path the
+    * CHEAP path (a12's charter, unmet by its typed-UDAF shape): the
+    * same per-column completeness / cardinality / range statistics
+    * with per-column distinct estimated from HyperLogLog registers
+    * ([[graft.sketch.Sketch.hllRegistersByGroup]]'s cells) — and the
+    * whole thing is PLAIN HASH AGGREGATES. a9's exact multi-distinct
+    * rides an 8-way `Expand` (8× the scan rows into partials); a12's
+    * KMV `udaf` drops the aggregate into `ObjectHashAggregate` (out of
+    * whole-stage codegen, 8 sorted-buffer inserts per row). Here each
+    * column is one union leg: a column-pruned scan → `groupBy(bucket)`
+    * of ≤257 groups computing `max(rho)` AND the leg's count/min/max
+    * in the same codegen'd aggregate, then a 1-row fold applying the
+    * small-range-corrected estimator
+    * ([[graft.sketch.Sketch.hllEstimateSql]] — raw harmonic above
+    * 2.5·m, the compile-time [[graft.sketch.Sketch.HllLinearCount]]
+    * table below it, so the tiny columns get near-exact answers
+    * instead of the raw regime's ~184 floor). Map-side combine
+    * collapses every partition to ≤257 cells, so at 100 TB each leg
+    * ships a few kilobytes per task and the unioned job reads each
+    * parquet column exactly once — no Expand, no ObjectHashAggregate,
+    * no row fan-out of any kind (ProfilerSketchSpec pins all three in
+    * the executed plan). The md5 registers are a pure function of the
+    * data, so the DuckDB oracle reproduces every register and the
+    * estimate bit-exactly; a9 stays the exactness gate and a12 the
+    * KMV-sketch gate (its k-minima feed the t4/a13/a14 store format).
+    */
+  val a15ColumnProfileHll = QueryDef("a15_column_profile_hll",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      def leg(c: String) = {
+        val h = graft.sketch.Sketch.hash40(col(c))
+        val rest = h.bitwiseAND(lit((1L << 32) - 1))
+        li.select(col(c),
+            shiftright(h, 32).as("bucket"),
+            when(rest === 0L, lit(33))
+              .otherwise(lit(33) - length(bin(rest))).as("rho"))
+          .groupBy(col("bucket"))
+          .agg(max(col("rho")).as("r"), count(col(c)).as("nn"),
+            min(col(c)).as("mn"), max(col(c)).as("mx"),
+            count(lit(1)).as("cnt"))
+          .agg(
+            coalesce(sum(col("nn")), lit(0L)).as("n_nonnull"),
+            min(col("mn")).cast("double").as("min_v"),
+            max(col("mx")).cast("double").as("max_v"),
+            coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+            sum(expr("shiftleft(cast(1 as bigint), cast(33 - r as int))"))
+              .as("s_ne"),
+            count(col("r")).as("ne"))
+          .select(lit(c).as("column_name"), col("n_nonnull"),
+            expr("CAST(" + graft.sketch.Sketch
+              .hllEstimateSql("s_ne", "ne", spark = true) +
+              " AS BIGINT)").as("n_distinct_est"),
+            col("min_v"), col("max_v"), col("n_rows"))
+      }
+      cols.map(leg).reduce(_.unionByName(_)).orderBy(col("column_name"))
+    },
+    Some(s"""
+      |${Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c =>
+          s"""SELECT '$c' AS column_name, s.n_nonnull, e.nd AS n_distinct_est,
+             |  s.min_v, s.max_v, s.n_rows
+             |FROM (SELECT CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+             |             CAST(MIN($c) AS DOUBLE) AS min_v,
+             |             CAST(MAX($c) AS DOUBLE) AS max_v,
+             |             CAST(COUNT(*) AS BIGINT) AS n_rows
+             |      FROM lineitem) s
+             |CROSS JOIN (
+             |  SELECT CAST(${graft.sketch.Sketch
+                  .hllEstimateSql("s_ne", "ne", spark = false)
+                  .replace("\n", "\n             |        ")}
+             |    AS BIGINT) AS nd
+             |  FROM (
+             |    SELECT SUM(1::BIGINT << (33 - r)) AS s_ne,
+             |           COUNT(*) AS ne
+             |    FROM (
+             |      SELECT hh >> 32 AS bucket,
+             |             MAX(CASE WHEN (hh & 4294967295) = 0 THEN 33
+             |                 ELSE 33 - length(bin(hh & 4294967295))
+             |                 END) AS r
+             |      FROM (SELECT CAST('0x' ||
+             |                substr(md5(CAST($c AS VARCHAR)), 1, 10)
+             |                AS BIGINT) AS hh
+             |            FROM lineitem WHERE $c IS NOT NULL)
+             |      GROUP BY 1))) e""".stripMargin)
+        .mkString("\nUNION ALL\n")}
+      |ORDER BY column_name
+      |""".stripMargin))
+
   /** T54 — normalization-lift dedup accounting: exact dedup run twice,
     * on the raw content hash and on the [[TextAnalysis.canonicalText]]
     * hash (lowercase, punctuation strip, whitespace collapse), with the
@@ -6115,7 +6430,11 @@ object PipelineQueries {
     */
   val t54NormalizeDedup = QueryDef("t54_normalize_dedup",
     (s, dir) => {
+      // id-range guard: re-crawl ids live at doc_id + 10⁷ — base docs
+      // must stay below the offset or planted ids collide with real
+      // ones (no-op at every gate scale; documented bound otherwise)
       val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+        .filter(col("doc_id") < 10000000L)
       val aug = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(lit("  "), upper(col("text")), lit("   ")).as("text"),
@@ -6141,14 +6460,14 @@ object PipelineQueries {
     },
     Some("""
       |WITH aug AS (
-      |  SELECT doc_id, text, source FROM documents
+      |  SELECT doc_id, text, source FROM documents WHERE doc_id < 10000000
       |  UNION ALL
       |  SELECT doc_id + 10000000, '  ' || upper(text) || '   ', source
-      |  FROM documents WHERE doc_id % 7 = 0),
+      |  FROM documents WHERE doc_id % 7 = 0 AND doc_id < 10000000),
       |cn AS (
       |  SELECT source, md5(text) AS hraw,
-      |         md5(regexp_replace(trim(translate(lower(text),
-      |               '.,;:!?"''()[]', '')), '\s+', ' ', 'g')) AS hcan
+      |         md5(trim(regexp_replace(translate(lower(text),
+      |               '.,;:!?"''()[]', ''), '\s+', ' ', 'g'))) AS hcan
       |  FROM aug),
       |r AS (
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
@@ -6228,8 +6547,15 @@ object PipelineQueries {
     */
   val t53NbLangConfusion = QueryDef("t53_nb_lang_confusion",
     (s, dir) => {
+      // id-range guard: the planted tier lives at doc_id + 2·10⁷ and
+      // the tier CLASSIFIER is `doc_id >= 2·10⁷`, so base docs must
+      // stay below the offset — a corpus whose ids crossed it would
+      // silently mislabel organic docs as planted AND collide planted
+      // ids with real ones. No-op at every gate scale; documented
+      // domain bound at any other.
       val docs0 = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
+        .filter(col("doc_id") < 20000000L)
       val docs = docs0.unionByName(docs0.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 20000000L).as("doc_id"), col("lang"),
           concat(col("text"),
@@ -6239,11 +6565,12 @@ object PipelineQueries {
         .localCheckpoint(eager = false) // train fit + holdout score
       val train = tagged.filter(col("__train"))
       val hold = tagged.filter(!col("__train"))
-      val counts = graft.text.NbLang.trainCounts(train, "lang", "text", 1024)
+      val counts = graft.text.NbLang.trainCounts(train, "lang", "text",
+          1024, graft.text.NbLang.tokenCharFeatures)
         .localCheckpoint(eager = false) // label totals + scoring join
       val labels = graft.text.NbLang.labelStats(train, "lang", counts)
-      val pred = graft.text.NbLang
-        .predict(hold, "doc_id", "text", counts, labels, 1024)
+      val pred = graft.text.NbLang.predict(hold, "doc_id", "text",
+        counts, labels, 1024, graft.text.NbLang.tokenCharFeatures)
       val ct = hold.select("doc_id", "lang").join(pred, "doc_id")
         .withColumn("tier", when(col("doc_id") >= 20000000L, "planted")
           .otherwise("organic"))
@@ -6260,16 +6587,24 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH aug AS (
-      |  SELECT doc_id, lang, text FROM documents
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 20000000
       |  UNION ALL
       |  SELECT doc_id + 20000000, lang,
       |         text || repeat(' tokmark_' || lang, 8)
-      |  FROM documents WHERE doc_id % 11 = 0),
+      |  FROM documents WHERE doc_id % 11 = 0 AND doc_id < 20000000),
       |toksa AS (
       |  SELECT doc_id, lang,
       |         list_filter(regexp_split_to_array(trim(text), '\\s+'),
       |                     x -> x <> '') AS tk
       |  FROM aug),
+      |nrm AS (
+      |  SELECT doc_id, lang,
+      |         regexp_replace(lower(text), '\\s+', '_', 'g') AS s
+      |  FROM aug),
+      |cg AS (
+      |  SELECT doc_id, lang, '3g:' || substr(s, CAST(i AS INT), 3) AS token
+      |  FROM nrm,
+      |       unnest(range(1, greatest(length(s) - 2, 0) + 1)) r(i)),
       |sp AS (
       |  SELECT doc_id,
       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|nb'),
@@ -6279,7 +6614,9 @@ object PipelineQueries {
       |  SELECT t.doc_id, t.lang,
       |         CAST('0x' || substr(md5('nb-' || token), 1, 15) AS BIGINT)
       |           % 1024 AS bucket
-      |  FROM (SELECT doc_id, lang, unnest(tk) AS token FROM toksa) t),
+      |  FROM (SELECT doc_id, lang, unnest(tk) AS token FROM toksa
+      |        UNION ALL
+      |        SELECT doc_id, lang, token FROM cg) t),
       |trc AS (SELECT lang AS label, bucket, CAST(COUNT(*) AS BIGINT) AS c
       |        FROM bk JOIN sp USING (doc_id) WHERE is_train GROUP BY 1, 2),
       |lab0 AS (SELECT a.lang AS label, CAST(COUNT(*) AS BIGINT) AS p
@@ -6338,7 +6675,10 @@ object PipelineQueries {
     */
   val t56DecontaminatedSplit = QueryDef("t56_decontaminated_split",
     (s, dir) => {
+      // id-range guard: planted re-ingests live at vec_id + 10⁷ (no-op
+      // at gate scales; collision-proof domain bound at any other)
       val emb0 = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 10000000L)
       val emb = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
         .withColumn("vec_id", col("vec_id") + 10000000L))
       val u = graft.sampling.Sampling.hashUniformPpm(col("vec_id"), "split")
@@ -6363,10 +6703,10 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH aug AS (
-      |  SELECT vec_id, embedding FROM embeddings
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10000000
       |  UNION ALL
       |  SELECT vec_id + 10000000, embedding
-      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |  FROM embeddings WHERE vec_id % 17 = 0 AND vec_id < 10000000),
       |nv AS (
       |  SELECT vec_id,
       |         list_transform(embedding,
@@ -6519,9 +6859,9 @@ object PipelineQueries {
       |${nm}1 AS (
       |  SELECT s.lang, s.supply_tokens, s.weight_s, s.cap_tokens,
       |         (t.tot * $b) // 1000 AS budget,
-      |         (((t.tot * $b) // 1000) * s.weight_s) // t.sw AS naive,
+      |         (((t.tot * $b) // 1000) * s.weight_s) // GREATEST(t.sw, 1) AS naive,
       |         LEAST(CAST(s.cap_tokens AS HUGEINT),
-      |               (((t.tot * $b) // 1000) * s.weight_s) // t.sw)
+      |               (((t.tot * $b) // 1000) * s.weight_s) // GREATEST(t.sw, 1))
       |           AS alloc1
       |  FROM ${nm}0 s, ${nm}t t),
       |${nm}2 AS (SELECT CAST(SUM(alloc1) AS HUGEINT) AS a1,
@@ -6747,7 +7087,10 @@ object PipelineQueries {
     */
   val s24DecontamThresholds = QueryDef("s24_decontam_thresholds",
     (s, dir) => {
+      // id-range guard: planted re-ingests live at vec_id + 10⁷ (no-op
+      // at gate scales; collision-proof domain bound at any other)
       val emb0 = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 10000000L)
       val emb = emb0.unionByName(emb0.filter(col("vec_id") % 17 === 0)
         .withColumn("vec_id", col("vec_id") + 10000000L))
       val u = graft.sampling.Sampling.hashUniformPpm(col("vec_id"), "split")
@@ -6796,10 +7139,10 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH aug AS (
-      |  SELECT vec_id, embedding FROM embeddings
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10000000
       |  UNION ALL
       |  SELECT vec_id + 10000000, embedding
-      |  FROM embeddings WHERE vec_id % 17 = 0),
+      |  FROM embeddings WHERE vec_id % 17 = 0 AND vec_id < 10000000),
       |nv AS (
       |  SELECT vec_id,
       |         list_transform(embedding,
@@ -6879,5 +7222,6 @@ object PipelineQueries {
     a12ColumnProfileSketch, s22KnnGraphRecall, s23Int8Recall,
     t54NormalizeDedup, t55SourceDiversity, t53NbLangConfusion,
     t56DecontaminatedSplit, a13KmvOverlap, t57CappedMix,
-    a14KmvErrorCurve, s24DecontamThresholds)
+    a14KmvErrorCurve, s24DecontamThresholds, a15ColumnProfileHll,
+    s25VecStoreInt8, s26Int8StoreRecall)
 }

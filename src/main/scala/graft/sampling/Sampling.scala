@@ -215,7 +215,10 @@ object Sampling {
       .withColumn("__budget",
         expr(s"CAST(__tot AS DECIMAL(38,0)) * $budgetPermille div 1000"))
       .withColumn("__naive",
-        expr("CAST(__budget AS DECIMAL(38,0)) * weight_s div __sw"))
+        // greatest(,1): an all-zero-token corpus zeroes __sw — Spark
+        // would yield NULL where the DuckDB replay errors on /0
+        expr("CAST(__budget AS DECIMAL(38,0)) * weight_s " +
+          "div greatest(__sw, 1L)"))
       .withColumn("__alloc1", least(col("supply_tokens"), col("__naive")))
     val tot2 = a1.agg(sum(col("__alloc1")).as("__a1"),
       sum(expr("supply_tokens - __alloc1")).as("__head"))
@@ -225,7 +228,8 @@ object Sampling {
           "CAST(__budget - __a1 AS DECIMAL(38,0)) " +
           "* (supply_tokens - __alloc1) " +
           "div greatest(__head, 1L))"))
-      .withColumn("target_ppm", expr("weight_s * 1000000L div __sw"))
+      .withColumn("target_ppm",
+        expr("weight_s * 1000000L div greatest(__sw, 1L)"))
       .withColumn("capped",
         (col("__naive") >= col("supply_tokens")).cast("int"))
       .withColumn("fill_ppm",
@@ -323,9 +327,9 @@ object Sampling {
     * can't afford. Instead each row independently appears
     * `copies ~ Binomial(4, ¼)` times in each replicate (mean 1,
     * variance ¾ — the standard Poisson-bootstrap surrogate), with the
-    * coins drawn from the repo's md5 uniform on (key, trial, coin) —
-    * fully deterministic, so the oracle replays every replicate
-    * exactly. Output: one row per replicate `(trial, n_eff, w_sum,
+    * coins read as 2-bit digits of md5 uniforms on (key, block) —
+    * seven trials per 60-bit hash — fully deterministic, so the
+    * oracle replays every replicate exactly. Output: one row per replicate `(trial, n_eff, w_sum,
     * mean_milli)`; the spread of `mean_milli` across trials IS the
     * sampling distribution of the mean.
     *
@@ -345,18 +349,33 @@ object Sampling {
     val base = df
       .select(col(keyCol).cast("string").as("__k"),
         value.cast("long").as("__v"))
-    // Binomial(4, 1/4) copy count for replicate t — the md5 input
-    // renders identically to the old explode form's long `trial`
-    // column, so every coin (and the oracle replay) is unchanged
-    def copies(t: Int): Column = (1 to 4).map(c =>
-      when(conv(substring(md5(concat_ws("|", col("__k"), lit("bs"),
-          lit(t.toLong), lit(c.toString))), 1, 15), 16, 10).cast("long")
-          % 1000000L < 250000L, 1L).otherwise(0L))
-      .reduce(_ + _)
-    // copy counts materialize once per (row, trial) in a projection;
-    // the aggregate reads each twice (n_eff and w_sum) without
+    // Binomial(4, 1/4) copy counts from SEVEN trials per md5: each
+    // 60-bit hash (15 hex chars) carries 30 uniform 2-bit digits;
+    // trial t takes the 4 consecutive digits at offset ((t−1) mod 7)·4
+    // of block (t−1) div 7 — "digit = 0" is an EXACT probability-¼
+    // event, and all coins are independent because they occupy
+    // disjoint bit positions of independent uniform values. Hashing is
+    // the scan stage's dominant cost: the original form paid one md5
+    // per COIN (128/row at 32 trials), r13 first cut it to one per
+    // TRIAL (32/row), and the block packing lands at ⌈trials/7⌉ = 5.
+    val nBlocks = (trials + 6) / 7
+    val withHash = base.select(col("__v") +:
+      (0 until nBlocks).map(b =>
+        conv(substring(md5(concat_ws("|", col("__k"), lit("bs"),
+          lit(b.toLong))), 1, 15), 16, 10).cast("long").as(s"__h$b")): _*)
+    def copies(t: Int): Column = {
+      val blk = (t - 1) / 7
+      val off = ((t - 1) % 7) * 4
+      (0 to 3).map(i =>
+        when(shiftright(col(s"__h$blk"), 2 * (off + i))
+            .bitwiseAND(lit(3L)) === 0L, 1L).otherwise(0L))
+        .reduce(_ + _)
+    }
+    // hashes materialize once per (row, block) in a projection; the
+    // copy-count projection reads each hash's bit slices and the
+    // aggregate reads each count twice (n_eff and w_sum) without
     // re-hashing
-    val withCopies = base.select(col("__v") +:
+    val withCopies = withHash.select(col("__v") +:
       (1 to trials).map(t => copies(t).as(s"__c$t")): _*)
     // coalesce: an EMPTY corpus yields `trials` all-zero replicate rows
     // (the un-grouped aggregate always emits its one wide row)

@@ -239,14 +239,24 @@ object Similarity {
     * nulls last, neighbor_id) tie-break and the mergeable
     * [[TopKAggregator]] (k-slot partials, never the pair space).
     */
+  /** int8 code vector from a milli-unit long vector column (by NAME —
+    * the expression is SQL text so the DuckDB replay is the same
+    * string with `//`): `round(x · 127/1000)` half away from zero,
+    * computed with non-negative numerators so Spark's truncating `div`
+    * and DuckDB's flooring `//` agree. Unit-norm embeddings give
+    * |x| ≤ 1000, so every code is a true int8 in [-127, 127] — the
+    * code space s23 audits and the int8 [[VecIndex]] codec persists.
+    */
+  def int8FromMilli(qvCol: String): Column = expr(
+    s"""transform($qvCol, x -> CASE WHEN x >= 0
+       |  THEN (x * 127 + 500) DIV 1000
+       |  ELSE -((-x * 127 + 500) DIV 1000) END)""".stripMargin)
+
   def int8RecallAudit(df: DataFrame, idCol: String, vecCol: String,
       k: Int, sampleMod: Long): DataFrame = {
     val base = index(widen(df).select(col(idCol).as("id"),
       quantize(col(vecCol)).as("qv")))
-    val q8 = expr(
-      """transform(qv, x -> CASE WHEN x >= 0
-        |  THEN (x * 127 + 500) DIV 1000
-        |  ELSE -((-x * 127 + 500) DIV 1000) END)""".stripMargin)
+    val q8 = int8FromMilli("qv")
     val c8 = index(base.select(col("id").as("neighbor_id"), q8.as("cv")))
     val exact = topKFromQuantized(
       base.filter(col("id") % sampleMod === 0)

@@ -45,33 +45,73 @@ object VecIndex {
   private def dirOf(band: Column, bucket: Column, nBuckets: Int): Column =
     pmod(xxhash64(lit(BucketSeed), band, bucket), lit(nBuckets)).cast("int")
 
-  final case class Meta(bands: Int, bitsPerBand: Int, nBuckets: Int)
+  final case class Meta(bands: Int, bitsPerBand: Int, nBuckets: Int,
+      codec: String)
+
+  /** Codec-selected quantization of a raw embedding column: "milli"
+    * stores exact milli-unit longs; "int8" stores the s23-audited
+    * 1-byte codes ([[Similarity.int8FromMilli]]) — the measured 4×
+    * storage cut for the dominant 100 TB vector asset. All in-memory
+    * math (banding dots, cosine confirms) runs in long space either
+    * way; the codec decides what the PARQUET files carry.
+    */
+  private def codecQuantize(df: DataFrame, idCol: String, vecCol: String,
+      codec: String): DataFrame = {
+    val q = df.select(col(idCol).as("vec_id"),
+      Similarity.quantize(col(vecCol)).as("qv"))
+    codec match {
+      case "milli" => q
+      case "int8" => q.select(col("vec_id"),
+        Similarity.int8FromMilli("qv").as("qv"))
+      case other => throw new IllegalArgumentException(
+        s"unknown VecIndex codec '$other' (expected milli or int8)")
+    }
+  }
+
+  /** Parquet encode/decode of the code vector: int8 codes persist as
+    * array<tinyint> (1 byte per dim logically) and widen back to longs
+    * at read so every scoring expression is codec-agnostic.
+    */
+  private def storeEncode(qv: Column, codec: String): Column =
+    if (codec == "int8") transform(qv, x => x.cast("tinyint")) else qv
+  private def loadVecs(spark: SparkSession, path: String,
+      codec: String): DataFrame = {
+    val v = spark.read.parquet(s"$path/vecs")
+    if (codec == "int8")
+      v.select(col("vec_id"),
+        transform(col("qv"), x => x.cast("bigint")).as("qv"))
+    else v
+  }
 
   def writeVecIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String, bands: Int = 8, bitsPerBand: Int = 8,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 64, codec: String = "milli"): Unit = {
     val spark = df.sparkSession
-    val vecs = df
-      .select(col(idCol).as("vec_id"), Similarity.quantize(col(vecCol)).as("qv"))
+    val vecs = codecQuantize(df, idCol, vecCol, codec)
       .localCheckpoint(eager = false) // feeds both writes; quantize ONCE
-    vecs.write.mode("overwrite").parquet(s"$path/vecs")
+    vecs.select(col("vec_id"), storeEncode(col("qv"), codec).as("qv"))
+      .write.mode("overwrite").parquet(s"$path/vecs")
     Similarity.bandedSignBucketsQ(vecs, "vec_id", "qv", bands, bitsPerBand)
       .withColumn("dir", dirOf(col("band"), col("bucket"), nBuckets))
       .select(col("vec_id"), col("band"), col("bucket"), col("dir"))
       .write.partitionBy("dir").mode("overwrite").parquet(s"$path/bands")
     import spark.implicits._
-    Seq((bands, bitsPerBand, nBuckets))
-      .toDF("bands", "bits_per_band", "n_buckets").coalesce(1)
+    Seq((bands, bitsPerBand, nBuckets, codec))
+      .toDF("bands", "bits_per_band", "n_buckets", "codec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
 
   /** The parameters a persisted index was banded with (one row — bounded
-    * driver pull).
+    * driver pull). Pre-codec indexes (no `codec` column) read as
+    * "milli" — exactly what they stored.
     */
   def readMeta(spark: SparkSession, path: String): Meta = {
-    val r = spark.read.parquet(s"$path/_meta").head()
+    val df = spark.read.parquet(s"$path/_meta")
+    val r = df.head()
     Meta(r.getAs[Int]("bands"), r.getAs[Int]("bits_per_band"),
-      r.getAs[Int]("n_buckets"))
+      r.getAs[Int]("n_buckets"),
+      if (df.columns.contains("codec")) r.getAs[String]("codec")
+      else "milli")
   }
 
   /** Incremental maintenance: quantize and band ONLY the new batch with
@@ -83,10 +123,10 @@ object VecIndex {
   def appendToVecIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val m = readMeta(df.sparkSession, path)
-    val vecs = df
-      .select(col(idCol).as("vec_id"), Similarity.quantize(col(vecCol)).as("qv"))
+    val vecs = codecQuantize(df, idCol, vecCol, m.codec)
       .localCheckpoint(eager = false)
-    vecs.write.mode("append").parquet(s"$path/vecs")
+    vecs.select(col("vec_id"), storeEncode(col("qv"), m.codec).as("qv"))
+      .write.mode("append").parquet(s"$path/vecs")
     Similarity.bandedSignBucketsQ(vecs, "vec_id", "qv", m.bands, m.bitsPerBand)
       .withColumn("dir", dirOf(col("band"), col("bucket"), m.nBuckets))
       .select(col("vec_id"), col("band"), col("bucket"), col("dir"))
@@ -101,7 +141,7 @@ object VecIndex {
     */
   def repairVecIndex(spark: SparkSession, path: String): (Long, Long) = {
     val m = readMeta(spark, path)
-    val vecs = spark.read.parquet(s"$path/vecs")
+    val vecs = loadVecs(spark, path, m.codec)
     val bandIds = spark.read.parquet(s"$path/bands")
       .select(col("vec_id")).distinct()
     val missing = vecs.join(bandIds, Seq("vec_id"), "left_anti")
@@ -144,9 +184,8 @@ object VecIndex {
   def probeVecIndex(spark: SparkSession, probes: DataFrame, idCol: String,
       vecCol: String, path: String, thresholdPpm: Long): DataFrame = {
     val m = readMeta(spark, path)
-    val pq = probes
-      .select(col(idCol).as("probe_id"),
-        Similarity.quantize(col(vecCol)).as("pqv"))
+    val pq = codecQuantize(probes, idCol, vecCol, m.codec)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))
       .localCheckpoint(eager = false) // bands + confirm reuse one pass
     val pb = Similarity
       .bandedSignBucketsQ(pq, "probe_id", "pqv", m.bands, m.bitsPerBand)
@@ -164,7 +203,7 @@ object VecIndex {
     val cands = pr
       .join(corpus, Seq("dir", "band", "bucket"))
       .select(col("probe_id"), col("vec_id").as("corpus_id")).distinct()
-    val cv = spark.read.parquet(s"$path/vecs")
+    val cv = loadVecs(spark, path, m.codec)
       .select(col("vec_id").as("corpus_id"), col("qv"))
     val dot = Similarity.dotQ(col("pqv"), col("qv"))
     val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)

@@ -273,6 +273,51 @@ object Sketch {
     */
   val HllAlphaNum: Long = 404351522773154L
 
+  /** Raw-regime floor: below 2.5·m = 640 the raw harmonic estimator is
+    * biased and HLL's own algorithm (Flajolet et al. 2007 §4) switches
+    * to linear counting on the empty-bucket count. Estimates under this
+    * cutoff with at least one empty register use [[HllLinearCount]].
+    */
+  val HllRawCutoff: Long = (5L * HllM) / 2
+
+  /** Linear-counting table `V ↦ round(m·ln(m/V))` for V = 1..255 empty
+    * registers (Whang et al. 1990). Small cardinalities rarely fill the
+    * register file, so the occupancy count is itself a near-exact
+    * cardinality measurement once corrected for bucket collisions —
+    * the correction HLL's small-range regime uses. The 255 possible
+    * values are a COMPILE-TIME constant (the only ln in the estimator
+    * is evaluated here, once, in Scala), so both engines index the same
+    * integer literal array and the estimate stays bit-identical — no
+    * runtime floating point, keeping the registry's exact-integer
+    * replay discipline.
+    */
+  val HllLinearCount: IndexedSeq[Long] =
+    (1 to (HllM - 1)).map(v => math.round(HllM * math.log(HllM.toDouble / v)))
+
+  /** The full small-range-corrected HLL estimate as a SQL CASE over
+    * columns `s_ne` (Σ 2^(33−r) of the NON-EMPTY registers) and `ne`
+    * (non-empty register count) — ONE generator emits both the Spark
+    * expression and the DuckDB oracle replay (only integer-divide and
+    * array-index syntax differ), so the two engines evaluate the same
+    * integer expression by construction: raw harmonic estimate when the
+    * register file is full or the raw estimate clears [[HllRawCutoff]];
+    * the [[HllLinearCount]] table on the empty-bucket count otherwise;
+    * 0 for an empty column. Spark `div` truncates and DuckDB `//`
+    * floors, but every operand here is non-negative so they agree.
+    */
+  def hllEstimateSql(sNe: String, ne: String, spark: Boolean): String = {
+    val lc = HllLinearCount.mkString(", ")
+    val idx = s"$HllM - $ne"
+    val lookup =
+      if (spark) s"element_at(array($lc), CAST($idx AS INT))"
+      else s"([$lc])[$idx]"
+    val raw = s"($HllAlphaNum ${if (spark) "DIV" else "//"}" +
+      s" (COALESCE($sNe, 0) + ($HllM - $ne) * ${1L << 33}))"
+    s"""CASE WHEN $ne = 0 THEN 0
+       |     WHEN $ne = $HllM OR $raw >= $HllRawCutoff THEN $raw
+       |     ELSE $lookup END""".stripMargin
+  }
+
   /** HyperLogLog registers as a plain hash aggregate — the OTHER
     * deterministic cardinality sketch, complementing [[KmvAggregator]]:
     * where KMV needs a typed UDAF buffer, HLL's register array is just

@@ -36,23 +36,18 @@ object DsirStream {
   def dsirSink(storePath: String, idCol: String, textCol: String,
       targetExpr: String, buckets: Int)(
       batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val pb = Dsir.perDocBucketCounts(batch, idCol, textCol,
       expr(targetExpr), buckets)
     val grid = pb.groupBy(col("b"))
       .agg(sum(col("c")).as("cr"),
         sum(when(col("__tgt"), col("c")).otherwise(lit(0L))).as("ct"))
       .withColumn("batch_id", lit(batchId))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try grid.write.mode("overwrite").partitionBy("batch_id")
+    // per-write option, not a session-conf toggle: a concurrent overwrite
+    // on the same session must not silently turn dynamic (the
+    // ChangeDataStream form)
+    grid.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("batch_id")
       .parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
   }
 
   /** Current per-bucket surprisals from the partial store: one grouped

@@ -64,15 +64,11 @@ object FunnelStream {
     }
     val row = spark.range(1).select(lit(bmin).as("min_ts"),
       lit(bmax).as("max_ts"), lit(batchId).as("batch_id"))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try row.write.mode("overwrite").partitionBy("batch_id").parquet(wmPath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, not a session-conf toggle: a concurrent overwrite
+    // on the same session must not silently turn dynamic (the
+    // ChangeDataStream form)
+    row.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("batch_id").parquet(wmPath)
   }
 
   /** Current per-user funnel state from the version store: min per
@@ -138,15 +134,11 @@ object FunnelStream {
         least(col("tp"), col("btp")).as("tp"))
       .withColumn("batch_id", lit(batchId))
 
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite").partitionBy("batch_id").parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, not a session-conf toggle: a concurrent overwrite
+    // on the same session must not silently turn dynamic (the
+    // ChangeDataStream form)
+    out.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("batch_id").parquet(storePath)
   }
 
   /** Host: run the funnel over a file-landing event stream to

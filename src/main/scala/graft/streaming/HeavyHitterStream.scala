@@ -32,20 +32,15 @@ object HeavyHitterStream {
   /** The foreachBatch sink: this batch's ≤ k (token, cnt) MG partial. */
   def mgSink(storePath: String, valueCol: String, k: Int = 64)(
       batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val mg = udaf(Sketch.MisraGriesAggregator(k))
     val out = batch.agg(mg(col(valueCol)).as("mg"))
       .select(explode(col("mg")).as(Seq("token", "cnt")))
       .withColumn("batch_id", lit(batchId))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite").partitionBy("batch_id").parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, not a session-conf toggle: a concurrent overwrite
+    // on the same session must not silently turn dynamic (the
+    // ChangeDataStream form)
+    out.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("batch_id").parquet(storePath)
   }
 
   /** Current hitters from the partial store: one grouped sum (the

@@ -29,18 +29,13 @@ object HllStream {
   /** The foreachBatch sink: this batch's register frame. */
   def hllSink(storePath: String, groupCol: String, valueCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val out = Sketch.hllRegistersByGroup(batch, Seq(groupCol), valueCol)
       .withColumn("batch_id", lit(batchId))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite").partitionBy("batch_id").parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, not a session-conf toggle: a concurrent overwrite
+    // on the same session must not silently turn dynamic (the
+    // ChangeDataStream form)
+    out.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("batch_id").parquet(storePath)
   }
 
   /** Current per-group distinct estimates from the partial store: one

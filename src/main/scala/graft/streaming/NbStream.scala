@@ -36,23 +36,18 @@ object NbStream {
     */
   def nbSink(storePath: String, labelCol: String, textCol: String,
       nBuckets: Int)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val counts = NbLang.trainCounts(batch, labelCol, textCol, nBuckets)
     val priors = batch.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("c"))
       .select(col("label"), lit(-1L).as("bucket"), col("c"))
     val grid = counts.unionByName(priors)
       .withColumn("batch_id", lit(batchId))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try grid.write.mode("overwrite").partitionBy("batch_id")
+    // per-write option, not a session-conf toggle: a concurrent overwrite
+    // on the same session must not silently turn dynamic (the
+    // ChangeDataStream form)
+    grid.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("batch_id")
       .parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
   }
 
   /** Current model from the partial store: one grouped sum merges the

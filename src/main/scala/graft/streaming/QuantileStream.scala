@@ -31,18 +31,13 @@ object QuantileStream {
   /** The foreachBatch sink: this batch's (group, bin, count) grid. */
   def quantileSink(storePath: String, groupCol: String, valueCol: String,
       subBits: Int = 4)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val out = ApproxQuantiles.histogram(batch, groupCol, valueCol, subBits)
       .withColumn("batch_id", lit(batchId))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite").partitionBy("batch_id").parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, not a session-conf toggle: a concurrent overwrite
+    // on the same session must not silently turn dynamic (the
+    // ChangeDataStream form)
+    out.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("batch_id").parquet(storePath)
   }
 
   /** Current per-group quantiles from the partial store: one grouped

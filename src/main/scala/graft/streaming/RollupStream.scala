@@ -30,18 +30,13 @@ object RollupStream {
   /** The foreachBatch sink: this batch's signed per-group deltas. */
   def rollupSink(storePath: String, groupCol: String, valueCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val out = IncrementalRollup.delta(batch, groupCol, valueCol)
       .withColumn("batch_id", lit(batchId))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try out.write.mode("overwrite").partitionBy("batch_id").parquet(storePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option, not a session-conf toggle: a concurrent overwrite
+    // on the same session must not silently turn dynamic (the
+    // ChangeDataStream form)
+    out.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("batch_id").parquet(storePath)
   }
 
   /** Resolve the current rollup from the partial store: one grouped

@@ -3,8 +3,9 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Trained multinomial Naive Bayes text classifier over hashed token
-  * buckets — the classical trained upgrade to [[TextAnalysis.langId]]'s
+/** Trained multinomial Naive Bayes text classifier over hashed feature
+  * buckets (tokens by default; tokens + char 3-grams via
+  * [[tokenCharFeatures]]) — the classical trained upgrade to [[TextAnalysis.langId]]'s
   * fixed stopword vote (t52 measured that vote bleeding 'en' across
   * every label; the honest next step is a model FIT ON the corpus's own
   * labels, and an audit of whether even that recovers them).
@@ -37,13 +38,42 @@ object NbLang {
     conv(substring(md5(concat(lit("nb-"), token)), 1, 15), 16, 10)
       .cast("long") % nBuckets
 
-  /** Fitted model frame: per-(label, bucket) token count `c` — the
+  /** Char n-gram feature array — the standard lang-ID signal (Cavnar &
+    * Trenkle 1994): lowercase, whitespace runs folded to `_` so word
+    * boundaries are features too, then every length-n window, each
+    * prefixed `"<n>g:"` so the gram space cannot collide with token
+    * features when both feed one hashed bucket space. A zero-fan-out
+    * array expression (transform over sequence) — the explode happens
+    * once, in the caller's feature explode, not here.
+    */
+  def charGrams(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", "_")
+    val m = length(norm) - (n - 1)
+    // sequence(1, 0) would DESCEND ([1, 0]); guard short/empty/null text
+    when(m >= 1, transform(sequence(lit(1), m),
+        i => concat(lit(s"${n}g:"), norm.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Token features PLUS hashed char 3-grams — the t53 feature set:
+    * tokens alone cannot separate labels on a shared-vocabulary corpus
+    * (the r12 measured negative); char 3-grams are the signal real
+    * lang-ID models run on, and the prefix keeps the two families in
+    * disjoint regions of the shared bucket space.
+    */
+  def tokenCharFeatures(text: Column): Column =
+    concat(TextAnalysis.tokens(text), charGrams(text, 3))
+
+  /** Fitted model frame: per-(label, bucket) feature count `c` — the
     * sufficient statistic. Bounded by |labels|·nBuckets rows.
+    * `feats` maps the text column to its feature array (default: the
+    * corpus tokens; [[tokenCharFeatures]] for the lang-ID feature set).
     */
   def trainCounts(docs: DataFrame, labelCol: String, textCol: String,
-      nBuckets: Int): DataFrame =
+      nBuckets: Int,
+      feats: Column => Column = TextAnalysis.tokens(_)): DataFrame =
     docs.select(col(labelCol).as("label"),
-        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+        explode(feats(col(textCol))).as("__tok"))
       .select(col("label"), bucketOf(col("__tok"), nBuckets).as("bucket"))
       .groupBy(col("label"), col("bucket"))
       .agg(count(lit(1)).as("c"))
@@ -73,7 +103,8 @@ object NbLang {
     * against the majority class). Output: (idCol, pred).
     */
   def predict(docs: DataFrame, idCol: String, textCol: String,
-      counts: DataFrame, labels: DataFrame, nBuckets: Int): DataFrame = {
+      counts: DataFrame, labels: DataFrame, nBuckets: Int,
+      feats: Column => Column = TextAnalysis.tokens(_)): DataFrame = {
     val dl = labels.agg(sum(col("p")).as("__d"), count(lit(1)).as("__l"))
     val lab = labels.crossJoin(broadcast(dl))
       .withColumn("prior_surp",
@@ -81,8 +112,7 @@ object NbLang {
       .select(col("label"), col("t"), col("prior_surp"))
       .localCheckpoint(eager = false) // scoring cross + both argmins
     val pdb = docs
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
-        .as("__tok"))
+      .select(col(idCol), explode(feats(col(textCol))).as("__tok"))
       .select(col(idCol), bucketOf(col("__tok"), nBuckets).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("k"))

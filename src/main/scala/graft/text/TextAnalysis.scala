@@ -197,8 +197,13 @@ object TextAnalysis {
     * RefinedWeb normalization step before hashing). Composition order
     * matters: punctuation is deleted BEFORE whitespace collapses, so
     * `"end . start"` and `"end  start"` canonicalize identically.
+    * Likewise whitespace collapses BEFORE the trim: `trim` strips only
+    * ASCII spaces, so a tab- or newline-padded re-crawl would
+    * canonicalize to `" foo"` while its space-padded twin gives
+    * `"foo"` — the collapse first turns ANY leading/trailing
+    * whitespace run into a single space the trim can see.
     */
   def canonicalText(text: Column): Column =
-    regexp_replace(
-      trim(translate(lower(text), CanonicalStrip, "")), "\\s+", " ")
+    trim(regexp_replace(
+      translate(lower(text), CanonicalStrip, ""), "\\s+", " "))
 }

@@ -52,6 +52,48 @@ class ProfilerSketchSpec extends SparkSpec {
     }
   }
 
+  test("a15 plan is pure hash aggregation: no Expand, no " +
+      "ObjectHashAggregate") {
+    val a15 = PipelineQueries.a15ColumnProfileHll.fn(spark, dir)
+    a15.collect()
+    val p = a15.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"),
+      s"the HLL profiler must not expand the scan:\n$p")
+    assert(!p.contains("ObjectHashAggregate"),
+      "the HLL profiler exists to stay in codegen'd HashAggregate — " +
+        s"a12's typed-UDAF ObjectHashAggregate is the cost it replaces:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"expected plain HashAggregate legs:\n$p")
+  }
+
+  test("a15 estimates: linear-counting regime near-exact, raw regime " +
+      "bounded vs a9 exacts") {
+    val exact = PipelineQueries.a9ColumnProfile.fn(spark, dir)
+      .select(col("column_name"), col("n_distinct").as("nd_exact"))
+    val est = PipelineQueries.a15ColumnProfileHll.fn(spark, dir)
+      .select(col("column_name"), col("n_distinct_est"))
+    val joined = exact.join(est, "column_name").collect()
+    assert(joined.length == 8)
+    joined.foreach { r =>
+      val (name, ex, es) = (r.getString(0), r.getLong(1), r.getLong(2))
+      // HLL(m=256) RSE ≈ 1.04/√256 = 6.5%; linear counting below the
+      // cutoff is tighter still. 20% ≈ 3σ, plus an absolute-2 floor so
+      // single-collision jitter on 10-distinct columns can't flake.
+      val tol = math.max(2L, math.ceil(ex * 0.20).toLong)
+      assert(math.abs(es - ex) <= tol,
+        s"$name: HLL estimate $es vs exact $ex exceeds ±$tol")
+    }
+  }
+
+  test("a15 statistics agree with a9 on the non-distinct columns") {
+    val a9 = PipelineQueries.a9ColumnProfile.fn(spark, dir)
+      .select("column_name", "n_nonnull", "min_v", "max_v", "n_rows")
+    val a15 = PipelineQueries.a15ColumnProfileHll.fn(spark, dir)
+      .select("column_name", "n_nonnull", "min_v", "max_v", "n_rows")
+    assert(a9.except(a15).isEmpty && a15.except(a9).isEmpty,
+      "count/min/max/rows must be identical between the two profilers")
+  }
+
   test("a12 statistics agree with a9 on the non-distinct columns") {
     val a9 = PipelineQueries.a9ColumnProfile.fn(spark, dir)
       .select("column_name", "n_nonnull", "min_v", "max_v", "n_rows")

@@ -43,7 +43,62 @@ class VecIndexSpec extends SparkSpec {
       a.foreach { case (p, c, _) => assert(p == c + 900000L) }
       // meta round-trips
       val m = VecIndex.readMeta(spark, accreted)
-      assert(m == VecIndex.Meta(8, 8, 16))
+      assert(m == VecIndex.Meta(8, 8, 16, "milli"))
+    } finally delete(dir)
+  }
+
+  test("int8 codec: accreted ≡ one-shot, 1-byte codes on disk, planted " +
+      "dups found, torn append repairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx8")
+    try {
+      val oneShot = s"$dir/one"
+      val accreted = s"$dir/acc"
+      VecIndex.writeVecIndex(base, "vec_id", "embedding", oneShot,
+        bands = 8, bitsPerBand = 8, nBuckets = 16, codec = "int8")
+      VecIndex.writeVecIndex(base.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", accreted, bands = 8, bitsPerBand = 8,
+        nBuckets = 16, codec = "int8")
+      VecIndex.appendToVecIndex(base.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", accreted)
+      VecIndex.appendToVecIndex(base.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding", accreted)
+      val a = probeSet(accreted)
+      assert(a == probeSet(oneShot), "accretion must be invisible to probes")
+      // every verbatim re-ingest finds exactly its original at 0.9 —
+      // identical int8 codes have cosine exactly 1.0
+      val expected = base.filter(col("vec_id") % 17 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(a.map(_._2) == expected, s"probe hits ${a.map(_._2)}")
+      // the sidecar really is 1-byte codes: array<tinyint> on parquet
+      val elem = spark.read.parquet(s"$accreted/vecs").schema("qv")
+        .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType
+      assert(elem == org.apache.spark.sql.types.ByteType,
+        s"int8 codec must persist tinyint codes, got $elem")
+      assert(VecIndex.readMeta(spark, accreted)
+        == VecIndex.Meta(8, 8, 16, "int8"))
+      // torn append: vecs/ committed in CODE space, bands/ never
+      // written — repair must re-derive bands from the DECODED codes
+      val extra = base.filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 700000L)
+      val torn0 = extra.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("__q"))
+      val torn1 = torn0.select(col("vec_id"),
+        transform(Similarity.int8FromMilli("__q"),
+          x => x.cast("tinyint")).as("qv"))
+      torn1.write.mode("append").parquet(s"$accreted/vecs")
+      val tornIds = torn1.select("vec_id").collect().map(_.getLong(0)).toSet
+      val torn = probeSet(accreted)
+      assert(torn.forall { case (_, c, _) => !tornIds.contains(c) },
+        "torn batch must be undiscoverable before repair")
+      val (rebanded, orphans) = VecIndex.repairVecIndex(spark, accreted)
+      assert(rebanded == tornIds.size.toLong && orphans == 0L)
+      val repaired = probeSet(accreted)
+      // the torn rows are verbatim copies at +700000; after repair each
+      // planted probe (+900000) must ALSO find its torn twin
+      assert(tornIds.subsetOf(repaired.map(_._2)),
+        "repair must surface the torn int8 batch")
+      assert(VecIndex.repairVecIndex(spark, accreted) == ((0L, 0L)))
     } finally delete(dir)
   }
 

@@ -65,6 +65,44 @@ class NbLangSpec extends SparkSpec {
     assert(forward(1L) == "aa" && forward(2L) == "bb")
   }
 
+  test("charGrams: windows, boundary folding, prefix, short/empty text") {
+    val got = Seq(("a b", 1), ("Xy", 2), ("", 3), ("abcd", 4))
+      .toDF("t", "i").orderBy("i")
+      .select(NbLang.charGrams(col("t"), 3))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("3g:a_b")) // whitespace folds to the _ boundary
+    assert(got(1) == Nil)           // shorter than n → no grams
+    assert(got(2) == Nil)
+    assert(got(3) == Seq("3g:abc", "3g:bcd"))
+  }
+
+  test("char grams generalize to UNSEEN tokens where token features " +
+      "cannot — the lang-ID property the t53 featurization buys") {
+    // every holdout token is unseen: the token model has no evidence
+    // and routes BOTH docs to whichever class the unseen-bucket
+    // surprisal favors; char grams recover the label from the seen
+    // sub-token prefix (ax-/bz- morphology — what real lang-ID is)
+    val train = Seq(
+      ("aa", "axqq axrr axss"), ("bb", "bzqq bzrr"),
+      ("bb", "bzss bzqq"), ("bb", "bzrr bzss"))
+    val hold = Seq((1L, "axqz"), (2L, "bzqz"))
+    def run(feats: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column) = {
+      val tr = train.toDF("lang", "text")
+      val c = NbLang.trainCounts(tr, "lang", "text", B, feats)
+      val l = NbLang.labelStats(tr, "lang", c)
+      NbLang.predict(hold.toDF("doc_id", "text"), "doc_id", "text",
+          c, l, B, feats)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val tokensOnly = run(graft.text.TextAnalysis.tokens(_))
+    assert(tokensOnly(1L) == tokensOnly(2L),
+      s"token features cannot separate unseen tokens: $tokensOnly")
+    val withGrams = run(NbLang.tokenCharFeatures)
+    assert(withGrams(1L) == "aa" && withGrams(2L) == "bb",
+      s"char grams must route the unseen-token holdout: $withGrams")
+  }
+
   test("prediction is partition-count independent and total") {
     val train = (1 to 40).map(i =>
       (if (i % 2 == 0) "ee" else "ff", s"tok${i % 7} tok${i % 3} shared"))
