@@ -5473,6 +5473,117 @@ object PipelineQueries {
       |ORDER BY probe_id
       |""".stripMargin))
 
+  /** S27 — product-quantization recall audit
+    * ([[Similarity.pqRecallAudit]]): the storage notch AFTER int8 —
+    * 8 subspaces × 16-word integer codebooks encode each vector as 8
+    * four-bit indices (8 bytes vs int8's 64), and the retrieval cost
+    * of the narrower code is MEASURED, never assumed: exact cosine
+    * top-5 vs the asymmetric (full-precision query × PQ
+    * reconstruction) ranking on the 1-in-20 sample, per query, as
+    * recall_ppm. Codebooks train with the s5 integer-Lloyd discipline
+    * (first-16 init, exact-L2 ties-to-smaller-code assignment,
+    * truncating-mean update, 2 iterations), so the oracle replays
+    * TRAINING, encode, reconstruction, both rankings, and the recall
+    * algebra — the whole pipeline, not just its output shape.
+    */
+  val s27PqRecall = QueryDef("s27_pq_recall",
+    (s, dir) => Similarity.pqRecallAudit(t(s, dir, "embeddings"),
+      "vec_id", "embedding", m = 8, kCodes = 16, iterations = 2,
+      k = 5, sampleMod = 20L),
+    Some {
+      def dist(a: String, b: String) =
+        s"${dotSql(a, a)} - 2 * ${dotSql(a, b)} + ${dotSql(b, b)}"
+      val iterCtes = (1 to 2).map { i =>
+        s"""a$i AS (
+           |  SELECT vec_id, j, sv, code FROM (
+           |    SELECT s.vec_id, s.j, s.sv, b.code,
+           |           row_number() OVER (PARTITION BY s.vec_id, s.j
+           |             ORDER BY ${dist("s.sv", "b.cw")} ASC, b.code) AS rk
+           |    FROM sub s JOIN b${i - 1} b ON b.j = s.j) WHERE rk = 1),
+           |m$i AS (
+           |  SELECT j, code, dd.d AS d,
+           |         SUM(sv[CAST(dd.d AS INT) + 1]) AS s, COUNT(*) AS n
+           |  FROM a$i, (SELECT unnest(range(8)) AS d) dd
+           |  GROUP BY 1, 2, 3),
+           |b$i AS (
+           |  SELECT p.j, p.code, COALESCE(m.cw, p.cw) AS cw
+           |  FROM b${i - 1} p LEFT JOIN (
+           |    SELECT j, code,
+           |           list(CAST((s - (s % n)) / n AS BIGINT) ORDER BY d)
+           |             AS cw
+           |    FROM m$i GROUP BY j, code) m
+           |    ON m.j = p.j AND m.code = p.code)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      |WITH $qSql,
+      |sub AS (
+      |  SELECT vec_id, CAST(r.j AS INT) AS j,
+      |         qv[CAST(r.j * 8 + 1 AS INT):CAST(r.j * 8 + 8 AS INT)] AS sv
+      |  FROM qv, unnest(range(0, 8)) r(j)),
+      |b0 AS (
+      |  SELECT j,
+      |         CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id)
+      |              - 1 AS INT) AS code,
+      |         sv AS cw
+      |  FROM sub
+      |  QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= 16),
+      |$iterCtes,
+      |enc AS (
+      |  SELECT vec_id, j, code FROM (
+      |    SELECT s.vec_id, s.j, b.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.j
+      |             ORDER BY ${dist("s.sv", "b.cw")} ASC, b.code) AS rk
+      |    FROM sub s JOIN b2 b ON b.j = s.j) WHERE rk = 1),
+      |recon AS (
+      |  SELECT e.vec_id, flatten(list(b.cw ORDER BY e.j)) AS rv
+      |  FROM enc e JOIN b2 b ON b.j = e.j AND b.code = e.code
+      |  GROUP BY e.vec_id),
+      |apx_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.rv", "c.rv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.rv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.rv", "c.rv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q JOIN recon c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id % 20 = 0),
+      |apx AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM apx_scored) WHERE rank <= 50),
+      |ex_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q JOIN qv c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id % 20 = 0),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM ex_scored) WHERE rank <= 5)
+      |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |       CAST(COALESCE(SUM(CASE WHEN a.rank <= 5
+      |                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |         AS hits,
+      |       CAST(COALESCE(SUM(CASE WHEN a.query_id IS NOT NULL
+      |                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |         AS hits_short,
+      |       CAST(COALESCE(SUM(CASE WHEN a.rank <= 5
+      |                              THEN 1 ELSE 0 END), 0) * 1000000
+      |            // COUNT(*) AS BIGINT) AS recall_ppm,
+      |       CAST(COALESCE(SUM(CASE WHEN a.query_id IS NOT NULL
+      |                              THEN 1 ELSE 0 END), 0) * 1000000
+      |            // COUNT(*) AS BIGINT) AS short_recall_ppm
+      |FROM exact e LEFT JOIN apx a
+      |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id
+      |""".stripMargin
+    })
+
   /** T45 — boilerplate STRIPPING accounting
     * ([[Dedup.boilerplateCoverage]]): d12 censuses boilerplate; this is
     * what a curation pass actually does with it — per document, the
@@ -7223,5 +7334,5 @@ object PipelineQueries {
     t54NormalizeDedup, t55SourceDiversity, t53NbLangConfusion,
     t56DecontaminatedSplit, a13KmvOverlap, t57CappedMix,
     a14KmvErrorCurve, s24DecontamThresholds, a15ColumnProfileHll,
-    s25VecStoreInt8, s26Int8StoreRecall)
+    s25VecStoreInt8, s26Int8StoreRecall, s27PqRecall)
 }

@@ -277,6 +277,128 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Deterministic per-subspace Lloyd training of product-quantization
+    * codebooks (Jégou et al. 2011): the milli-unit vector splits into
+    * `m` contiguous subspaces of dims/m coordinates; each subspace
+    * gets `kCodes` centroids trained independently with the SAME
+    * integer discipline as [[trainIvfCentroids]] (init = the first
+    * kCodes rows by id, assignment by exact integer L2 with ties to
+    * the smaller code, update = truncating integer mean, empty cells
+    * keep their codeword) — every number is replayable in SQL. One
+    * distributed pass per iteration assigns ALL m subspaces (the
+    * subspace axis is a bounded in-row explode), and the driver holds
+    * m·kCodes·(dims/m) = dims·kCodes longs — kilobytes.
+    */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCodes: Int, iterations: Int, dims: Int = 64)
+      : IndexedSeq[IndexedSeq[(Int, Seq[Long])]] = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    val base = index(widen(df).select(col(idCol).as("__id"),
+      quantize(col(vecCol)).as("__qv")))
+    val init = base.orderBy(col("__id")).limit(kCodes).collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("__qv")).toSeq)
+    require(init.nonEmpty, "trainPqCodebooks: empty corpus")
+    var books: IndexedSeq[IndexedSeq[(Int, Seq[Long])]] = (0 until m)
+      .map(j => init.toIndexedSeq.zipWithIndex.map { case (qv, i) =>
+        i -> qv.slice(j * sub, (j + 1) * sub) })
+    for (_ <- 1 to iterations) {
+      val assigned = base.select(explode(array((0 until m).map { j =>
+          val sv = slice(col("__qv"), j * sub + 1, sub)
+          struct(lit(j).as("j"), sv.as("sv"),
+            element_at(graft.functions.nearest_centroids(
+              sv, books(j), sub, 1), 1).as("code"))
+        }: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.sv").as("sv"),
+          col("e.code").as("code"))
+      val sums = assigned.groupBy(col("j"), col("code"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until sub).map(d =>
+            sum(element_at(col("sv"), d + 1))): _*).as("s"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getSeq[Long](3)))
+        .toMap
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.map { case (c, prev) =>
+          sums.get((j, c)) match {
+            // truncating Long division — the SQL twin replays it as
+            // (s - (s % n)) / n (both engines' % truncate)
+            case Some((n, s)) => c -> s.map(_ / n).toSeq
+            case None         => c -> prev
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** Product-quantization recall audit — the notch AFTER int8 on the
+    * vector-storage ladder: 8 codebook indices of 4 bits replace 64
+    * milli-unit coordinates (8 bytes/vector vs int8's 64 — a further
+    * 8×), and as with s23 the only honest way to adopt the narrower
+    * code is to MEASURE the retrieval cost. For the 1-in-`sampleMod`
+    * query sample, exact cosine top-k is compared against the
+    * ASYMMETRIC-distance ranking (full-precision query against the
+    * candidate's PQ reconstruction — ADC, the standard serving form:
+    * a real server folds the per-subspace query·codeword dots into a
+    * m·kCodes lookup table; scoring through the materialized
+    * reconstruction is the SAME integer arithmetic expressed through
+    * the codegen'd native dot, so the measurement rides whole-stage
+    * codegen instead of an interpreted lambda). Codebooks, codes,
+    * reconstructions, both rankings, and the recall algebra are all
+    * exact integers — the DuckDB oracle replays the entire pipeline
+    * including training.
+    */
+  def pqRecallAudit(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, kCodes: Int = 16, iterations: Int = 2, k: Int = 5,
+      sampleMod: Long = 20L): DataFrame = {
+    val dims = 64
+    val sub = dims / m
+    val books = trainPqCodebooks(df, idCol, vecCol, m, kCodes,
+      iterations, dims)
+    val base = index(widen(df).select(col(idCol).as("id"),
+      quantize(col(vecCol)).as("qv")))
+    // flat literal codebook: entry j·kCodes + c is subspace j's code-c
+    // word — the encode and reconstruct steps are pure scan-stage
+    // expressions against this kilobyte literal, no join
+    val cb = typedlit(books.flatMap(_.map(_._2)).map(_.toIndexedSeq))
+    val codes = array((0 until m).map { j =>
+      element_at(graft.functions.nearest_centroids(
+        slice(col("qv"), j * sub + 1, sub), books(j), sub, 1), 1)
+    }: _*)
+    val recon = index(base.select(col("id").as("neighbor_id"),
+      flatten(transform(codes, (c, j) =>
+        element_at(cb, j * lit(kCodes) + c + lit(1)))).as("cv")))
+    val queries = base.filter(col("id") % sampleMod === 0)
+      .select(col("id").as("query_id"), col("qv"))
+    val exact = topKFromQuantized(queries,
+      base.select(col("id").as("neighbor_id"), col("qv").as("cv")), k)
+    // ONE ADC ranking at the shortlist depth serves both metrics: its
+    // top-k prefix is the rank-k fidelity answer and the full list is
+    // the shortlist-recall answer (recall@R, Jégou et al.'s reporting
+    // shape — PQ in production generates a shortlist that an exact
+    // re-rank then orders, so "is the true top-k IN the shortlist" is
+    // the number that decides the architecture)
+    val short = 10 * k
+    val approx = topKFromQuantized(queries, recon, short)
+      .localCheckpoint(eager = false) // both metrics read one ranking
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx
+          .select(col("query_id"), col("neighbor_id"),
+            when(col("rank") <= k, 1L).otherwise(0L).as("__topk"),
+            lit(1L).as("__short")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("__topk")), lit(0L)).as("hits"),
+        coalesce(sum(col("__short")), lit(0L)).as("hits_short"))
+      .withColumn("recall_ppm", expr("hits * 1000000L div n_exact"))
+      .withColumn("short_recall_ppm",
+        expr("hits_short * 1000000L div n_exact"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic Rademacher (±1) matrix for [[randomProjection]]:
     * entry (i, j) is +1 when the first hex digit of md5("rp-i-j") is
     * even — reproducible on any engine from the same md5 arithmetic

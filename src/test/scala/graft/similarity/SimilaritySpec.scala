@@ -542,4 +542,31 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("g1", "g2").collect().map(_.getAs[Double]("cosine")).toSeq
     assert(re == out.map(_._5))
   }
+
+  test("PQ: a corpus of ≤kCodes distinct patterns reconstructs exactly " +
+      "— recall 10⁶ ppm; codebooks are partition-independent") {
+    // 16 distinct orthogonal-ish patterns, each repeated: Lloyd gives
+    // every pattern its own codeword in every subspace, reconstruction
+    // is EXACT, so the ADC ranking equals the exact ranking
+    val pats = (0 until 16).map { p =>
+      (0 until 64).map(d => if (d % 16 == p) 0.9f else 0.01f * p)
+    }
+    val df = (0L until 48L).map(i =>
+      (i, pats((i % 16).toInt))).toDF("vec_id", "embedding")
+    val out = Similarity.pqRecallAudit(df, "vec_id", "embedding",
+        m = 8, kCodes = 16, iterations = 2, k = 5, sampleMod = 4L)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") == 1000000L,
+        s"exact-reconstruction corpus must have perfect recall: $r")
+      assert(r.getAs[Long]("short_recall_ppm") == 1000000L)
+    }
+    // training is deterministic and partition-count independent
+    val b1 = Similarity.trainPqCodebooks(df, "vec_id", "embedding",
+      m = 8, kCodes = 16, iterations = 2)
+    val b7 = Similarity.trainPqCodebooks(df.repartition(7), "vec_id",
+      "embedding", m = 8, kCodes = 16, iterations = 2)
+    assert(b1 == b7, "codebooks must not depend on partitioning")
+  }
 }
