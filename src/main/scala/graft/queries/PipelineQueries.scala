@@ -4989,9 +4989,10 @@ object PipelineQueries {
       |WITH $qSql,
       |q8 AS (
       |  SELECT vec_id,
-      |         list_transform(qv, x -> CASE WHEN x >= 0
+      |         list_transform(qv, x -> GREATEST(-127,
+      |           LEAST(127, CASE WHEN x >= 0
       |             THEN (x * 127 + 500) // 1000
-      |             ELSE -((-x * 127 + 500) // 1000) END) AS cv
+      |             ELSE -((-x * 127 + 500) // 1000) END))) AS cv
       |  FROM qv),
       |ex_scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -5254,9 +5255,10 @@ object PipelineQueries {
   private val q8Sql =
     """q8 AS (
       |  SELECT vec_id,
-      |         list_transform(qv, x -> CASE WHEN x >= 0
-      |           THEN (x * 127 + 500) // 1000
-      |           ELSE -((-x * 127 + 500) // 1000) END) AS qv
+      |         list_transform(qv, x -> GREATEST(-127,
+      |           LEAST(127, CASE WHEN x >= 0
+      |             THEN (x * 127 + 500) // 1000
+      |             ELSE -((-x * 127 + 500) // 1000) END))) AS qv
       |  FROM qv)""".stripMargin
 
   /** S18 — persisted banded VECTOR store, accreted and probed
@@ -5486,11 +5488,14 @@ object PipelineQueries {
     * TRAINING, encode, reconstruction, both rankings, and the recall
     * algebra — the whole pipeline, not just its output shape.
     */
-  val s27PqRecall = QueryDef("s27_pq_recall",
-    (s, dir) => Similarity.pqRecallAudit(t(s, dir, "embeddings"),
-      "vec_id", "embedding", m = 8, kCodes = 16, iterations = 2,
-      k = 5, sampleMod = 20L),
-    Some {
+  /** One oracle text for the PQ-audit family (s27, s28): identical
+    * pipeline, parameterized codebook size and training sample.
+    * `trainMod = 1` trains on the full corpus (the WHERE is a no-op);
+    * larger values fit codebooks on the 1-in-trainMod id sample while
+    * ENCODING still covers every vector — the production shape, and
+    * what keeps the k=256 replay affordable.
+    */
+  private def pqOracleSql(kCodes: Int, trainMod: Long): String = {
       def dist(a: String, b: String) =
         s"${dotSql(a, a)} - 2 * ${dotSql(a, b)} + ${dotSql(b, b)}"
       val iterCtes = (1 to 2).map { i =>
@@ -5499,7 +5504,7 @@ object PipelineQueries {
            |    SELECT s.vec_id, s.j, s.sv, b.code,
            |           row_number() OVER (PARTITION BY s.vec_id, s.j
            |             ORDER BY ${dist("s.sv", "b.cw")} ASC, b.code) AS rk
-           |    FROM sub s JOIN b${i - 1} b ON b.j = s.j) WHERE rk = 1),
+           |    FROM sub_t s JOIN b${i - 1} b ON b.j = s.j) WHERE rk = 1),
            |m$i AS (
            |  SELECT j, code, dd.d AS d,
            |         SUM(sv[CAST(dd.d AS INT) + 1]) AS s, COUNT(*) AS n
@@ -5520,13 +5525,15 @@ object PipelineQueries {
       |  SELECT vec_id, CAST(r.j AS INT) AS j,
       |         qv[CAST(r.j * 8 + 1 AS INT):CAST(r.j * 8 + 8 AS INT)] AS sv
       |  FROM qv, unnest(range(0, 8)) r(j)),
+      |sub_t AS (SELECT * FROM sub WHERE vec_id % $trainMod = 0),
       |b0 AS (
       |  SELECT j,
       |         CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id)
       |              - 1 AS INT) AS code,
       |         sv AS cw
-      |  FROM sub
-      |  QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= 16),
+      |  FROM sub_t
+      |  QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id)
+      |    <= $kCodes),
       |$iterCtes,
       |enc AS (
       |  SELECT vec_id, j, code FROM (
@@ -5582,7 +5589,32 @@ object PipelineQueries {
       |GROUP BY e.query_id
       |ORDER BY e.query_id
       |""".stripMargin
-    })
+  }
+
+  val s27PqRecall = QueryDef("s27_pq_recall",
+    (s, dir) => Similarity.pqRecallAudit(t(s, dir, "embeddings"),
+      "vec_id", "embedding", m = 8, kCodes = 16, iterations = 2,
+      k = 5, sampleMod = 20L),
+    Some(pqOracleSql(kCodes = 16, trainMod = 1L)))
+
+  /** S28 — the k=256 PQ measurement, the s27 cliff's documented next
+    * notch: 8 subspaces × 256-word codebooks encode each vector as 8
+    * one-BYTE indices (8 bytes/vector — still 8× under int8, the
+    * standard production PQ point), trained with the same integer-Lloyd
+    * discipline on the 1-in-5 id sample (codebooks-on-a-sample is the
+    * production shape; encoding covers every vector) and measured in
+    * the exact s27 shape: rank-5 fidelity AND shortlist-50 recall vs
+    * exact cosine on the 1-in-20 query sample. s27 (k=16) measured the
+    * 4-bit cliff — sf1 rank-5 fidelity 5%, shortlist 22%; this query
+    * is the second data point that decides whether the storage ladder
+    * reopens below int8 or closes with PQ rejected at BOTH operating
+    * points for this corpus.
+    */
+  val s28PqRecall256 = QueryDef("s28_pq_recall_256",
+    (s, dir) => Similarity.pqRecallAudit(t(s, dir, "embeddings"),
+      "vec_id", "embedding", m = 8, kCodes = 256, iterations = 2,
+      k = 5, sampleMod = 20L, trainMod = 5L),
+    Some(pqOracleSql(kCodes = 256, trainMod = 5L)))
 
   /** T45 — boilerplate STRIPPING accounting
     * ([[Dedup.boilerplateCoverage]]): d12 censuses boilerplate; this is
@@ -6523,6 +6555,72 @@ object PipelineQueries {
       |ORDER BY column_name
       |""".stripMargin))
 
+  /** Session-memoized ACCRETED HLL register store for a16 (the s18/d21
+    * accretion stance): bootstrap write of one third of documents, two
+    * sequential appends through the stored meta, AND batch 1 appended a
+    * SECOND time — the at-least-once-ingest replay that a register
+    * store must absorb for free (cell-wise max is idempotent). The gate
+    * therefore proves accretion ≡ one-shot AND replay-idempotence in
+    * one oracle row.
+    */
+  private val hllStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hllStoreDir(s: SparkSession, dir: String): String =
+    hllStoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-hllstore").toString + "/hidx"
+        val docs = t(s, dir, "documents")
+        graft.sketch.HllStore.write(docs.filter(col("doc_id") % 3 === 0),
+          Seq("source"), "text", path)
+        graft.sketch.HllStore.append(docs.filter(col("doc_id") % 3 === 1),
+          path)
+        graft.sketch.HllStore.append(docs.filter(col("doc_id") % 3 === 2),
+          path)
+        // the replayed batch: at-least-once ingest, must change nothing
+        graft.sketch.HllStore.append(docs.filter(col("doc_id") % 3 === 1),
+          path)
+        path
+      })
+
+  /** A16 — accreted HLL register store ([[graft.sketch.HllStore]]): the
+    * a15 profiler's registers PERSISTED per source so incremental
+    * profile updates merge by cell-wise max instead of rescanning
+    * history — the 100 TB profiler's natural next step. The store is
+    * built by bootstrap + two appends + one REPLAYED append (the
+    * at-least-once ingest case); the oracle is STORE-FREE: it computes
+    * the per-source estimate one-shot from the raw documents table with
+    * the shared exact-integer estimator, so a dropped append, a
+    * mis-merged register, a replay that double-counts, or meta drift
+    * all hash-mismatch while the oracle stands still.
+    */
+  val a16HllRegisterStore = QueryDef("a16_hll_register_store",
+    (s, dir) => graft.sketch.HllStore.estimate(s, hllStoreDir(s, dir))
+      .orderBy(col("source")),
+    Some(s"""
+      |WITH h AS (
+      |  SELECT source,
+      |         CAST('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 10)
+      |              AS BIGINT) AS hh
+      |  FROM documents WHERE text IS NOT NULL),
+      |rg AS (
+      |  SELECT source, hh >> 32 AS bucket,
+      |         MAX(CASE WHEN (hh & 4294967295) = 0 THEN 33
+      |             ELSE 33 - length(bin(hh & 4294967295)) END) AS r
+      |  FROM h GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, SUM(1::BIGINT << (33 - r)) AS s_ne,
+      |         COUNT(*) AS ne
+      |  FROM rg GROUP BY 1)
+      |SELECT source,
+      |       CAST(${graft.sketch.Sketch
+                 .hllEstimateSql("s_ne", "ne", spark = false)
+                 .replace("\n", "\n      |      ")}
+      |         AS BIGINT) AS n_distinct_est,
+      |       CAST(ne AS BIGINT) AS sketch_size
+      |FROM agg ORDER BY source
+      |""".stripMargin))
+
   /** T54 — normalization-lift dedup accounting: exact dedup run twice,
     * on the raw content hash and on the [[TextAnalysis.canonicalText]]
     * hash (lowercase, punctuation strip, whitespace collapse), with the
@@ -6655,6 +6753,15 @@ object PipelineQueries {
     * not a broken classifier. Training is one (label, bucket) shuffle
     * into a ≤|labels|·1024-row broadcast model; scoring is a broadcast
     * join + grouped argmin, linear in holdout tokens.
+    *
+    * Featurization is TOKEN-ONLY by decision, not omission: round 13
+    * ran the char-3-gram variant ([[graft.text.NbLang.tokenCharFeatures]],
+    * still shipped and spec-tested) through this exact gate and measured
+    * ZERO organic lift at sf1 (20.3% ≡ the 20.4% majority share; sf0.01
+    * was WORSE — marker-gram dilution) at 12.7× the bench cost. The
+    * featurizer, the NbLangSpec morphology test, and the recorded
+    * negative stay; the per-round 18 s price does not (round-14 revert,
+    * the r13 verdict's #1 ask).
     */
   val t53NbLangConfusion = QueryDef("t53_nb_lang_confusion",
     (s, dir) => {
@@ -6676,12 +6783,11 @@ object PipelineQueries {
         .localCheckpoint(eager = false) // train fit + holdout score
       val train = tagged.filter(col("__train"))
       val hold = tagged.filter(!col("__train"))
-      val counts = graft.text.NbLang.trainCounts(train, "lang", "text",
-          1024, graft.text.NbLang.tokenCharFeatures)
+      val counts = graft.text.NbLang.trainCounts(train, "lang", "text", 1024)
         .localCheckpoint(eager = false) // label totals + scoring join
       val labels = graft.text.NbLang.labelStats(train, "lang", counts)
-      val pred = graft.text.NbLang.predict(hold, "doc_id", "text",
-        counts, labels, 1024, graft.text.NbLang.tokenCharFeatures)
+      val pred = graft.text.NbLang
+        .predict(hold, "doc_id", "text", counts, labels, 1024)
       val ct = hold.select("doc_id", "lang").join(pred, "doc_id")
         .withColumn("tier", when(col("doc_id") >= 20000000L, "planted")
           .otherwise("organic"))
@@ -6708,14 +6814,6 @@ object PipelineQueries {
       |         list_filter(regexp_split_to_array(trim(text), '\\s+'),
       |                     x -> x <> '') AS tk
       |  FROM aug),
-      |nrm AS (
-      |  SELECT doc_id, lang,
-      |         regexp_replace(lower(text), '\\s+', '_', 'g') AS s
-      |  FROM aug),
-      |cg AS (
-      |  SELECT doc_id, lang, '3g:' || substr(s, CAST(i AS INT), 3) AS token
-      |  FROM nrm,
-      |       unnest(range(1, greatest(length(s) - 2, 0) + 1)) r(i)),
       |sp AS (
       |  SELECT doc_id,
       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|nb'),
@@ -6725,9 +6823,7 @@ object PipelineQueries {
       |  SELECT t.doc_id, t.lang,
       |         CAST('0x' || substr(md5('nb-' || token), 1, 15) AS BIGINT)
       |           % 1024 AS bucket
-      |  FROM (SELECT doc_id, lang, unnest(tk) AS token FROM toksa
-      |        UNION ALL
-      |        SELECT doc_id, lang, token FROM cg) t),
+      |  FROM (SELECT doc_id, lang, unnest(tk) AS token FROM toksa) t),
       |trc AS (SELECT lang AS label, bucket, CAST(COUNT(*) AS BIGINT) AS c
       |        FROM bk JOIN sp USING (doc_id) WHERE is_train GROUP BY 1, 2),
       |lab0 AS (SELECT a.lang AS label, CAST(COUNT(*) AS BIGINT) AS p
@@ -7334,5 +7430,6 @@ object PipelineQueries {
     t54NormalizeDedup, t55SourceDiversity, t53NbLangConfusion,
     t56DecontaminatedSplit, a13KmvOverlap, t57CappedMix,
     a14KmvErrorCurve, s24DecontamThresholds, a15ColumnProfileHll,
-    s25VecStoreInt8, s26Int8StoreRecall, s27PqRecall)
+    a16HllRegisterStore,
+    s25VecStoreInt8, s26Int8StoreRecall, s27PqRecall, s28PqRecall256)
 }

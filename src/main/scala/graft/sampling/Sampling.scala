@@ -293,8 +293,11 @@ object Sampling {
     val a1 = supply.crossJoin(broadcast(tot))
       .withColumn("__budget",
         expr(s"CAST(__tot AS DECIMAL(38,0)) * $budgetPermille div 1000"))
-      .withColumn("__naive",
-        expr("CAST(__budget AS DECIMAL(38,0)) * weight_s div __sw"))
+      .withColumn("__naive", // greatest-guard mirrors the oracle's
+        // GREATEST(t.sw, 1) and the t44 sibling — an all-zero-supply
+        // corpus must yield 0, not a NULL that least() happens to skip
+        expr("CAST(__budget AS DECIMAL(38,0)) * weight_s " +
+          "div greatest(__sw, 1L)"))
       .withColumn("__alloc1", least(col("cap_tokens"), col("__naive")))
     val tot2 = a1.agg(sum(col("__alloc1")).as("__a1"),
       sum(expr("cap_tokens - __alloc1")).as("__head"))

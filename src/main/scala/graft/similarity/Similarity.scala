@@ -248,9 +248,13 @@ object Similarity {
     * code space s23 audits and the int8 [[VecIndex]] codec persists.
     */
   def int8FromMilli(qvCol: String): Column = expr(
-    s"""transform($qvCol, x -> CASE WHEN x >= 0
+    // the LEAST/GREATEST clamp is a no-op on unit-norm input (|x| ≤
+    // 1000 ⇒ code ∈ [-127, 127]) but makes the codec TOTAL: a direct
+    // writeVecIndex(codec="int8") caller feeding un-normalized vectors
+    // gets a saturated code, not a silent tinyint wrap-around
+    s"""transform($qvCol, x -> GREATEST(-127L, LEAST(127L, CASE WHEN x >= 0
        |  THEN (x * 127 + 500) DIV 1000
-       |  ELSE -((-x * 127 + 500) DIV 1000) END)""".stripMargin)
+       |  ELSE -((-x * 127 + 500) DIV 1000) END)))""".stripMargin)
 
   def int8RecallAudit(df: DataFrame, idCol: String, vecCol: String,
       k: Int, sampleMod: Long): DataFrame = {
@@ -290,12 +294,19 @@ object Similarity {
     * m·kCodes·(dims/m) = dims·kCodes longs — kilobytes.
     */
   def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
-      m: Int, kCodes: Int, iterations: Int, dims: Int = 64)
+      m: Int, kCodes: Int, iterations: Int, dims: Int = 64,
+      trainMod: Long = 1L)
       : IndexedSeq[IndexedSeq[(Int, Seq[Long])]] = {
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(trainMod >= 1L, s"trainMod must be >= 1, got $trainMod")
     val sub = dims / m
-    val base = index(widen(df).select(col(idCol).as("__id"),
-      quantize(col(vecCol)).as("__qv")))
+    // trainMod > 1 fits codebooks on the deterministic 1-in-trainMod id
+    // sample — the standard production shape (codebooks train on a
+    // sample, ENCODING still covers every vector) and what keeps the
+    // k=256 oracle replay affordable; trainMod = 1 is the full corpus
+    val base = index(widen(df)
+      .filter(col(idCol) % trainMod === 0)
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__qv")))
     val init = base.orderBy(col("__id")).limit(kCodes).collect()
       .map(r => r.getSeq[Long](r.fieldIndex("__qv")).toSeq)
     require(init.nonEmpty, "trainPqCodebooks: empty corpus")
@@ -352,16 +363,19 @@ object Similarity {
     */
   def pqRecallAudit(df: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, kCodes: Int = 16, iterations: Int = 2, k: Int = 5,
-      sampleMod: Long = 20L): DataFrame = {
+      sampleMod: Long = 20L, trainMod: Long = 1L): DataFrame = {
     val dims = 64
     val sub = dims / m
     val books = trainPqCodebooks(df, idCol, vecCol, m, kCodes,
-      iterations, dims)
+      iterations, dims, trainMod)
     val base = index(widen(df).select(col(idCol).as("id"),
       quantize(col(vecCol)).as("qv")))
-    // flat literal codebook: entry j·kCodes + c is subspace j's code-c
+    // flat literal codebook: entry j·kEff + c is subspace j's code-c
     // word — the encode and reconstruct steps are pure scan-stage
-    // expressions against this kilobyte literal, no join
+    // expressions against this kilobyte literal, no join. kEff, not
+    // kCodes: a corpus (or train sample) smaller than kCodes yields
+    // fewer codewords and the flat stride must match what was trained
+    val kEff = books.head.size
     val cb = typedlit(books.flatMap(_.map(_._2)).map(_.toIndexedSeq))
     val codes = array((0 until m).map { j =>
       element_at(graft.functions.nearest_centroids(
@@ -369,7 +383,7 @@ object Similarity {
     }: _*)
     val recon = index(base.select(col("id").as("neighbor_id"),
       flatten(transform(codes, (c, j) =>
-        element_at(cb, j * lit(kCodes) + c + lit(1)))).as("cv")))
+        element_at(cb, j * lit(kEff) + c + lit(1)))).as("cv")))
     val queries = base.filter(col("id") % sampleMod === 0)
       .select(col("id").as("query_id"), col("qv"))
     val exact = topKFromQuantized(queries,

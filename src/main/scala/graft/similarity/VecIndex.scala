@@ -180,6 +180,14 @@ object VecIndex {
     * integer cosine test at `thresholdPpm`. The corpus read prunes to
     * the probe batch's ≤ nBuckets hash directories; the confirm joins
     * the vector sidecar only for surviving candidates.
+    *
+    * Under the int8 codec BOTH confirm-join payloads stay 1 byte/dim:
+    * probe codes re-narrow to `array<tinyint>` before the join (the
+    * cast runs map-side, so the shuffle/broadcast frame is 8× under
+    * the widened longs) and the corpus sidecar is read raw instead of
+    * through [[loadVecs]]'s eager widening — the longs exist only
+    * inside the post-join dot/norm expressions, which is where the
+    * arithmetic needs them.
     */
   def probeVecIndex(spark: SparkSession, probes: DataFrame, idCol: String,
       vecCol: String, path: String, thresholdPpm: Long): DataFrame = {
@@ -203,15 +211,22 @@ object VecIndex {
     val cands = pr
       .join(corpus, Seq("dir", "band", "bucket"))
       .select(col("probe_id"), col("vec_id").as("corpus_id")).distinct()
-    val cv = loadVecs(spark, path, m.codec)
+    // narrow join payloads (tinyint under int8, pass-through otherwise)
+    val pqn = pq.select(col("probe_id"),
+      storeEncode(col("pqv"), m.codec).as("pqv"))
+    val cvn = spark.read.parquet(s"$path/vecs")
       .select(col("vec_id").as("corpus_id"), col("qv"))
-    val dot = Similarity.dotQ(col("pqv"), col("qv"))
+    def widen(c: Column): Column =
+      if (m.codec == "int8") transform(c, x => x.cast("bigint")) else c
+    val pw = widen(col("pqv"))
+    val cw = widen(col("qv"))
+    val dot = Similarity.dotQ(pw, cw)
     val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
-    val rhs = (Similarity.normSqQ(col("pqv")) * Similarity.normSqQ(col("qv")))
+    val rhs = (Similarity.normSqQ(pw) * Similarity.normSqQ(cw))
       .cast("decimal(38,0)") * lit(thresholdPpm) * lit(thresholdPpm)
     cands
-      .join(pq, "probe_id")
-      .join(cv, "corpus_id")
+      .join(pqn, "probe_id")
+      .join(cvn, "corpus_id")
       .filter(col("probe_id") =!= col("corpus_id"))
       .filter(dot > 0 && lhs >= rhs)
       .select(col("probe_id"), col("corpus_id"), dot.as("dot_q"))

@@ -313,8 +313,12 @@ object Sketch {
       else s"([$lc])[$idx]"
     val raw = s"($HllAlphaNum ${if (spark) "DIV" else "//"}" +
       s" (COALESCE($sNe, 0) + ($HllM - $ne) * ${1L << 33}))"
+    // strict `>`: the published algorithm (Flajolet et al. §4) applies
+    // linear counting whenever E ≤ 2.5m and empty registers exist, so
+    // the boundary E == 2.5m (== 640 at m=256) belongs to the
+    // linear-counting branch — `>=` would hand it to the raw estimate
     s"""CASE WHEN $ne = 0 THEN 0
-       |     WHEN $ne = $HllM OR $raw >= $HllRawCutoff THEN $raw
+       |     WHEN $ne = $HllM OR $raw > $HllRawCutoff THEN $raw
        |     ELSE $lookup END""".stripMargin
   }
 

@@ -262,6 +262,21 @@ class SamplingSpec extends SparkSpec {
         val a = r.getAs[Long]("alloc_tokens")
         assert(a >= 0L && a <= r.getAs[Long]("cap_tokens"), s"wrapped: $r")
       }
+    // all-zero-supply corpus: Σweight = 0 must yield DESIGNED zeros via
+    // the greatest(__sw, 1) guard, not NULL naive shares that only
+    // least() happens to skip (the r13 advisor finding) — every output
+    // column is non-null and zero
+    val zero = Seq(("en", 0L), ("de", 0L)).toDF("lang", "tok")
+    val z = Sampling.cappedMixAllocation(zero, "lang", col("tok"),
+      1500L, 2000L).collect()
+    assert(z.length == 2)
+    z.foreach { r =>
+      Seq("supply_tokens", "cap_tokens", "weight_s", "alloc_tokens",
+        "epochs_permille", "unalloc_tokens").foreach { c =>
+        assert(!r.isNullAt(r.fieldIndex(c)), s"$c must not be NULL")
+        assert(r.getAs[Long](c) == 0L, s"$c must be 0, got $r")
+      }
+    }
   }
 
   test("referentialSample: child rows follow their parent's coin exactly") {

@@ -102,6 +102,37 @@ class VecIndexSpec extends SparkSpec {
     } finally delete(dir)
   }
 
+  test("int8 probe: confirm-join payloads are 1-byte codes on BOTH sides") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx8p")
+    try {
+      val path = s"$dir/idx"
+      VecIndex.writeVecIndex(base, "vec_id", "embedding", path,
+        bands = 8, bitsPerBand = 8, nBuckets = 16, codec = "int8")
+      val out = VecIndex.probeVecIndex(spark, probes, "vec_id",
+        "embedding", path, 900000L)
+      // the widened longs may exist only INSIDE the post-join dot/norm
+      // expressions: every Join node that carries a vector payload must
+      // carry it as array<tinyint> (1 byte/dim through shuffle/broadcast)
+      val joins = out.queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val payloads = joins.flatMap(_.output
+        .filter(a => a.name == "pqv" || a.name == "qv"))
+      assert(payloads.nonEmpty, "confirm join carries no vector payload?")
+      payloads.foreach { a =>
+        val et = a.dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        assert(et == org.apache.spark.sql.types.ByteType,
+          s"join payload ${a.name} must be tinyint codes, got $et")
+      }
+      // and the narrow path returns the same hits as before
+      val expected = base.filter(col("vec_id") % 17 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val hits = out.collect().map(_.getLong(1)).toSet
+      assert(hits == expected, s"probe hits $hits")
+    } finally delete(dir)
+  }
+
   test("torn append: missing band rows are undiscoverable until repair re-derives them") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-torn")
     try {

@@ -1,0 +1,89 @@
+package graft.sketch
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The accreted HLL register store: accretion ≡ one-shot, replay
+  * idempotence (the max-merge algebra), estimate-invisible compaction,
+  * and meta immutability.
+  */
+class HllStoreSpec extends SparkSpec {
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def estMap(path: String) =
+    HllStore.estimate(spark, path).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_distinct_est"), r.getAs[Long]("sketch_size")))
+      .toMap
+
+  test("accreted store estimate ≡ one-shot sketch of the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll")
+    try {
+      val oneShot = s"$dir/one"
+      val accreted = s"$dir/acc"
+      HllStore.write(docs, Seq("source"), "text", oneShot)
+      HllStore.write(docs.filter(col("doc_id") % 3 === 0),
+        Seq("source"), "text", accreted)
+      HllStore.append(docs.filter(col("doc_id") % 3 === 1), accreted)
+      HllStore.append(docs.filter(col("doc_id") % 3 === 2), accreted)
+      val a = estMap(accreted)
+      assert(a == estMap(oneShot), "accretion must be invisible")
+      assert(a.nonEmpty && a.values.forall(_._1 > 0L))
+      // the estimator is in its accurate regime here: every source has
+      // exactly 25 distinct texts at sf0.001 — linear counting should
+      // land within a couple of buckets of truth
+      a.foreach { case (s, (est, _)) =>
+        assert(math.abs(est - 25L) <= 5L, s"$s estimated $est (truth 25)")
+      }
+    } finally delete(dir)
+  }
+
+  test("replay idempotence: re-appending a batch changes nothing (max-merge)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-rep")
+    try {
+      val path = s"$dir/idx"
+      HllStore.write(docs.filter(col("doc_id") % 2 === 0),
+        Seq("source"), "text", path)
+      HllStore.append(docs.filter(col("doc_id") % 2 === 1), path)
+      val before = estMap(path)
+      val regsBefore = HllStore.registers(spark, path).collect().toSet
+      // the at-least-once ingest: same batch lands twice
+      HllStore.append(docs.filter(col("doc_id") % 2 === 1), path)
+      HllStore.append(docs.filter(col("doc_id") % 2 === 1), path)
+      assert(estMap(path) == before, "replayed appends must be absorbed")
+      assert(HllStore.registers(spark, path).collect().toSet == regsBefore,
+        "the MERGED grid itself must be replay-invariant")
+    } finally delete(dir)
+  }
+
+  test("compaction folds the log without touching estimates; meta round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-cmp")
+    try {
+      val path = s"$dir/idx"
+      HllStore.write(docs.filter(col("doc_id") % 3 === 0),
+        Seq("source"), "text", path)
+      HllStore.append(docs.filter(col("doc_id") % 3 === 1), path)
+      HllStore.append(docs.filter(col("doc_id") % 3 === 2), path)
+      HllStore.append(docs.filter(col("doc_id") % 3 === 1), path) // replay
+      val before = estMap(path)
+      val (pre, post) = HllStore.compact(spark, path)
+      assert(post <= pre, s"compaction must not grow the grid ($pre -> $post)")
+      assert(post == HllStore.registers(spark, path).count())
+      assert(estMap(path) == before, "compaction must be estimate-invisible")
+      // append still works against the compacted store
+      HllStore.append(docs.filter(col("doc_id") % 3 === 2), path)
+      assert(estMap(path) == before)
+      assert(HllStore.readMeta(spark, path)
+        == HllStore.Meta(Seq("source"), "text", Sketch.HllM))
+    } finally delete(dir)
+  }
+
+  private def delete(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(dir))(
+      _.iterator().asScala.toSeq).reverse.foreach(java.nio.file.Files.delete)
+  }
+}
