@@ -569,4 +569,36 @@ class SimilaritySpec extends SparkSpec {
       "embedding", m = 8, kCodes = 16, iterations = 2)
     assert(b1 == b7, "codebooks must not depend on partitioning")
   }
+
+  test("int8FromMilli saturates out-of-range coordinates instead of wrapping") {
+    // unit-norm input keeps |x| ≤ 1000 and the clamp is a no-op; a
+    // direct caller feeding un-normalized vectors must get ±127, never
+    // a silent tinyint wrap in the store encode
+    val df = Seq((1L, Seq(1000L, -1000L, 1500L, -2300L, 0L, 999L)))
+      .toDF("id", "qv")
+    val out = df.select(Similarity.int8FromMilli("qv").as("c"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(127L, -127L, 127L, -127L, 0L, 127L), s"got $out")
+  }
+
+  test("PQ kEff: a corpus smaller than kCodes trains a consistent " +
+      "sub-kCodes code space (flat stride follows the trained size)") {
+    // 12 rows < kCodes=16 ⇒ kEff=12 codewords per subspace; 3 distinct
+    // patterns still reconstruct exactly, so recall stays 10⁶ ppm — a
+    // j·kCodes stride against a 12-word book would index the wrong
+    // codewords and fail this
+    val pats = (0 until 3).map { p =>
+      (0 until 64).map(d => if (d % 4 == p) 0.8f else 0.05f * p)
+    }
+    val df = (0L until 12L).map(i =>
+      (i, pats((i % 3).toInt))).toDF("vec_id", "embedding")
+    val out = Similarity.pqRecallAudit(df, "vec_id", "embedding",
+        m = 8, kCodes = 16, iterations = 2, k = 3, sampleMod = 3L)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("recall_ppm") == 1000000L,
+        s"sub-kCodes code space must still reconstruct exactly: $r")
+    }
+  }
 }

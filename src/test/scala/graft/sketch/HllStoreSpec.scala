@@ -81,6 +81,24 @@ class HllStoreSpec extends SparkSpec {
     } finally delete(dir)
   }
 
+  test("estimate plan is pure hash aggregation — no Expand, no ObjectHashAggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-plan")
+    try {
+      val path = s"$dir/idx"
+      HllStore.write(docs, Seq("source"), "text", path)
+      HllStore.append(docs.filter(col("doc_id") % 2 === 0), path)
+      val est = HllStore.estimate(spark, path)
+      est.collect()
+      // the a15 discipline carried into the store: max-merge + estimate
+      // must stay inside codegen'd hash aggregates at any history depth
+      val plan = est.queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"), "register merge must not Expand")
+      assert(!plan.contains("ObjectHashAggregate"),
+        "no typed-UDAF tax on the store read path")
+      assert(plan.contains("HashAggregate"))
+    } finally delete(dir)
+  }
+
   private def delete(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     scala.util.Using.resource(java.nio.file.Files.walk(dir))(
