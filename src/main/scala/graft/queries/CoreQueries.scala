@@ -2345,8 +2345,7 @@ object CoreQueries {
   private def zorderStoreDir(s: SparkSession, dir: String): String =
     zstoreMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-zstore").toString + "/store"
+        val path = TempStores.dir("graft-zstore") + "/store"
         t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             col("l_quantity"))
@@ -2466,8 +2465,7 @@ object CoreQueries {
     bstoreMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
         val id = bstoreSeq.incrementAndGet()
-        val base = java.nio.file.Files
-          .createTempDirectory("graft-bstore").toString
+        val base = TempStores.dir("graft-bstore")
         val oT = s"graft_k7_orders_$id"
         val lT = s"graft_k7_lineitem_$id"
         t(s, dir, "orders")
@@ -2723,8 +2721,7 @@ object CoreQueries {
   private def dayPartitionedEvents(s: SparkSession, dir: String): String =
     dstoreMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-daystore").toString + "/events"
+        val path = TempStores.dir("graft-daystore") + "/events"
         t(s, dir, "events")
           .withColumn("event_date",
             expr("to_date(timestamp_micros(ts div 1000))"))

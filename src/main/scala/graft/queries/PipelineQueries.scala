@@ -1356,8 +1356,7 @@ object PipelineQueries {
   private def trainedIndexDir(s: SparkSession, dir: String): String =
     trainedIdxMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-ivf-trained").toString + "/index"
+        val path = TempStores.dir("graft-ivf-trained") + "/index"
         Similarity.writeIvfIndex(t(s, dir, "embeddings"), "vec_id",
           "embedding", path, trainedCents(s, dir))
         path
@@ -1396,8 +1395,7 @@ object PipelineQueries {
   private def ivfIndexDir(s: SparkSession, dir: String): String =
     idxMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-ivf-index").toString + "/index"
+        val path = TempStores.dir("graft-ivf-index") + "/index"
         Similarity.writeIvfIndex(t(s, dir, "embeddings"), "vec_id",
           "embedding", path,
           Similarity.ivfCentroids(Similarity.scaledCentroids(
@@ -1940,8 +1938,7 @@ object PipelineQueries {
   private def lshStoreDir(s: SparkSession, dir: String): String =
     lshStoreMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-lshstore").toString + "/index"
+        val path = TempStores.dir("graft-lshstore") + "/index"
         graft.dedup.LshIndex.writeLshIndex(
           t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0),
           "doc_id", "text", path)
@@ -2011,8 +2008,7 @@ object PipelineQueries {
   private def lshAccretedDir(s: SparkSession, dir: String): String =
     lshAccretedMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-lshaccr").toString + "/index"
+        val path = TempStores.dir("graft-lshaccr") + "/index"
         val corpus = t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0)
         graft.dedup.LshIndex.writeLshIndex(
           corpus.filter(col("doc_id") % 5 < 2), "doc_id", "text", path)
@@ -2182,8 +2178,7 @@ object PipelineQueries {
   private def shardStoreDir(s: SparkSession, dir: String): String =
     shardStoreMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-shardstore").toString + "/shards"
+        val path = TempStores.dir("graft-shardstore") + "/shards"
         graft.pipeline.ShardPacking.writeShards(
           t(s, dir, "documents"), "lang", "doc_id",
           TextAnalysis.tokenCount(col("text")).cast("long"), budget = 512L,
@@ -5203,8 +5198,7 @@ object PipelineQueries {
   private def vecStoreDir(s: SparkSession, dir: String): String =
     vecStoreMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-vecstore").toString + "/vidx"
+        val path = TempStores.dir("graft-vecstore") + "/vidx"
         val emb = t(s, dir, "embeddings")
         VecIndex.writeVecIndex(emb.filter(col("vec_id") % 3 === 0),
           "vec_id", "embedding", path, bands = 8,
@@ -5232,8 +5226,7 @@ object PipelineQueries {
     vecStoreMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir
         + "|int8", {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-vecstore8").toString + "/vidx"
+        val path = TempStores.dir("graft-vecstore8") + "/vidx"
         val emb = t(s, dir, "embeddings")
         VecIndex.writeVecIndex(emb.filter(col("vec_id") % 3 === 0),
           "vec_id", "embedding", path, bands = 8,
@@ -5488,14 +5481,19 @@ object PipelineQueries {
     * TRAINING, encode, reconstruction, both rankings, and the recall
     * algebra — the whole pipeline, not just its output shape.
     */
-  /** One oracle text for the PQ-audit family (s27, s28): identical
-    * pipeline, parameterized codebook size and training sample.
-    * `trainMod = 1` trains on the full corpus (the WHERE is a no-op);
-    * larger values fit codebooks on the 1-in-trainMod id sample while
-    * ENCODING still covers every vector — the production shape, and
-    * what keeps the k=256 replay affordable.
+  /** One oracle text for the PQ-audit family (s27, s28, s29):
+    * identical pipeline, parameterized subspace count, codebook size
+    * and training sample. `trainMod = 1` trains on the full corpus
+    * (the WHERE is a no-op); larger values fit codebooks on the
+    * 1-in-trainMod id sample while ENCODING still covers every
+    * vector — the production shape, and what keeps the k=256 replay
+    * affordable. `m` is the subspace count (64 % m == 0): each
+    * subspace quantizes 64/m contiguous coordinates.
     */
-  private def pqOracleSql(kCodes: Int, trainMod: Long): String = {
+  private def pqOracleSql(kCodes: Int, trainMod: Long,
+      m: Int = 8): String = {
+      require(64 % m == 0, s"m=$m must divide 64")
+      val sub = 64 / m
       def dist(a: String, b: String) =
         s"${dotSql(a, a)} - 2 * ${dotSql(a, b)} + ${dotSql(b, b)}"
       val iterCtes = (1 to 2).map { i =>
@@ -5508,7 +5506,7 @@ object PipelineQueries {
            |m$i AS (
            |  SELECT j, code, dd.d AS d,
            |         SUM(sv[CAST(dd.d AS INT) + 1]) AS s, COUNT(*) AS n
-           |  FROM a$i, (SELECT unnest(range(8)) AS d) dd
+           |  FROM a$i, (SELECT unnest(range($sub)) AS d) dd
            |  GROUP BY 1, 2, 3),
            |b$i AS (
            |  SELECT p.j, p.code, COALESCE(m.cw, p.cw) AS cw
@@ -5523,8 +5521,9 @@ object PipelineQueries {
       |WITH $qSql,
       |sub AS (
       |  SELECT vec_id, CAST(r.j AS INT) AS j,
-      |         qv[CAST(r.j * 8 + 1 AS INT):CAST(r.j * 8 + 8 AS INT)] AS sv
-      |  FROM qv, unnest(range(0, 8)) r(j)),
+      |         qv[CAST(r.j * $sub + 1 AS INT):CAST(r.j * $sub + $sub AS INT)]
+      |           AS sv
+      |  FROM qv, unnest(range(0, $m)) r(j)),
       |sub_t AS (SELECT * FROM sub WHERE vec_id % $trainMod = 0),
       |b0 AS (
       |  SELECT j,
@@ -5615,6 +5614,28 @@ object PipelineQueries {
       "vec_id", "embedding", m = 8, kCodes = 256, iterations = 2,
       k = 5, sampleMod = 20L, trainMod = 5L),
     Some(pqOracleSql(kCodes = 256, trainMod = 5L)))
+
+  /** S29 — the PQ ladder's WINNING point gated (m=16, k=256): the r14
+    * `PqLadderProbe` curve showed the SUBSPACE axis, not the codebook
+    * axis, is the lever that moves PQ recall on this corpus — doubling
+    * m from 8 to 16 (16 one-byte indices, 16 B/vector, still 4× under
+    * int8's 64 B) lifted sf1 shortlist-50 recall from 61.9% to 96.6%,
+    * the first PQ point whose standard serving shape (PQ shortlist →
+    * exact re-rank) is competitive with the int8 store's 94.5%. Probe
+    * numbers are not ratchet numbers: this query carries the exact
+    * s27/s28 measurement (integer Lloyd on the 1-in-5 id sample,
+    * ADC through the codegen'd native dot, rank-5 fidelity AND
+    * shortlist-50 recall vs exact cosine on the 1-in-20 query sample)
+    * so the 96.6% claim hash-fails the moment corpus or codec drift
+    * erodes it. Halving each subspace to 4 coordinates is WHY recall
+    * jumps: each codeword models a 4-dim marginal, and 256 words cover
+    * a 4-dim integer cube far more densely than an 8-dim one.
+    */
+  val s29PqRecall16x256 = QueryDef("s29_pq_recall_16x256",
+    (s, dir) => Similarity.pqRecallAudit(t(s, dir, "embeddings"),
+      "vec_id", "embedding", m = 16, kCodes = 256, iterations = 2,
+      k = 5, sampleMod = 20L, trainMod = 5L),
+    Some(pqOracleSql(kCodes = 256, trainMod = 5L, m = 16)))
 
   /** T45 — boilerplate STRIPPING accounting
     * ([[Dedup.boilerplateCoverage]]): d12 censuses boilerplate; this is
@@ -6568,8 +6589,7 @@ object PipelineQueries {
   private def hllStoreDir(s: SparkSession, dir: String): String =
     hllStoreMemo.getOrElseUpdate(
       org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-hllstore").toString + "/hidx"
+        val path = TempStores.dir("graft-hllstore") + "/hidx"
         val docs = t(s, dir, "documents")
         graft.sketch.HllStore.write(docs.filter(col("doc_id") % 3 === 0),
           Seq("source"), "text", path)
@@ -7431,5 +7451,6 @@ object PipelineQueries {
     t56DecontaminatedSplit, a13KmvOverlap, t57CappedMix,
     a14KmvErrorCurve, s24DecontamThresholds, a15ColumnProfileHll,
     a16HllRegisterStore,
-    s25VecStoreInt8, s26Int8StoreRecall, s27PqRecall, s28PqRecall256)
+    s25VecStoreInt8, s26Int8StoreRecall, s27PqRecall, s28PqRecall256,
+    s29PqRecall16x256)
 }

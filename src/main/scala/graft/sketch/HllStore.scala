@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   *   path/registers/...  (group..., bucket, r) — APPEND-ONLY grid log:
   *                       each ingest appends its batch's registers
   *                       verbatim; merging happens at read
-  *   path/_meta/...      one row: (group_cols, value_col, m) — appends
-  *                       MUST sketch with the parameters the store was
-  *                       born with
+  *   path/_meta/...      one row: (group_cols ARRAY, value_col, m) —
+  *                       appends MUST sketch with the parameters the
+  *                       store was born with
   * }}}
   *
   * Why append-only + merge-on-read is the right accretion algebra here:
@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   * by ≤ |groups|·256 rows per batch; [[compact]] folds it back to one
   * merged grid via the crash-safe aside-swap when the log's read cost
   * exceeds its write convenience.
+  *
+  * Concurrency: [[append]] is safe against other appends AND against a
+  * running [[compact]] — compact snapshots the log's file list up
+  * front and, after the swap, RESCUES any part file that landed later
+  * (a straggler append) into the new log instead of deleting it, so
+  * no batch's registers are ever silently dropped. compact itself is
+  * single-writer: run at most one at a time per store. A crash inside
+  * compact leaves a `registers__compact_old` / `__compact_tmp` aside;
+  * [[repair]] restores the store from any such state (max-merge makes
+  * re-adding old files harmless, so recovery never needs to know how
+  * far the crash got).
   *
   * Scale posture: every operation is one hash aggregate over bounded
   * state (≤ 256 cells per group per batch); estimates replay the exact
@@ -52,7 +63,9 @@ object HllStore {
         groupCols, valueCol)
       .write.mode("overwrite").parquet(s"$path/registers")
     import spark.implicits._
-    Seq((groupCols.mkString(","), valueCol, Sketch.HllM))
+    // group_cols persists as a real array column — a name containing
+    // a comma (or anything else) round-trips verbatim
+    Seq((groupCols, valueCol, Sketch.HllM))
       .toDF("group_cols", "value_col", "m").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_meta")
   }
@@ -60,7 +73,7 @@ object HllStore {
   /** The parameters the store was born with (one row — bounded pull). */
   def readMeta(spark: SparkSession, path: String): Meta = {
     val r = spark.read.parquet(s"$path/_meta").head()
-    Meta(r.getAs[String]("group_cols").split(",").toIndexedSeq,
+    Meta(r.getSeq[String](r.fieldIndex("group_cols")).toIndexedSeq,
       r.getAs[String]("value_col"), r.getAs[Int]("m"))
   }
 
@@ -84,10 +97,12 @@ object HllStore {
     */
   def registers(spark: SparkSession, path: String): DataFrame = {
     val m = readMeta(spark, path)
-    spark.read.parquet(s"$path/registers")
-      .groupBy((m.groupCols :+ "bucket").map(col): _*)
-      .agg(max(col("r")).as("r"))
+    mergeGrid(spark.read.parquet(s"$path/registers"), m)
   }
+
+  private def mergeGrid(log: DataFrame, m: Meta): DataFrame =
+    log.groupBy((m.groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
 
   /** Per-group distinct estimate from the merged grid, with the full
     * small-range correction (raw harmonic when the raw estimate clears
@@ -112,13 +127,37 @@ object HllStore {
   /** Fold the append log back to one merged grid (crash-safe
     * aside-swap, the VecIndex.repair discipline). Estimate-invisible:
     * the merged grid IS what [[registers]] was already computing.
+    * Safe against concurrent [[append]]s: the merge reads a SNAPSHOT
+    * of the log's part files, and any file that lands between the
+    * snapshot and the swap is rescued into the new log (its registers
+    * survive verbatim; the next compact folds it). Single-compactor:
+    * do not run two compacts on one store at once.
     * Returns (rows before, rows after).
     */
   def compact(spark: SparkSession, path: String): (Long, Long) = {
-    val before = spark.read.parquet(s"$path/registers").count()
-    val merged = registers(spark, path)
+    compactImpl(spark, path, () => ())
+  }
+
+  /** Test seam: `beforeSwap` runs after the snapshot is fully
+    * materialized and before the directory swap — the window a
+    * concurrent append can land in. Package-private; production code
+    * goes through [[compact]].
+    */
+  private[sketch] def compactImpl(spark: SparkSession, path: String,
+      beforeSwap: () => Unit): (Long, Long) = {
+    val meta = readMeta(spark, path)
+    // snapshot the log's file list: the merge covers exactly these
+    // files, so anything newer is a straggler append to rescue, never
+    // a silently-dropped batch
+    val snapshot = spark.read.parquet(s"$path/registers").inputFiles
+    val snapNames = snapshot.map(f => f.substring(f.lastIndexOf('/') + 1))
+      .toSet
+    val log = spark.read.parquet(snapshot.toIndexedSeq: _*)
+    val before = log.count()
+    val merged = mergeGrid(log, meta)
       .localCheckpoint(eager = true) // fully read before the swap
     val after = merged.count()
+    beforeSwap()
     val p = java.nio.file.Paths.get(s"$path/registers")
     val tmp = p.resolveSibling("registers__compact_tmp")
     val aside = p.resolveSibling("registers__compact_old")
@@ -127,7 +166,63 @@ object HllStore {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // rescue stragglers: part files in the aside that were NOT in the
+    // snapshot arrived from a concurrent append after the merge read —
+    // move them into the new log (part-file names are unique UUIDs)
+    asideParquetFiles(aside).filterNot(f => snapNames(f.getName))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath, p.resolve(f.getName),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
     org.apache.hadoop.fs.FileUtil.fullyDelete(aside.toFile)
     (before, after)
+  }
+
+  private def asideParquetFiles(dir: java.nio.file.Path)
+      : Seq[java.io.File] = {
+    val fs = Option(dir.toFile.listFiles()).map(_.toSeq).getOrElse(Nil)
+    fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  /** Crash recovery for a compact that died mid-swap. The max-merge
+    * algebra makes this trivial: re-adding ALREADY-FOLDED files to the
+    * log changes no estimate (max absorbs duplicates), so recovery
+    * never has to reconstruct how far the crash got — it just makes
+    * sure every register file is back in `registers/` and clears the
+    * aside. Idempotent; safe to call on a healthy store (no-op).
+    * Returns the number of files restored from the aside.
+    */
+  def repair(spark: SparkSession, path: String): Long = {
+    val p = java.nio.file.Paths.get(s"$path/registers")
+    val tmp = p.resolveSibling("registers__compact_tmp")
+    val aside = p.resolveSibling("registers__compact_old")
+    var restored = 0L
+    if (!java.nio.file.Files.exists(p)) {
+      // crashed between the two moves: the compacted grid (tmp) is
+      // complete — promote it; the aside's files fold back in below
+      if (java.nio.file.Files.exists(tmp)) {
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } else if (java.nio.file.Files.exists(aside)) {
+        // crashed after move 1 with no tmp (shouldn't happen — tmp is
+        // written first — but restoring the old log is always sound)
+        java.nio.file.Files.move(aside, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    if (java.nio.file.Files.exists(aside)) {
+      asideParquetFiles(aside).foreach { f =>
+        val dst = p.resolve(f.getName)
+        if (!java.nio.file.Files.exists(dst)) {
+          java.nio.file.Files.move(f.toPath, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          restored += 1L
+        }
+      }
+      org.apache.hadoop.fs.FileUtil.fullyDelete(aside.toFile)
+    }
+    if (java.nio.file.Files.exists(tmp))
+      org.apache.hadoop.fs.FileUtil.fullyDelete(tmp.toFile)
+    restored
   }
 }

@@ -45,7 +45,10 @@ object PqLadderProbe {
           "count(*) AS n")
         .head()
       val wall = (System.nanoTime() - t0) / 1e9
-      val bytes = m * (if (kCodes <= 16) 0.5 else 1.0)
+      // storage cost of a code: ceil(log2(kCodes)) bits per subspace
+      // index — correct for any kCodes, not just the 4-bit/1-byte ends
+      val bits = 32 - Integer.numberOfLeadingZeros(math.max(1, kCodes - 1))
+      val bytes = m * bits / 8.0
       println(f"[pq-probe] m=$m%2d k=$kCodes%3d trainMod=$trainMod " +
         f"bytes/vec=$bytes%.1f rank5=${out.getDouble(0) / 10000}%.1f%% " +
         f"short50=${out.getDouble(1) / 10000}%.1f%% " +

@@ -81,6 +81,70 @@ class HllStoreSpec extends SparkSpec {
     } finally delete(dir)
   }
 
+  test("compact rescues an append that lands inside the swap window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-race")
+    try {
+      val path = s"$dir/idx"
+      HllStore.write(docs.filter(col("doc_id") % 3 === 0),
+        Seq("source"), "text", path)
+      HllStore.append(docs.filter(col("doc_id") % 3 === 1), path)
+      // the reference: what the store must estimate once ALL THREE
+      // batches are in, however they interleave with the compaction
+      val full = s"$dir/full"
+      HllStore.write(docs, Seq("source"), "text", full)
+      val want = estMap(full)
+      // batch 2 lands between compact's snapshot and its swap — the
+      // exact race the straggler rescue exists for
+      HllStore.compactImpl(spark, path, () =>
+        HllStore.append(docs.filter(col("doc_id") % 3 === 2), path))
+      assert(estMap(path) == want,
+        "a straggler append's registers must survive compaction")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/registers__compact_old")))
+    } finally delete(dir)
+  }
+
+  test("repair restores the store from every compact crash state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-rec")
+    try {
+      val path = s"$dir/idx"
+      HllStore.write(docs.filter(col("doc_id") % 2 === 0),
+        Seq("source"), "text", path)
+      HllStore.append(docs.filter(col("doc_id") % 2 === 1), path)
+      val want = estMap(path)
+      val p = java.nio.file.Paths.get(s"$path/registers")
+      val tmp = p.resolveSibling("registers__compact_tmp")
+      val aside = p.resolveSibling("registers__compact_old")
+      // healthy store: repair is a no-op
+      assert(HllStore.repair(spark, path) == 0L)
+      assert(estMap(path) == want)
+      // crash BEFORE move 1: a complete tmp next to an intact log
+      HllStore.registers(spark, path)
+        .write.mode("overwrite").parquet(tmp.toString)
+      HllStore.repair(spark, path)
+      assert(!java.nio.file.Files.exists(tmp) && estMap(path) == want)
+      // crash BETWEEN the moves: log gone, tmp holds the merged grid
+      HllStore.registers(spark, path)
+        .write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.move(p, aside)
+      HllStore.repair(spark, path)
+      assert(java.nio.file.Files.exists(p) && estMap(path) == want)
+      assert(!java.nio.file.Files.exists(aside)
+        && !java.nio.file.Files.exists(tmp))
+      // crash AFTER move 2, before the aside delete: old files linger
+      java.nio.file.Files.createDirectory(aside)
+      java.nio.file.Files.list(p).forEach { f =>
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(f,
+            aside.resolve("part-relic-" + f.getFileName.toString))
+      }
+      assert(HllStore.repair(spark, path) > 0L)
+      assert(estMap(path) == want, // max-merge absorbs the re-added files
+        "re-folded aside files must not move any estimate")
+      assert(!java.nio.file.Files.exists(aside))
+    } finally delete(dir)
+  }
+
   test("estimate plan is pure hash aggregation — no Expand, no ObjectHashAggregate") {
     val dir = java.nio.file.Files.createTempDirectory("graft-hll-plan")
     try {
