@@ -6641,6 +6641,77 @@ object PipelineQueries {
       |FROM agg ORDER BY source
       |""".stripMargin))
 
+  /** Session-memoized ACCRETED KMV minima store for a17 — the a12
+    * profiler's columns through the store: bootstrap write of one
+    * order-key third of lineitem (UNPIVOTED to (column_name, val) —
+    * the ×8 fan-out happens ONCE per batch at WRITE, where it is a
+    * per-batch increment, not per profiling run), two sequential
+    * appends through the stored meta, AND batch 1 appended a SECOND
+    * time — the at-least-once replay the distinct-union algebra must
+    * absorb for free.
+    */
+  private val kmvStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val kmvProfileCols = Seq("l_orderkey", "l_partkey",
+    "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax")
+  private def kmvStoreDir(s: SparkSession, dir: String): String =
+    kmvStoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = TempStores.dir("graft-kmvstore") + "/kidx"
+        val li = t(s, dir, "lineitem")
+        // cast-to-string BEFORE the stack: hash40's own cast of the
+        // raw column hashes the identical rendering, so the store's
+        // minima are bit-equal to a12's per-column k-minima
+        def unpivot(df: org.apache.spark.sql.DataFrame) =
+          df.select(expr("stack(" + kmvProfileCols.size + ", " +
+            kmvProfileCols.map(c => s"'$c', cast($c as string)")
+              .mkString(", ") + ") as (column_name, val)"))
+        graft.sketch.KmvStore.write(unpivot(li.filter(col("l_orderkey") % 3 === 0)),
+          Seq("column_name"), "val", 256, path)
+        graft.sketch.KmvStore.append(unpivot(li.filter(col("l_orderkey") % 3 === 1)),
+          path)
+        graft.sketch.KmvStore.append(unpivot(li.filter(col("l_orderkey") % 3 === 2)),
+          path)
+        // the replayed batch: at-least-once ingest, must change nothing
+        graft.sketch.KmvStore.append(unpivot(li.filter(col("l_orderkey") % 3 === 1)),
+          path)
+        path
+      })
+
+  /** A17 — accreted KMV minima store ([[graft.sketch.KmvStore]]): the
+    * a12 sketch profiler's k-minima PERSISTED per column so
+    * incremental profile updates merge by distinct-union + k-minima
+    * cut instead of rescanning history — the store format a12's
+    * scaladoc charters, given the a16 treatment (append-only log,
+    * `_meta` sidecar, crash-safe compaction with straggler rescue).
+    * The store is built by bootstrap + two appends + one REPLAYED
+    * append; the oracle is STORE-FREE: it computes each column's KMV
+    * estimate one-shot from the raw lineitem table with the shared
+    * exact-integer Bar-Yossef estimator, so a dropped append, a
+    * mis-cut minima set, a replay that double-counts, or meta drift
+    * all hash-mismatch while the oracle stands still.
+    */
+  val a17KmvMinimaStore = QueryDef("a17_kmv_minima_store",
+    (s, dir) => graft.sketch.KmvStore.estimate(s, kmvStoreDir(s, dir))
+      .orderBy(col("column_name")),
+    Some(s"""
+      |${kmvProfileCols.map(c =>
+        s"""SELECT '$c' AS column_name,
+           |       CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+           |            ELSE ${255L * graft.sketch.Sketch.HashSpace} // MAX(hh)
+           |            END AS BIGINT) AS n_distinct_est,
+           |       CAST(COUNT(*) AS BIGINT) AS sketch_size
+           |FROM (
+           |  SELECT hh FROM (
+           |    SELECT DISTINCT CAST('0x' ||
+           |        substr(md5(CAST($c AS VARCHAR)), 1, 10) AS BIGINT) AS hh
+           |    FROM lineitem WHERE $c IS NOT NULL)
+           |  ORDER BY hh LIMIT 256)""".stripMargin)
+        .mkString("\nUNION ALL\n")}
+      |ORDER BY column_name
+      |""".stripMargin))
+
   /** T54 — normalization-lift dedup accounting: exact dedup run twice,
     * on the raw content hash and on the [[TextAnalysis.canonicalText]]
     * hash (lowercase, punctuation strip, whitespace collapse), with the
@@ -7452,5 +7523,5 @@ object PipelineQueries {
     a14KmvErrorCurve, s24DecontamThresholds, a15ColumnProfileHll,
     a16HllRegisterStore,
     s25VecStoreInt8, s26Int8StoreRecall, s27PqRecall, s28PqRecall256,
-    s29PqRecall16x256)
+    s29PqRecall16x256, a17KmvMinimaStore)
 }

@@ -296,6 +296,22 @@ object Similarity {
   def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
       m: Int, kCodes: Int, iterations: Int, dims: Int = 64,
       trainMod: Long = 1L)
+      : IndexedSeq[IndexedSeq[(Int, Seq[Long])]] =
+    trainPqCodebooksQ(
+      widen(df).select(col(idCol).as("__id"),
+        quantize(col(vecCol)).as("__qv")),
+      m, kCodes, iterations, dims, trainMod)
+
+  /** [[trainPqCodebooks]] over an ALREADY-QUANTIZED `(__id, __qv)`
+    * frame — the store-sidecar path ([[VecIndex.writePqSidecar]]
+    * trains on persisted milli vectors; the raw path above quantizes
+    * first). Identical training given identical quantized inputs, so
+    * a sidecar trained from the store and an audit trained from raw
+    * embeddings produce the same codebooks — the property that lets
+    * one oracle text replay both.
+    */
+  def trainPqCodebooksQ(q: DataFrame, m: Int, kCodes: Int,
+      iterations: Int, dims: Int = 64, trainMod: Long = 1L)
       : IndexedSeq[IndexedSeq[(Int, Seq[Long])]] = {
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     require(trainMod >= 1L, s"trainMod must be >= 1, got $trainMod")
@@ -304,9 +320,7 @@ object Similarity {
     // sample — the standard production shape (codebooks train on a
     // sample, ENCODING still covers every vector) and what keeps the
     // k=256 oracle replay affordable; trainMod = 1 is the full corpus
-    val base = index(widen(df)
-      .filter(col(idCol) % trainMod === 0)
-      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__qv")))
+    val base = index(q.filter(col("__id") % trainMod === 0))
     val init = base.orderBy(col("__id")).limit(kCodes).collect()
       .map(r => r.getSeq[Long](r.fieldIndex("__qv")).toSeq)
     require(init.nonEmpty, "trainPqCodebooks: empty corpus")
@@ -361,6 +375,32 @@ object Similarity {
     * exact integers — the DuckDB oracle replays the entire pipeline
     * including training.
     */
+  /** The m PQ code indices of quantized vector `qv` under `books`:
+    * per-subspace nearest centroid by exact integer L2, ties to the
+    * smaller code — a pure scan-stage expression against the kilobyte
+    * codebook literal, no join.
+    */
+  def pqEncodeExpr(qv: Column,
+      books: IndexedSeq[IndexedSeq[(Int, Seq[Long])]],
+      sub: Int): Column =
+    array(books.indices.map { j =>
+      element_at(graft.functions.nearest_centroids(
+        slice(qv, j * sub + 1, sub), books(j), sub, 1), 1)
+    }: _*)
+
+  /** Reconstruction of a PQ-coded vector through the FLAT literal
+    * codebook: entry j·kEff + c is subspace j's code-c word. kEff, not
+    * kCodes: a corpus (or train sample) smaller than kCodes yields
+    * fewer codewords and the flat stride must match what was trained.
+    */
+  def pqReconstructExpr(codes: Column,
+      books: IndexedSeq[IndexedSeq[(Int, Seq[Long])]]): Column = {
+    val kEff = books.head.size
+    val cb = typedlit(books.flatMap(_.map(_._2)).map(_.toIndexedSeq))
+    flatten(transform(codes, (c, j) =>
+      element_at(cb, j * lit(kEff) + c + lit(1))))
+  }
+
   def pqRecallAudit(df: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, kCodes: Int = 16, iterations: Int = 2, k: Int = 5,
       sampleMod: Long = 20L, trainMod: Long = 1L): DataFrame = {
@@ -370,20 +410,9 @@ object Similarity {
       iterations, dims, trainMod)
     val base = index(widen(df).select(col(idCol).as("id"),
       quantize(col(vecCol)).as("qv")))
-    // flat literal codebook: entry j·kEff + c is subspace j's code-c
-    // word — the encode and reconstruct steps are pure scan-stage
-    // expressions against this kilobyte literal, no join. kEff, not
-    // kCodes: a corpus (or train sample) smaller than kCodes yields
-    // fewer codewords and the flat stride must match what was trained
-    val kEff = books.head.size
-    val cb = typedlit(books.flatMap(_.map(_._2)).map(_.toIndexedSeq))
-    val codes = array((0 until m).map { j =>
-      element_at(graft.functions.nearest_centroids(
-        slice(col("qv"), j * sub + 1, sub), books(j), sub, 1), 1)
-    }: _*)
     val recon = index(base.select(col("id").as("neighbor_id"),
-      flatten(transform(codes, (c, j) =>
-        element_at(cb, j * lit(kEff) + c + lit(1)))).as("cv")))
+      pqReconstructExpr(pqEncodeExpr(col("qv"), books, sub), books)
+        .as("cv")))
     val queries = base.filter(col("id") % sampleMod === 0)
       .select(col("id").as("query_id"), col("qv"))
     val exact = topKFromQuantized(queries,

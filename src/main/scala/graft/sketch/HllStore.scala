@@ -146,10 +146,11 @@ object HllStore {
   private[sketch] def compactImpl(spark: SparkSession, path: String,
       beforeSwap: () => Unit): (Long, Long) = {
     val meta = readMeta(spark, path)
+    val logDir = s"$path/registers"
     // snapshot the log's file list: the merge covers exactly these
     // files, so anything newer is a straggler append to rescue, never
     // a silently-dropped batch
-    val snapshot = spark.read.parquet(s"$path/registers").inputFiles
+    val snapshot = spark.read.parquet(logDir).inputFiles
     val snapNames = snapshot.map(f => f.substring(f.lastIndexOf('/') + 1))
       .toSet
     val log = spark.read.parquet(snapshot.toIndexedSeq: _*)
@@ -158,71 +159,17 @@ object HllStore {
       .localCheckpoint(eager = true) // fully read before the swap
     val after = merged.count()
     beforeSwap()
-    val p = java.nio.file.Paths.get(s"$path/registers")
-    val tmp = p.resolveSibling("registers__compact_tmp")
-    val aside = p.resolveSibling("registers__compact_old")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    java.nio.file.Files.move(p, aside,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // rescue stragglers: part files in the aside that were NOT in the
-    // snapshot arrived from a concurrent append after the merge read —
-    // move them into the new log (part-file names are unique UUIDs)
-    asideParquetFiles(aside).filterNot(f => snapNames(f.getName))
-      .foreach { f =>
-        java.nio.file.Files.move(f.toPath, p.resolve(f.getName),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-    org.apache.hadoop.fs.FileUtil.fullyDelete(aside.toFile)
+    merged.write.mode("overwrite")
+      .parquet(StoreDirOps.compactTmp(logDir))
+    StoreDirOps.swapAndRescue(logDir, snapNames)
     (before, after)
   }
 
-  private def asideParquetFiles(dir: java.nio.file.Path)
-      : Seq[java.io.File] = {
-    val fs = Option(dir.toFile.listFiles()).map(_.toSeq).getOrElse(Nil)
-    fs.filter(f => f.isFile && f.getName.endsWith(".parquet"))
-  }
-
-  /** Crash recovery for a compact that died mid-swap. The max-merge
-    * algebra makes this trivial: re-adding ALREADY-FOLDED files to the
-    * log changes no estimate (max absorbs duplicates), so recovery
-    * never has to reconstruct how far the crash got — it just makes
-    * sure every register file is back in `registers/` and clears the
-    * aside. Idempotent; safe to call on a healthy store (no-op).
-    * Returns the number of files restored from the aside.
+  /** Crash recovery for a compact that died mid-swap (see
+    * [[StoreDirOps.repair]] — max-merge absorbs re-folded files, so
+    * recovery never reconstructs how far the crash got). Idempotent;
+    * no-op on a healthy store. Returns files restored from the aside.
     */
-  def repair(spark: SparkSession, path: String): Long = {
-    val p = java.nio.file.Paths.get(s"$path/registers")
-    val tmp = p.resolveSibling("registers__compact_tmp")
-    val aside = p.resolveSibling("registers__compact_old")
-    var restored = 0L
-    if (!java.nio.file.Files.exists(p)) {
-      // crashed between the two moves: the compacted grid (tmp) is
-      // complete — promote it; the aside's files fold back in below
-      if (java.nio.file.Files.exists(tmp)) {
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } else if (java.nio.file.Files.exists(aside)) {
-        // crashed after move 1 with no tmp (shouldn't happen — tmp is
-        // written first — but restoring the old log is always sound)
-        java.nio.file.Files.move(aside, p,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-    }
-    if (java.nio.file.Files.exists(aside)) {
-      asideParquetFiles(aside).foreach { f =>
-        val dst = p.resolve(f.getName)
-        if (!java.nio.file.Files.exists(dst)) {
-          java.nio.file.Files.move(f.toPath, dst,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          restored += 1L
-        }
-      }
-      org.apache.hadoop.fs.FileUtil.fullyDelete(aside.toFile)
-    }
-    if (java.nio.file.Files.exists(tmp))
-      org.apache.hadoop.fs.FileUtil.fullyDelete(tmp.toFile)
-    restored
-  }
+  def repair(spark: SparkSession, path: String): Long =
+    StoreDirOps.repair(s"$path/registers")
 }
