@@ -67,6 +67,42 @@ object PipelineQueries {
       |              ELSE CAST([] AS VARCHAR[]) END AS sh
       |  FROM toks)""".stripMargin
 
+  /** Inverted-index restatement of the blocked all-pairs shingle join
+    * — the d6 lesson applied to the whole d2 oracle family (r15):
+    * `sh a JOIN sh b ON block AND a.doc_id < b.doc_id` with a per-pair
+    * `list_intersect` is O(N²/blocks) pairs × O(|sh|) intersects —
+    * 1373 s of the d20 sf1 replay. Since `sh` is DISTINCT per doc,
+    * the gram equi-join's per-pair row count IS the intersection size
+    * and |A ∪ B| = |A| + |B| − |A ∩ B|, so the grouped join below is
+    * BIT-IDENTICAL (measured: identical pair sets at sf0.01/sf0.1,
+    * 5.4× faster at sf0.1, and the unchanged Spark side re-gates
+    * green at sf1) while pairs materialize only from co-occurrence.
+    */
+  private val seSql =
+    """se AS (
+      |  SELECT doc_id, lang, source, len(sh) AS nsh, unnest(sh) AS g
+      |  FROM sh)""".stripMargin
+
+  /** `pr(id1, id2, jac)` — exact ppm Jaccard per co-occurring pair. */
+  private val prJacSql =
+    """pr AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |         CAST(FLOOR(CAST(COUNT(*) AS BIGINT) * 1000000
+      |                    / (ANY_VALUE(a.nsh) + ANY_VALUE(b.nsh)
+      |                       - COUNT(*))) AS BIGINT) AS jac
+      |  FROM se a JOIN se b
+      |    ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  /** `pr(id1, id2)` — co-occurring pairs only (the closure inputs). */
+  private val prCoocSql =
+    """pr AS (
+      |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM se a JOIN se b
+      |    ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+      |   AND a.doc_id < b.doc_id)""".stripMargin
+
   // ------------------------------------------------------------------ text
 
   /** T1–T4 — token counts, quality score, language ID, rolling-hash
@@ -231,14 +267,11 @@ object PipelineQueries {
     },
     Some(s"""
       |WITH $tokSql,
-      |$shSql
-      |SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |       CAST(FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
-      |                  / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT)
-      |         AS jaccard_ppm
-      |FROM sh a JOIN sh b
-      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.sh, b.sh)) > 0
+      |$shSql,
+      |$seSql,
+      |$prJacSql
+      |SELECT id1, id2, jac AS jaccard_ppm
+      |FROM pr
       |ORDER BY jaccard_ppm DESC, id1, id2
       |""".stripMargin))
 
@@ -587,11 +620,8 @@ object PipelineQueries {
     Some(s"""
       |WITH RECURSIVE $tokSql,
       |$shSql,
-      |pr AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM sh a JOIN sh b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+      |$seSql,
+      |$prCoocSql,
       |edges AS (
       |  SELECT id1 AS src, id2 AS dst FROM pr
       |  UNION
@@ -619,11 +649,8 @@ object PipelineQueries {
     Some(s"""
       |WITH RECURSIVE $tokSql,
       |$shSql,
-      |pr AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM sh a JOIN sh b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+      |$seSql,
+      |$prCoocSql,
       |edges AS (
       |  SELECT id1 AS src, id2 AS dst FROM pr
       |  UNION
@@ -4232,13 +4259,8 @@ object PipelineQueries {
     Some(s"""
       |WITH RECURSIVE $tokSql,
       |$shSql,
-      |pr AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |         CAST(FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
-      |                    / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jac
-      |  FROM sh a JOIN sh b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+      |$seSql,
+      |$prJacSql,
       |edges AS (SELECT id1 AS src, id2 AS dst FROM pr
       |          UNION SELECT id2, id1 FROM pr),
       |reach AS (
@@ -5490,8 +5512,14 @@ object PipelineQueries {
     * affordable. `m` is the subspace count (64 % m == 0): each
     * subspace quantizes 64/m contiguous coordinates.
     */
-  private def pqOracleSql(kCodes: Int, trainMod: Long,
-      m: Int = 8): String = {
+  /** The PQ TRAIN → ENCODE → RECONSTRUCT CTE chain over [[qSql]]'s
+    * `qv` (integer Lloyd on the 1-in-trainMod id sample, full-corpus
+    * encode, `recon(vec_id, rv)` out) — shared by the brute-force
+    * audit oracles (s27/s28/s29, via [[pqOracleSql]]) and the s30
+    * STORE oracle, which composes it with the banded-blocking CTEs
+    * to replay the whole serving tier store-free.
+    */
+  private def pqTrainCtes(kCodes: Int, trainMod: Long, m: Int): String = {
       require(64 % m == 0, s"m=$m must divide 64")
       val sub = 64 / m
       def dist(a: String, b: String) =
@@ -5517,9 +5545,7 @@ object PipelineQueries {
            |    FROM m$i GROUP BY j, code) m
            |    ON m.j = p.j AND m.code = p.code)""".stripMargin
       }.mkString(",\n")
-      s"""
-      |WITH $qSql,
-      |sub AS (
+      s"""sub AS (
       |  SELECT vec_id, CAST(r.j AS INT) AS j,
       |         qv[CAST(r.j * $sub + 1 AS INT):CAST(r.j * $sub + $sub AS INT)]
       |           AS sv
@@ -5543,7 +5569,14 @@ object PipelineQueries {
       |recon AS (
       |  SELECT e.vec_id, flatten(list(b.cw ORDER BY e.j)) AS rv
       |  FROM enc e JOIN b2 b ON b.j = e.j AND b.code = e.code
-      |  GROUP BY e.vec_id),
+      |  GROUP BY e.vec_id)""".stripMargin
+  }
+
+  private def pqOracleSql(kCodes: Int, trainMod: Long,
+      m: Int = 8): String = {
+      s"""
+      |WITH $qSql,
+      |${pqTrainCtes(kCodes, trainMod, m)},
       |apx_scored AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.rv", "c.rv")} > 0
@@ -5636,6 +5669,139 @@ object PipelineQueries {
       "vec_id", "embedding", m = 16, kCodes = 256, iterations = 2,
       k = 5, sampleMod = 20L, trainMod = 5L),
     Some(pqOracleSql(kCodes = 256, trainMod = 5L, m = 16)))
+
+  /** The milli vector store of [[vecStoreDir]] with the s29-gated PQ
+    * shortlist sidecar written on top (m=16, k=256, trainMod=5 —
+    * codebooks trained on the STORE's own vectors, codes for every
+    * corpus vector at 16 one-byte indices). Memoized per (session,
+    * sf): the sidecar write is the one-off index build the serving
+    * path amortizes.
+    */
+  private val pqStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqStoreDir(s: SparkSession, dir: String): String =
+    pqStoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = vecStoreDir(s, dir)
+        VecIndex.writePqSidecar(s, path, m = 16, kCodes = 256,
+          iterations = 2, trainMod = 5L)
+        path
+      })
+
+  /** S30 — the PQ serving tier END-TO-END through the persisted store
+    * ([[VecIndex.annProbeVecIndex]]): s29 measured the m=16,k=256
+    * code's recall through brute-force ADC; a store user pays the
+    * composite — banding discovery × PQ shortlist × exact re-rank —
+    * and this row is that composite as a measured per-query number
+    * (the s26 stance: the store path's recall is gated, not assumed).
+    * For the 1-in-20 organic query sample, the exact cosine top-5
+    * over the full corpus is scored against (a) the store's final
+    * re-ranked top-5 — `recall_ppm`, the serving answer — and (b) the
+    * store's 50-deep shortlist — `short_recall_ppm`, which isolates
+    * what the 16-byte tier lost after banding. The oracle is
+    * STORE-FREE and replays EVERYTHING from raw embeddings: banded
+    * blocking with 1-bit multi-probe ([[bandedBlockSql]]), PQ
+    * training on the 1-in-5 sample + full-corpus encode + ADC
+    * ([[pqTrainCtes]] — the same text the s27/s28/s29 oracles ride),
+    * the top-50 cut, the exact re-rank, and the recall algebra — so a
+    * sidecar encode bug, a stale refresh, band drift, or a re-rank
+    * ordering slip all hash-mismatch while the oracle stands still.
+    */
+  val s30PqStoreRecall = QueryDef("s30_pq_store_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") % 20 === 0)
+      val got = VecIndex.annProbeVecIndex(s, probes, "vec_id",
+          "embedding", pqStoreDir(s, dir), shortlist = 50)
+        .select(col("query_id"), col("neighbor_id"),
+          when(col("rank") <= 5, 1L).otherwise(0L).as("__topk"),
+          lit(1L).as("__short"))
+        .localCheckpoint(eager = false) // both metrics read one ranking
+      val baseQ = emb.select(col("vec_id").as("query_id"),
+          Similarity.quantize(col("embedding")).as("qv"))
+        .localCheckpoint(eager = false) // queries + corpus share one pass
+      val exact = Similarity.topKFromQuantized(
+        baseQ.filter(col("query_id") % 20 === 0),
+        baseQ.select(col("query_id").as("neighbor_id"),
+          col("qv").as("cv")), 5)
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(got, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("__topk")), lit(0L)).as("hits"),
+          coalesce(sum(col("__short")), lit(0L)).as("hits_short"))
+        .withColumn("recall_ppm", expr("hits * 1000000L div n_exact"))
+        .withColumn("short_recall_ppm",
+          expr("hits_short * 1000000L div n_exact"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      |WITH $qSql,
+      |$annParamsSql,
+      |${bandedBlockSql("qv")}
+      |${pqTrainCtes(kCodes = 256, trainMod = 5L, m = 16)},
+      |pcand AS (
+      |  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS neighbor_id
+      |  FROM pr p JOIN bb b ON p.band = b.band AND p.bucket = b.bucket
+      |  WHERE p.vec_id % 20 = 0 AND b.vec_id <> p.vec_id),
+      |adc AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("r.rv", "r.rv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "r.rv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("r.rv", "r.rv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM pcand c
+      |  JOIN qv q ON q.vec_id = c.query_id
+      |  JOIN recon r ON r.vec_id = c.neighbor_id),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rk
+      |    FROM adc) WHERE rk <= 50),
+      |rr AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |  FROM (
+      |    SELECT s.query_id, s.neighbor_id,
+      |           CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |                THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                     sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |           END AS cosine
+      |    FROM short s
+      |    JOIN qv q ON q.vec_id = s.query_id
+      |    JOIN qv c ON c.vec_id = s.neighbor_id)),
+      |ex_scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CASE WHEN ${dotSql("q.qv", "q.qv")} > 0 AND ${dotSql("c.qv", "c.qv")} > 0
+      |              THEN CAST(${dotSql("q.qv", "c.qv")} AS DOUBLE) /
+      |                   sqrt(CAST(${dotSql("q.qv", "q.qv")} * ${dotSql("c.qv", "c.qv")} AS DOUBLE))
+      |         END AS cosine
+      |  FROM qv q JOIN qv c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id % 20 = 0),
+      |truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |              ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rank
+      |    FROM ex_scored) WHERE rank <= 5)
+      |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |       CAST(COALESCE(SUM(CASE WHEN r.rank <= 5
+      |                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |         AS hits,
+      |       CAST(COALESCE(SUM(CASE WHEN r.query_id IS NOT NULL
+      |                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |         AS hits_short,
+      |       CAST(COALESCE(SUM(CASE WHEN r.rank <= 5
+      |                              THEN 1 ELSE 0 END), 0) * 1000000
+      |            // COUNT(*) AS BIGINT) AS recall_ppm,
+      |       CAST(COALESCE(SUM(CASE WHEN r.query_id IS NOT NULL
+      |                              THEN 1 ELSE 0 END), 0) * 1000000
+      |            // COUNT(*) AS BIGINT) AS short_recall_ppm
+      |FROM truth t LEFT JOIN rr r
+      |  ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+      |GROUP BY t.query_id
+      |ORDER BY t.query_id
+      |""".stripMargin))
 
   /** T45 — boilerplate STRIPPING accounting
     * ([[Dedup.boilerplateCoverage]]): d12 censuses boilerplate; this is
@@ -5899,11 +6065,8 @@ object PipelineQueries {
     Some(s"""
       |WITH RECURSIVE $tokSql,
       |$shSql,
-      |pr AS (
-      |  SELECT a.doc_id AS id1, b.doc_id AS id2
-      |  FROM sh a JOIN sh b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+      |$seSql,
+      |$prCoocSql,
       |edges AS (
       |  SELECT id1 AS src, id2 AS dst FROM pr
       |  UNION
@@ -7523,5 +7686,5 @@ object PipelineQueries {
     a14KmvErrorCurve, s24DecontamThresholds, a15ColumnProfileHll,
     a16HllRegisterStore,
     s25VecStoreInt8, s26Int8StoreRecall, s27PqRecall, s28PqRecall256,
-    s29PqRecall16x256, a17KmvMinimaStore)
+    s29PqRecall16x256, a17KmvMinimaStore, s30PqStoreRecall)
 }

@@ -231,4 +231,196 @@ object VecIndex {
       .filter(dot > 0 && lhs >= rhs)
       .select(col("probe_id"), col("corpus_id"), dot.as("dot_q"))
   }
+
+  // ----------------------------------------------------- PQ shortlist tier
+
+  final case class PqMeta(m: Int, kCodes: Int, kEff: Int, dims: Int,
+      iterations: Int, trainMod: Long)
+
+  /** Add the s29-justified PQ SHORTLIST tier to a persisted index: a
+    * `codes/` sidecar of 1-byte-per-subspace product-quantization
+    * codes next to the exact `vecs/`. Serving reads then score the
+    * (large) banded candidate set against m bytes/vector instead of
+    * the full code — at the gated m=16 point, 16 B instead of the
+    * milli sidecar's 512 B (32×) or int8's 64 B (4×) — and touch the
+    * exact tier only for the top-`shortlist` survivors per probe
+    * ([[annProbeVecIndex]]). Codebooks train on the STORE's OWN
+    * vectors with the s27/s28/s29 integer-Lloyd discipline
+    * ([[Similarity.trainPqCodebooksQ]] — deterministic 1-in-trainMod
+    * id sample, first-kCodes init, exact-L2 ties-to-smaller-code,
+    * truncating mean), so sidecar codes are a pure function of
+    * (vecs, params) — which is what lets a STORE-FREE oracle replay
+    * the whole tier from raw embeddings.
+    *
+    * Layout: `codes/` (vec_id, codes array<tinyint>, code c stored as
+    * c−128 so 256 codewords fit the signed byte); `_pq/` the
+    * codebook rows (j, code, cw) + one `_pq_meta/` params row — both
+    * kilobytes, the only driver pulls on the read path.
+    */
+  def writePqSidecar(spark: SparkSession, path: String, m: Int = 16,
+      kCodes: Int = 256, iterations: Int = 2, trainMod: Long = 5L)
+      : Unit = {
+    val meta = readMeta(spark, path)
+    val vecs = loadVecs(spark, path, meta.codec)
+      .repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .localCheckpoint(eager = false) // train + encode share one read
+    val dims = vecs.select(size(col("qv"))).head().getInt(0)
+    val sub = dims / m
+    val books = Similarity.trainPqCodebooksQ(
+      vecs.select(col("vec_id").as("__id"), col("qv").as("__qv")),
+      m, kCodes, iterations, dims, trainMod)
+    vecs.select(col("vec_id"),
+        codesEncode(Similarity.pqEncodeExpr(col("qv"), books, sub))
+          .as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    import spark.implicits._
+    books.zipWithIndex
+      .flatMap { case (book, j) => book.map { case (c, cw) => (j, c, cw) } }
+      .toDF("j", "code", "cw").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_pq")
+    Seq((m, kCodes, books.head.size, dims, iterations, trainMod))
+      .toDF("m", "k_codes", "k_eff", "dims", "iterations", "train_mod")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_pq_meta")
+  }
+
+  /** Codes persist 1 byte/subspace: code c ∈ [0, 255] stores as c−128. */
+  private def codesEncode(codes: Column): Column =
+    transform(codes, c => (c - lit(128)).cast("tinyint"))
+  private def codesDecode(codes: Column): Column =
+    transform(codes, c => (c.cast("int") + lit(128)))
+
+  def readPqMeta(spark: SparkSession, path: String): PqMeta = {
+    val r = spark.read.parquet(s"$path/_pq_meta").head()
+    PqMeta(r.getAs[Int]("m"), r.getAs[Int]("k_codes"),
+      r.getAs[Int]("k_eff"), r.getAs[Int]("dims"),
+      r.getAs[Int]("iterations"), r.getAs[Long]("train_mod"))
+  }
+
+  /** The persisted codebooks, j-then-code ordered (≤ m·kCodes rows —
+    * kilobytes, the bounded driver pull the flat-literal ADC needs).
+    */
+  private def readBooks(spark: SparkSession, path: String)
+      : IndexedSeq[IndexedSeq[(Int, Seq[Long])]] =
+    spark.read.parquet(s"$path/_pq")
+      .orderBy(col("j"), col("code")).collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("code"),
+        r.getSeq[Long](r.fieldIndex("cw")).toSeq))
+      .groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)).toIndexedSeq)
+
+  /** Encode vectors that landed in `vecs/` after the sidecar was
+    * written (an [[appendToVecIndex]] increment) with the FROZEN
+    * stored codebooks — codes stay a pure function of (vecs, params),
+    * so a refreshed sidecar is identical to one written after the
+    * append. Idempotent; returns the number of vectors encoded.
+    */
+  def refreshPqSidecar(spark: SparkSession, path: String): Long = {
+    val meta = readMeta(spark, path)
+    val pm = readPqMeta(spark, path)
+    val books = readBooks(spark, path)
+    val coded = spark.read.parquet(s"$path/codes").select(col("vec_id"))
+    val missing = loadVecs(spark, path, meta.codec)
+      .join(coded, Seq("vec_id"), "left_anti")
+      .localCheckpoint(eager = true) // pin before the append changes input
+    val n = missing.count()
+    if (n > 0)
+      missing.select(col("vec_id"),
+          codesEncode(Similarity.pqEncodeExpr(col("qv"), books,
+            pm.dims / pm.m)).as("codes"))
+        .write.mode("append").parquet(s"$path/codes")
+    n
+  }
+
+  /** Top-k ANN through the store, the standard PQ serving shape —
+    * banding DISCOVERS, the codes sidecar SHORTLISTS, the exact tier
+    * RE-RANKS:
+    *
+    *  1. probe bands + 1-bit multi-probe prune the corpus read to
+    *     ≤ nBuckets directories (the [[probeVecIndex]] discovery);
+    *  2. every candidate is ADC-scored by the probe's full-precision
+    *     code against the candidate's PQ RECONSTRUCTION — candidates
+    *     join only the m-byte `codes/` sidecar; reconstruction is a
+    *     scan-stage expression through the flat literal codebook (no
+    *     codebook join), and the per-probe top-`shortlist` survives
+    *     via the mergeable [[TopKAggregator]] (k-slot partials, never
+    *     the candidate space through a window);
+    *  3. ONLY shortlist rows join the exact `vecs/` tier for the
+    *     integer-cosine re-rank.
+    *
+    * Returns the re-ranked shortlist: (query_id, rank, neighbor_id,
+    * dot_q, cosine) with rank by EXACT cosine (desc, nulls last,
+    * neighbor_id tie-break) — `rank <= k` is the caller's serving
+    * answer; the full list is the shortlist-recall diagnostic (one
+    * output serves both, the s27 reporting trick). At 100 TB the
+    * candidate-scoring join — the term that dominates a probe — ships
+    * m bytes/vector instead of the exact tier's full code.
+    */
+  def annProbeVecIndex(spark: SparkSession, probes: DataFrame,
+      idCol: String, vecCol: String, path: String,
+      shortlist: Int = 50): DataFrame = {
+    val m = readMeta(spark, path)
+    val books = readBooks(spark, path)
+    val pq = codecQuantize(probes, idCol, vecCol, m.codec)
+      .select(col("vec_id").as("query_id"), col("qv").as("pqv"))
+      .localCheckpoint(eager = false) // bands + ADC + re-rank share it
+    val pb = Similarity
+      .bandedSignBucketsQ(pq, "query_id", "pqv", m.bands, m.bitsPerBand)
+    val pr = pb.select(col("query_id"), col("band"),
+        explode(array((0 to m.bitsPerBand).map(f =>
+          if (f == 0) col("bucket")
+          else col("bucket").bitwiseXOR(lit(1 << (f - 1)))): _*)).as("bucket"))
+      .withColumn("dir", dirOf(col("band"), col("bucket"), m.nBuckets))
+      .localCheckpoint(eager = false)
+    val probeDirs = pr.select("dir").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ nBuckets — bounded
+    val corpus = spark.read.parquet(s"$path/bands")
+      .filter(col("dir")
+        .isin(probeDirs.toIndexedSeq.map(Integer.valueOf): _*))
+    val cands = pr
+      .join(corpus, Seq("dir", "band", "bucket"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+      .filter(col("query_id") =!= col("neighbor_id"))
+    def widen(c: Column): Column =
+      if (m.codec == "int8") transform(c, x => x.cast("bigint")) else c
+    // ADC stage: candidates carry m bytes each; reconstruction and
+    // scoring are scan-stage expressions after the join
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    val rv = Similarity.pqReconstructExpr(codesDecode(col("codes")), books)
+    val pqvW = widen(col("pqv"))
+    val adcDot = Similarity.dotQ(pqvW, rv)
+    val adcCos = Similarity.cosineFromQ(adcDot,
+      Similarity.normSqQ(pqvW), Similarity.normSqQ(rv))
+    val topShort = udaf(TopKAggregator(shortlist))
+    val short = cands
+      .join(codes, "neighbor_id")
+      .join(pq, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        adcDot.as("__adot"), adcCos.as("__acos"))
+      .groupBy(col("query_id"))
+      .agg(topShort(col("neighbor_id"), col("__adot"), col("__acos"))
+        .as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("c"))
+      .select(col("query_id"), col("c.neighbor_id").as("neighbor_id"))
+    // exact re-rank: ONLY shortlist rows touch the exact tier
+    val exact = spark.read.parquet(s"$path/vecs")
+      .select(col("vec_id").as("neighbor_id"), col("qv"))
+    val qvW = widen(col("qv"))
+    val exDot = Similarity.dotQ(pqvW, qvW)
+    val exCos = Similarity.cosineFromQ(exDot,
+      Similarity.normSqQ(pqvW), Similarity.normSqQ(qvW))
+    val topK = udaf(TopKAggregator(shortlist)) // full re-ranked list out
+    short
+      .join(exact, "neighbor_id")
+      .join(pq, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        exDot.as("dot_q"), exCos.as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(topK(col("neighbor_id"), col("dot_q"), col("cosine")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id"), col("col.dot_q"), col("col.cosine"))
+  }
 }

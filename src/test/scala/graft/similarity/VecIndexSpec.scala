@@ -164,6 +164,69 @@ class VecIndexSpec extends SparkSpec {
     } finally delete(dir)
   }
 
+  test("PQ shortlist tier: 1-byte sidecar, rank-1 serving, frozen-codebook refresh, payload pin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-pq")
+    try {
+      val path = s"$dir/idx"
+      VecIndex.writeVecIndex(base, "vec_id", "embedding", path,
+        bands = 8, bitsPerBand = 8, nBuckets = 16)
+      VecIndex.writePqSidecar(spark, path, m = 16, kCodes = 256,
+        trainMod = 5L)
+      // the sidecar really is m one-byte codes per vector
+      val elem = spark.read.parquet(s"$path/codes").schema("codes")
+        .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType
+      assert(elem == org.apache.spark.sql.types.ByteType,
+        s"PQ codes must persist as tinyint, got $elem")
+      val pm = VecIndex.readPqMeta(spark, path)
+      assert(pm.m == 16 && pm.kCodes == 256 && pm.dims == 64
+        && pm.trainMod == 5L && pm.kEff >= 1 && pm.kEff <= 256)
+      // serving: every verbatim re-ingest probe must find its original
+      // at rank 1 (identical vector → identical bands → candidate;
+      // exact re-rank puts cosine 1.0 first)
+      val out = VecIndex.annProbeVecIndex(spark, probes, "vec_id",
+        "embedding", path)
+      val rank1 = out.filter(col("rank") === 1).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("neighbor_id")).toMap
+      val expected = base.filter(col("vec_id") % 17 === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      expected.foreach { id =>
+        assert(rank1.get(id + 900000L).contains(id),
+          s"probe ${id + 900000L} should top-rank $id, got ${rank1.get(id + 900000L)}")
+      }
+      // the ADC join ships the m-byte codes — never a widened vector —
+      // on the corpus side (the s25 payload-pin discipline)
+      val joins = out.queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val codesPayloads = joins.flatMap(_.output.filter(_.name == "codes"))
+      assert(codesPayloads.nonEmpty, "ADC join carries no codes payload?")
+      codesPayloads.foreach { a =>
+        val et = a.dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        assert(et == org.apache.spark.sql.types.ByteType,
+          s"ADC join payload must be tinyint codes, got $et")
+      }
+      // refresh: a post-sidecar append is undiscoverable through the PQ
+      // tier until refreshPqSidecar encodes it with the FROZEN books
+      val extra = base.filter(col("vec_id") % 17 === 0)
+        .withColumn("vec_id", col("vec_id") + 700000L)
+      VecIndex.appendToVecIndex(extra, "vec_id", "embedding", path)
+      assert(VecIndex.refreshPqSidecar(spark, path)
+        == expected.size.toLong)
+      assert(VecIndex.refreshPqSidecar(spark, path) == 0L) // idempotent
+      val out2 = VecIndex.annProbeVecIndex(spark, probes, "vec_id",
+        "embedding", path)
+      val top2 = out2.filter(col("rank") <= 2).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+      expected.foreach { id =>
+        assert(top2(id + 900000L) == Set(id, id + 700000L),
+          s"probe ${id + 900000L} top-2 should be both verbatim copies")
+      }
+    } finally delete(dir)
+  }
+
   test("probe reads prune to the probe batch's hash directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vecidx-prune")
     try {
