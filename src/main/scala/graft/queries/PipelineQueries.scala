@@ -6875,6 +6875,106 @@ object PipelineQueries {
       |ORDER BY column_name
       |""".stripMargin))
 
+  /** Session-memoized ACCRETED CMS frequency store for a18 — per-source
+    * token grids through the store whose merge algebra (cell-wise SUM)
+    * is NOT idempotent, the taxonomy's forking point: bootstrap write,
+    * one append, a COMPACTION (folding b0+b1 into one tagged grid —
+    * the fold's own tag is the ledger), a post-fold append, and then a
+    * replay of the FOLDED batch b1 — the at-least-once case a sum
+    * store must drop via the tag, since re-summing would double-count.
+    */
+  private val cmsStoreMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cmsStoreDir(s: SparkSession, dir: String): String =
+    cmsStoreMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        val path = TempStores.dir("graft-cmsstore") + "/cidx"
+        def toks(m: Long) = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === m)
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("token"))
+        graft.sketch.CmsStore.write(toks(0), Seq("source"), "token",
+          4, 512, "b0", path)
+        graft.sketch.CmsStore.append(toks(1), "b1", path)
+        // fold b0+b1: the folded grid's tag (F:b0,b1) IS the ledger
+        graft.sketch.CmsStore.compact(s, path)
+        graft.sketch.CmsStore.append(toks(2), "b2", path)
+        // the replayed FOLDED batch: must be dropped by the tag —
+        // sum-merge would double-count it, unlike a16/a17's algebras
+        graft.sketch.CmsStore.append(toks(1), "b1", path)
+        path
+      })
+
+  /** A18 — accreted CMS frequency store ([[graft.sketch.CmsStore]]):
+    * the t14 Count-Min grid PERSISTED per source so incremental
+    * frequency estimates merge by tagged-grid sum instead of
+    * rescanning history — and the store-taxonomy member that PROVES
+    * the exactly-once story where the algebra alone cannot: sum is not
+    * idempotent, so replay absorption comes from the batch tag
+    * (distinct-union of tagged grids) and fold-coverage from the
+    * folded grid's own tag. The store is built by bootstrap + append +
+    * COMPACT + post-fold append + one REPLAYED folded batch; the
+    * oracle is STORE-FREE: it rebuilds the per-source grid one-shot
+    * from raw documents and answers the same top-10 probes, so a
+    * double-counted replay, a dropped straggler, a mis-folded grid, or
+    * meta drift all hash-mismatch while the oracle stands still.
+    * Output: per (source, global-top-10 token) exact count vs CMS
+    * estimate — rows where the estimate is pure collision mass carry
+    * exact_n = 0, the CMS contract made visible.
+    */
+  val a18CmsFreqStore = QueryDef("a18_cms_freq_store",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val probes = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("token")).limit(10)
+        .select(col("token"))
+      val cms = graft.sketch.CmsStore.estimate(s, cmsStoreDir(s, dir),
+        probes)
+      val exact = toks.join(broadcast(probes), "token")
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("exact_n"))
+      cms.join(exact, Seq("source", "token"), "left")
+        .select(col("source"), col("token"),
+          coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+          col("cms_n"))
+        .orderBy(col("source"), col("token"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |tok2 AS (SELECT source, unnest(tk) AS token FROM toks),
+      |ex AS (
+      |  SELECT token, COUNT(*) AS n FROM tok2
+      |  GROUP BY token ORDER BY n DESC, token LIMIT 10),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cells AS (
+      |  SELECT source, r,
+      |         CAST('0x' || substr(md5(r || ':' || token), 1, 10)
+      |              AS BIGINT) % 512 AS bucket,
+      |         COUNT(*) AS cnt
+      |  FROM tok2 CROSS JOIN rr GROUP BY 1, 2, 3),
+      |probe AS (
+      |  SELECT token, r,
+      |         CAST('0x' || substr(md5(r || ':' || token), 1, 10)
+      |              AS BIGINT) % 512 AS bucket
+      |  FROM ex CROSS JOIN rr),
+      |cms AS (
+      |  SELECT c.source, p.token, MIN(c.cnt) AS cms_n
+      |  FROM probe p JOIN cells c USING (r, bucket)
+      |  GROUP BY 1, 2),
+      |exs AS (
+      |  SELECT source, token, COUNT(*) AS exact_n FROM tok2
+      |  WHERE token IN (SELECT token FROM ex) GROUP BY 1, 2)
+      |SELECT cms.source, cms.token,
+      |       CAST(COALESCE(exs.exact_n, 0) AS BIGINT) AS exact_n,
+      |       CAST(cms.cms_n AS BIGINT) AS cms_n
+      |FROM cms LEFT JOIN exs
+      |  ON cms.source = exs.source AND cms.token = exs.token
+      |ORDER BY cms.source, cms.token
+      |""".stripMargin))
+
   /** T54 — normalization-lift dedup accounting: exact dedup run twice,
     * on the raw content hash and on the [[TextAnalysis.canonicalText]]
     * hash (lowercase, punctuation strip, whitespace collapse), with the
@@ -7686,5 +7786,6 @@ object PipelineQueries {
     a14KmvErrorCurve, s24DecontamThresholds, a15ColumnProfileHll,
     a16HllRegisterStore,
     s25VecStoreInt8, s26Int8StoreRecall, s27PqRecall, s28PqRecall256,
-    s29PqRecall16x256, a17KmvMinimaStore, s30PqStoreRecall)
+    s29PqRecall16x256, a17KmvMinimaStore, s30PqStoreRecall,
+    a18CmsFreqStore)
 }
