@@ -6975,6 +6975,85 @@ object PipelineQueries {
       |ORDER BY cms.source, cms.token
       |""".stripMargin))
 
+  /** A19 — join-cardinality estimation served FROM the accreted store
+    * ([[graft.sketch.CmsStore.pairwiseJoinSizes]]): a10 proved the
+    * AMS/Count-Min inner-product estimator cell-exactly for one source
+    * pair built from a rescan; a19 answers EVERY source pair from the
+    * a18 store's merged grid — the same accreted object now serving
+    * optimizer statistics (join reordering and broadcast decisions
+    * need |A ⋈ B| before running the join) without touching the
+    * corpus again. Same (depth 4, width 512) parameters as a10, so
+    * the numbers are directly comparable; the per-pair min runs over
+    * a full depth-row spine (the zero-certificate discipline), and
+    * over_ppm makes the estimator's upper-bound slack visible next to
+    * the exact Σ c_A·c_B. The oracle is STORE-FREE: per-source grids
+    * and exact products rebuilt one-shot from raw documents — a
+    * store whose accretion, replay-drop, or fold drifted by one cell
+    * hash-mismatches every pair that cell touches.
+    */
+  val a19CmsJoinStore = QueryDef("a19_cms_join_store",
+    (s, dir) => {
+      val est = graft.sketch.CmsStore.pairwiseJoinSizes(s,
+        cmsStoreDir(s, dir))
+      val tc = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("__c"))
+      val ea = tc.select(col("source").as("source_a"), col("token"),
+        col("__c").as("__ca"))
+      val eb = tc.select(col("source").as("source_b"), col("token"),
+        col("__c").as("__cb"))
+      val exact = ea.join(eb, "token")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("__ca") * col("__cb")).as("exact_join_n"))
+      est.join(exact, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          coalesce(col("exact_join_n"), lit(0L)).as("exact_join_n"),
+          col("cms_join_n"))
+        .withColumn("over_ppm", expr(
+          "(cms_join_n - exact_join_n) * 1000000 div " +
+            "greatest(exact_join_n, 1L)"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""
+      |WITH $tokSql,
+      |tok2 AS (SELECT source, unnest(tk) AS token FROM toks),
+      |rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cells AS (
+      |  SELECT source, r,
+      |         CAST('0x' || substr(md5(r || ':' || token), 1, 10)
+      |              AS BIGINT) % 512 AS bucket,
+      |         COUNT(*) AS cnt
+      |  FROM tok2 CROSS JOIN rr GROUP BY 1, 2, 3),
+      |pr AS (
+      |  SELECT a.source AS sa, b.source AS sb, r,
+      |         SUM(a.cnt * b.cnt) AS est
+      |  FROM cells a JOIN cells b USING (r, bucket)
+      |  WHERE a.source < b.source GROUP BY 1, 2, 3),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |spine AS (
+      |  SELECT a.source AS sa, b.source AS sb, r
+      |  FROM srcs a CROSS JOIN srcs b CROSS JOIN rr
+      |  WHERE a.source < b.source),
+      |cms AS (
+      |  SELECT sa, sb, MIN(COALESCE(est, 0)) AS cms_join_n
+      |  FROM spine LEFT JOIN pr USING (sa, sb, r) GROUP BY 1, 2),
+      |tc AS (SELECT source, token, COUNT(*) AS c FROM tok2 GROUP BY 1, 2),
+      |exj AS (
+      |  SELECT a.source AS sa, b.source AS sb, SUM(a.c * b.c) AS n
+      |  FROM tc a JOIN tc b USING (token)
+      |  WHERE a.source < b.source GROUP BY 1, 2)
+      |SELECT cms.sa AS source_a, cms.sb AS source_b,
+      |       CAST(COALESCE(exj.n, 0) AS BIGINT) AS exact_join_n,
+      |       CAST(cms.cms_join_n AS BIGINT) AS cms_join_n,
+      |       CAST((cms.cms_join_n - COALESCE(exj.n, 0)) * 1000000
+      |            // GREATEST(COALESCE(exj.n, 0), 1) AS BIGINT) AS over_ppm
+      |FROM cms LEFT JOIN exj ON cms.sa = exj.sa AND cms.sb = exj.sb
+      |ORDER BY source_a, source_b
+      |""".stripMargin))
+
   /** T54 — normalization-lift dedup accounting: exact dedup run twice,
     * on the raw content hash and on the [[TextAnalysis.canonicalText]]
     * hash (lowercase, punctuation strip, whitespace collapse), with the
@@ -7787,5 +7866,5 @@ object PipelineQueries {
     a16HllRegisterStore,
     s25VecStoreInt8, s26Int8StoreRecall, s27PqRecall, s28PqRecall256,
     s29PqRecall16x256, a17KmvMinimaStore, s30PqStoreRecall,
-    a18CmsFreqStore)
+    a18CmsFreqStore, a19CmsJoinStore)
 }

@@ -162,6 +162,46 @@ object CmsStore {
       .agg(min(col("cnt")).as("cms_n"))
   }
 
+  /** All ordered group-pair join-size estimates from ONE grouped store
+    * — the AMS/Count-Min inner-product estimator
+    * ([[Sketch.cmsJoinSize]]) answered from the accreted grid instead
+    * of rescanning either side: for groups a < b,
+    * `min_r Σ_b cntA(r,b)·cntB(r,b)`, an upper bound on the token-
+    * multiset equi-join size |A ⋈ B|. The min runs over a full
+    * depth-row SPINE per pair (a hash row whose grids share no bucket
+    * proves the true join is EMPTY — its 0 must win the min), the
+    * zero-certificate discipline a10 pinned. One bounded grid self-
+    * join: ≤ |groups|·depth·width rows a side, broadcastable — the
+    * optimizer-statistics read that makes the store a statistics
+    * SERVICE, not just a frequency answerer.
+    */
+  def pairwiseJoinSizes(spark: SparkSession, path: String): DataFrame = {
+    val m = readMeta(spark, path)
+    require(m.groupCols.size == 1,
+      s"pairwise join sizes need a single-group store, got ${m.groupCols}")
+    val gcol = m.groupCols.head
+    val g = grid(spark, path)
+    val ga = g.select(col(gcol).as("__ga"), col("r"), col("bucket"),
+      col("cnt").as("__cnt_a"))
+    val gb = g.select(col(gcol).as("__gb"), col("r"), col("bucket"),
+      col("cnt").as("__cnt_b"))
+    val perRow = ga.join(broadcast(gb), Seq("r", "bucket"))
+      .filter(col("__ga") < col("__gb"))
+      .groupBy(col("__ga"), col("__gb"), col("r"))
+      .agg(sum(col("__cnt_a") * col("__cnt_b")).as("__est"))
+    val groups = g.select(col(gcol).as("__ga")).distinct()
+    val spine = groups
+      .crossJoin(broadcast(groups.select(col("__ga").as("__gb"))))
+      .filter(col("__ga") < col("__gb"))
+      .crossJoin(broadcast(spark.range(0, m.depth.toLong)
+        .select(col("id").cast("int").as("r"))))
+    spine.join(perRow, Seq("__ga", "__gb", "r"), "left")
+      .groupBy(col("__ga"), col("__gb"))
+      .agg(min(coalesce(col("__est"), lit(0L))).as("cms_join_n"))
+      .select(col("__ga").as(s"${gcol}_a"), col("__gb").as(s"${gcol}_b"),
+        col("cms_join_n"))
+  }
+
   /** Fold the append log to ONE grid whose tag records every batch it
     * absorbed (the shared crash-safe aside-swap). Estimate-invisible;
     * single compactor per store, appends quiesced (see object doc —

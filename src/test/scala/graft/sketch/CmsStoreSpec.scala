@@ -162,6 +162,36 @@ class CmsStoreSpec extends SparkSpec {
     } finally delete(dir)
   }
 
+  test("pairwise join sizes from ONE grouped store ≡ Sketch.cmsJoinSize per pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-pj")
+    try {
+      val path = s"$dir/idx"
+      // accreted in two batches — the pairwise read must see the MERGED
+      // grid, same as a rescan would
+      CmsStore.write(toks(0), Seq("source"), "token", D, W, "b0", path)
+      CmsStore.append(toks(1).unionByName(toks(2)), "b12", path)
+      val got = CmsStore.pairwiseJoinSizes(spark, path).collect()
+        .map(r => (r.getAs[String]("source_a"),
+          r.getAs[String]("source_b")) -> r.getAs[Long]("cms_join_n"))
+        .toMap
+      val sources = allToks.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(got.keySet == (for {
+        a <- sources; b <- sources if a < b
+      } yield (a, b)).toSet, "every ordered pair must be answered")
+      // the store's answer for a pair IS the two-rescan estimator's
+      for ((a, b) <- sources.combinations(2).map(c => (c(0), c(1)))
+          .take(3)) {
+        val direct = Sketch.cmsJoinSize(
+          allToks.filter(col("source") === a), "token",
+          allToks.filter(col("source") === b), "token", D, W)
+          .head().getAs[Long]("cms_join_n")
+        assert(got((a, b)) == direct,
+          s"($a,$b): store ${got((a, b))} != rescan $direct")
+      }
+    } finally delete(dir)
+  }
+
   test("batch ids are validated: empty, comma, and folded-prefix tags rejected") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cms-val")
     try {
