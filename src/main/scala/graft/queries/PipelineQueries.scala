@@ -6927,10 +6927,14 @@ object PipelineQueries {
       val toks = t(s, dir, "documents")
         .select(col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))
+      // one materialization: the 10-row probe frame feeds both the
+      // store estimate's fan-out and the exact side's broadcast join —
+      // without it each use re-aggregates the corpus
       val probes = toks.groupBy(col("token"))
         .agg(count(lit(1)).as("__n"))
         .orderBy(col("__n").desc, col("token")).limit(10)
         .select(col("token"))
+        .localCheckpoint(eager = false)
       val cms = graft.sketch.CmsStore.estimate(s, cmsStoreDir(s, dir),
         probes)
       val exact = toks.join(broadcast(probes), "token")
@@ -6995,11 +6999,14 @@ object PipelineQueries {
     (s, dir) => {
       val est = graft.sketch.CmsStore.pairwiseJoinSizes(s,
         cmsStoreDir(s, dir))
+      // vocab-sized frame feeding BOTH exact-join sides — materialize
+      // once so the corpus token fan-out runs a single time
       val tc = t(s, dir, "documents")
         .select(col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("__c"))
+        .localCheckpoint(eager = false)
       val ea = tc.select(col("source").as("source_a"), col("token"),
         col("__c").as("__ca"))
       val eb = tc.select(col("source").as("source_b"), col("token"),

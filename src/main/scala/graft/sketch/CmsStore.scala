@@ -180,7 +180,10 @@ object CmsStore {
     require(m.groupCols.size == 1,
       s"pairwise join sizes need a single-group store, got ${m.groupCols}")
     val gcol = m.groupCols.head
-    val g = grid(spark, path)
+    // one materialization: the merged grid feeds both self-join sides
+    // AND the spine's group list — without it the plan re-scans the
+    // store log once per use (bounded, but 4× the reads for nothing)
+    val g = grid(spark, path).localCheckpoint(eager = false)
     val ga = g.select(col(gcol).as("__ga"), col("r"), col("bucket"),
       col("cnt").as("__cnt_a"))
     val gb = g.select(col(gcol).as("__gb"), col("r"), col("bucket"),
