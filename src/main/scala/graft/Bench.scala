@@ -10,10 +10,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // AQE coalescing sizes post-shuffle partitions by BYTES; the pair
+    // generators and sketch confirms here are CPU-dense per row, so a
+    // few-MB shuffle otherwise collapses to 1-2 tasks while the rest of
+    // the engine idles. The floor only binds in the small-shuffle
+    // regime — at production shuffle sizes target size is governed by
+    // totalBytes/parallelism and the advisory, far above any sane
+    // floor — so it is a scale-safe default, env-overridable for
+    // cluster profiles (guide §2.2/§2.5: partition count must follow
+    // work, and bytes misprice CPU-heavy rows).
+    val minCoalesce = sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_COALESCE", "64k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        minCoalesce)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

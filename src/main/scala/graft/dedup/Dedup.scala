@@ -551,7 +551,15 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val keys = col(idCol) +: carry.map(col)
-    val exploded = df
+    // widen BEFORE the token explode: the md5-per-token pass plus the
+    // 60-bit-sum partial aggregation otherwise run at scan parallelism,
+    // which for a compacted corpus (single row group per file) is one
+    // task; the repartition is one narrow pass of the raw text, far
+    // below the per-token work it parallelizes (the Similarity.widen
+    // rationale)
+    val wide = df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val exploded = wide
       .select(keys :+ explode(TextAnalysis.tokens(col(textCol))).as("tok"): _*)
       .withColumn("h",
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))

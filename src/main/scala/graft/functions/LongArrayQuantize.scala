@@ -112,10 +112,26 @@ object LongArrayQuantize {
     val scaled = v * 1000.0
     if (java.lang.Double.isNaN(scaled) ||
         java.lang.Double.isInfinite(scaled)) scaled.toLong
-    else
-      java.math.BigDecimal.valueOf(scaled)
-        .setScale(0, java.math.RoundingMode.HALF_UP)
-        .doubleValue()
-        .toLong
+    else {
+      // Fast path for the 99.9…% of values away from a .5 boundary.
+      // BigDecimal.valueOf goes through Double.toString (shortest
+      // decimal repr) — ~40× the cost of the arithmetic below, and it
+      // was the top non-Spark frame in the similarity-query profiles.
+      // The shortest repr `dec` satisfies |dec − scaled| < ulp(scaled),
+      // so HALF_UP on dec can only differ from rounding the binary
+      // value when scaled lies within one ulp of a k + 0.5 boundary;
+      // route exactly that band (and ties) through the original exact
+      // path, everywhere else floor/ceil on the binary value is
+      // bit-identical to the string-based HALF_UP.
+      val f = Math.floor(scaled)
+      val frac = scaled - f
+      if (Math.abs(frac - 0.5) > Math.ulp(scaled))
+        (if (frac > 0.5) f + 1.0 else f).toLong
+      else
+        java.math.BigDecimal.valueOf(scaled)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue()
+          .toLong
+    }
   }
 }

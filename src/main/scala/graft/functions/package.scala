@@ -45,6 +45,18 @@ package object functions {
         cv.padTo(dims, 0L).take(dims) }.toArray,
       dims, nprobe))
 
+  /** Codegen'd exact cosine-threshold gate `dot > 0 && dot²·10¹² ≥
+    * n1·n2·ppm²` (see [[graft.functions.CosineGatePpm]]) — replaces the
+    * four-decimal-multiply-per-pair `decimal(38,0)` widening in the
+    * near-pair confirm filters.
+    */
+  def cosine_gate_ppm(dot: Column, n1: Column, n2: Column,
+      ppm: Long): Column =
+    GraftSqlBridge.column(CosineGatePpm(
+      GraftSqlBridge.expression(dot), GraftSqlBridge.expression(n1),
+      GraftSqlBridge.expression(n2),
+      GraftSqlBridge.expression(lit(ppm))))
+
   /** Codegen'd polynomial rolling hash over code points (see
     * [[graft.functions.RollingHash]]); empty/null → null.
     */

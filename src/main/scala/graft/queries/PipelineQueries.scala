@@ -17,6 +17,25 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** [[t]] hash-repartitioned to engine width on `keys` — for queries
+    * whose per-row CPU (multi-md5 sketching, wide aggregates) dominates
+    * the scan. A compacted table (one parquet row group per file — the
+    * gate tables' layout, and common after production compaction) caps
+    * everything up to the first exchange at SCAN parallelism, which can
+    * be a single task while the rest of the engine idles; one narrow
+    * key-hash exchange up front runs the expensive pass at full width
+    * (the guide's repartition-after-unsplittable-read rule, and the
+    * t_text_stats precedent). Hash on a high-cardinality key, not
+    * round-robin: round-robin pays the sort-before-repartition pass
+    * inside the narrow scan stage. At multi-row-group scale the scan is
+    * already wide and this exchange is a bounded one-pass cost the
+    * CPU-dense pass amortizes.
+    */
+  private def tw(s: SparkSession, dir: String, n: String, keys: String*) = {
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    t(s, dir, n).repartition(width, keys.map(col): _*)
+  }
+
   /** Bounded session memo for shared checkpointed frames: at most `cap`
     * entries, oldest evicted first. Without the bound a long-lived
     * session benching many (session, scale-dir) pairs pins every
@@ -4754,11 +4773,10 @@ object PipelineQueries {
       val c = emb.select(col("vec_id").as("cid"),
         Similarity.quantize(col("embedding")).as("qv2"))
       val dot = Similarity.dotQ(col("qv1"), col("qv2"))
-      val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
-      val rhs = (Similarity.normSqQ(col("qv1")) * Similarity.normSqQ(col("qv2")))
-        .cast("decimal(38,0)") * lit(400000L) * lit(400000L)
       val exact = c.join(broadcast(q), col("qid") =!= col("cid"))
-        .filter(dot > 0 && lhs >= rhs)
+        .filter(graft.functions.cosine_gate_ppm(dot,
+          Similarity.normSqQ(col("qv1")), Similarity.normSqQ(col("qv2")),
+          400000L))
         .select(least(col("qid"), col("cid")).as("id1"),
           greatest(col("qid"), col("cid")).as("id2"))
         .distinct()
@@ -6430,7 +6448,7 @@ object PipelineQueries {
     */
   val a9ColumnProfile = QueryDef("a9_column_profile",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tw(s, dir, "lineitem", "l_orderkey", "l_linenumber")
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax")
@@ -6597,7 +6615,7 @@ object PipelineQueries {
     */
   val a12ColumnProfileSketch = QueryDef("a12_column_profile_sketch",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tw(s, dir, "lineitem", "l_orderkey", "l_linenumber")
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax")
@@ -6675,6 +6693,10 @@ object PipelineQueries {
     */
   val a15ColumnProfileHll = QueryDef("a15_column_profile_hll",
     (s, dir) => {
+      // NOT widened (r15 measured negative): a checkpointed/repartitioned
+      // shared frame loses per-leg parquet column pruning (every leg
+      // would read all 8 columns), and the 8 one-task leg scans already
+      // overlap as independent stages of one job
       val li = t(s, dir, "lineitem")
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
@@ -7406,7 +7428,7 @@ object PipelineQueries {
     */
   val a13KmvOverlap = QueryDef("a13_kmv_overlap",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents", "doc_id")
       val rows = Dedup
         .positionalShingleRows(docs, "doc_id", "text", 3,
           carry = Seq("source"))
@@ -7628,7 +7650,7 @@ object PipelineQueries {
     */
   val a14KmvErrorCurve = QueryDef("a14_kmv_error_curve",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents", "doc_id")
       val rows = Dedup
         .positionalShingleRows(docs, "doc_id", "text", 3,
           carry = Seq("source"))

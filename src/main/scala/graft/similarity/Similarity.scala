@@ -870,18 +870,25 @@ object Similarity {
     require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 30,
       s"need bands > 0 and 0 < bitsPerBand <= 30, got $bands/$bitsPerBand")
     val rows = rademacherMatrix(bands * bitsPerBand, dims)
+    // TWO-STEP on purpose: project the bands·bitsPerBand hyperplane dots
+    // into plain bucket columns FIRST, explode the attribute array after.
+    // Fusing the dot expressions into the explode's array made the
+    // generated consume method so large HotSpot refused to JIT it
+    // (bytecode-interpreted hot loop): measured 5.1 s → 0.13 s at
+    // 24 bands × 2000 vectors for the identical band rows. The Project
+    // below the Generate keeps each generated method JIT-sized.
+    val buckets = (0 until bands).map { t =>
+      (0 until bitsPerBand).map { j =>
+        when(dotQ(col(qvCol),
+            typedLit(rows(t * bitsPerBand + j).toSeq)) > lit(0L),
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"__bk$t")
+    }
     qdf
+      .select(col(idCol) +: col(qvCol) +: buckets: _*)
       .select(col(idCol), col(qvCol),
-        explode(array((0 until bands).map { t =>
-          val bucket = (0 until bitsPerBand).map { j =>
-            when(dotQ(col(qvCol),
-                typedLit(rows(t * bitsPerBand + j).toSeq)) > lit(0L),
-              lit(1 << j)).otherwise(lit(0))
-          }.reduce(_ + _)
-          struct(lit(t).as("band"), bucket.as("bucket"))
-        }: _*)).as("__bb"))
-      .select(col(idCol), col(qvCol),
-        col("__bb.band").as("band"), col("__bb.bucket").as("bucket"))
+        posexplode(array((0 until bands).map(t => col(s"__bk$t")): _*))
+          .as(Seq("band", "bucket")))
   }
 
   /** [[cosineNearDupPairs]] with MEASURABLY higher recall at moderate
@@ -900,42 +907,77 @@ object Similarity {
     * residual miss mass is LSH-fundamental at cosine 0.4 (per-plane
     * agreement ~0.63); raise `bands` to buy recall linearly in cost.
     */
-  /** Un-deduped banded candidate stream `(band, bucket, id1, v1, id2,
-    * v2)`: the probe-side row proposes every base-side row sharing any
-    * band cell within Hamming ≤ 1 (when `probe1`). BOTH ordered
-    * directions of a colliding pair appear (each side probes), at most
-    * once per band — callers canonicalize (`id1 < id2`) or keep
-    * directions (k-NN graph) and dedupe on their own projection.
+  /** DISTINCT directed banded candidate pairs `(id1, v1, id2, v2)`: the
+    * probe-side row proposes every base-side row sharing any band cell
+    * within Hamming ≤ 1 (when `probe1`). BOTH ordered directions of a
+    * colliding pair appear (each side probes); callers canonicalize
+    * (`id1 < id2`) or keep directions (k-NN graph).
+    *
+    * Plan shape (guide §8 — decide with small rows, move big rows once):
+    * a pair colliding in several (band, probe) cells used to be SCORED
+    * once per cell — at 24 bands × 6 probes the collision stream runs
+    * ~10× the unique-pair set, and each collision row carried BOTH
+    * 64-long vectors through the join and paid the dot/norm expressions
+    * before a `distinct` threw the copies away (measured 115 s of task
+    * CPU on s17 at sf0.1). Now the band join carries only `(id, band,
+    * bucket)` ints, the `distinct` collapses the collision stream to
+    * unique `(id1, id2)` pairs map-side BEFORE any vector attaches, and
+    * the quantized vectors join back once per unique pair. The band-row
+    * frame is built once and reused on both sides of the self-join
+    * (`localCheckpoint` — the [[index]] rationale), and the vector frame
+    * is index-sized, so the planner broadcasts it at gate scale and
+    * key-shuffles the narrow pair list at corpus scale.
+    */
+  /** `dedupPairs = true` inserts a DISTINCT on the narrow `(id1, id2)`
+    * stream before vectors attach — for consumers that keep (and rank)
+    * every candidate, where a pair scored once per colliding cell would
+    * corrupt the ranking input volume (k-NN graph, contrastive mining).
+    * Threshold-gated consumers pass `false`: their confirm filter kills
+    * the overwhelming share of candidates, so deduping the tiny
+    * CONFIRMED set after the gate is far cheaper than a corpus-pair
+    * exchange before it (measured: the 8-band d22 stream dedupes only
+    * 1.19× but costs a 1.4M-row exchange to try).
     */
   private def bandedCandidatesRaw(df: DataFrame, idCol: String,
       vecCol: String, bands: Int, bitsPerBand: Int,
-      probe1: Boolean): DataFrame = {
-    val base = bandedSignBuckets(df, idCol, vecCol, bands, bitsPerBand)
+      probe1: Boolean, dedupPairs: Boolean = true): DataFrame = {
+    val qdf = index(widen(df)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv")))
+    // norms ride the (materialized) vector frame: one 64-step loop per
+    // VECTOR per join side, instead of two per candidate PAIR
+    val qn = qdf.withColumn("nsq", normSqQ(col("qv")))
+    val base = index(
+      bandedSignBucketsQ(qdf, "id", "qv", bands, bitsPerBand)
+        .select(col("id"), col("band"), col("bucket")))
     val flips = if (probe1) 0 to bitsPerBand else 0 to 0
-    val probes = base.select(col("id").as("id1"), col("qv").as("v1"),
-      col("band"),
+    val probes = base.select(col("id").as("id1"), col("band"),
       explode(array(flips.map(f =>
         if (f == 0) col("bucket")
         else col("bucket").bitwiseXOR(lit(1 << (f - 1)))): _*)).as("bucket"))
-    probes.join(
-      base.select(col("id").as("id2"), col("qv").as("v2"),
-        col("band"), col("bucket")),
-      Seq("band", "bucket"))
+    val stream = probes
+      .join(base.select(col("id").as("id2"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("id1"), col("id2"))
+    val pairs = if (dedupPairs) stream.distinct() else stream
+    pairs
+      .join(qn.select(col("id").as("id1"), col("qv").as("v1"),
+        col("nsq").as("n1")), "id1")
+      .join(qn.select(col("id").as("id2"), col("qv").as("v2"),
+        col("nsq").as("n2")), "id2")
   }
 
   def cosineNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
       thresholdPpm: Long, bands: Int, bitsPerBand: Int,
       probe1: Boolean = true): DataFrame = {
     val cand = bandedCandidatesRaw(df, idCol, vecCol, bands, bitsPerBand,
-        probe1)
+        probe1, dedupPairs = false)
       .filter(col("id1") < col("id2"))
     val dot = dotQ(col("v1"), col("v2"))
-    val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
-    val rhs = (normSqQ(col("v1")) * normSqQ(col("v2"))).cast("decimal(38,0)") *
-      lit(thresholdPpm) * lit(thresholdPpm)
-    // a pair can collide in several (band, probe) cells — at most one per
-    // band — so dedupe the (small) confirmed set, not the candidate space
-    cand.filter(dot > 0 && lhs >= rhs)
+    // a pair can collide in several (band, probe) cells — score the
+    // stream with the cheap codegen'd gate and dedupe only the (small)
+    // CONFIRMED set, never the candidate space
+    cand.filter(graft.functions.cosine_gate_ppm(dot, col("n1"), col("n2"),
+        thresholdPpm))
       .select(col("id1"), col("id2"), dot.as("dot_q"))
       .distinct()
   }
@@ -961,8 +1003,7 @@ object Similarity {
       .filter(col("id1") =!= col("id2"))
       .select(col("id1").as("node_id"), col("id2").as("neighbor_id"),
         dotQ(col("v1"), col("v2")).as("dot_q"),
-        normSqQ(col("v1")).as("__n1"), normSqQ(col("v2")).as("__n2"))
-      .distinct()
+        col("n1").as("__n1"), col("n2").as("__n2"))
       .withColumn("cosine",
         cosineFromQ(col("dot_q"), col("__n1"), col("__n2")))
     val w = Window.partitionBy(col("node_id"))
@@ -1003,15 +1044,9 @@ object Similarity {
       .filter(col("id1") =!= col("id2"))
       .select(col("id1").as("anchor_id"), col("id2").as("pair_id"),
         dotQ(col("v1"), col("v2")).as("dot_q"),
-        normSqQ(col("v1")).as("__n1"), normSqQ(col("v2")).as("__n2"))
-      .distinct()
-    def atLeast(ppm: Long) = {
-      val lhs = (col("dot_q") * col("dot_q")).cast("decimal(38,0)") *
-        lit(1000000L) * lit(1000000L)
-      val rhs = (col("__n1") * col("__n2")).cast("decimal(38,0)") *
-        lit(ppm) * lit(ppm)
-      col("dot_q") > 0 && lhs >= rhs
-    }
+        col("n1").as("__n1"), col("n2").as("__n2"))
+    def atLeast(ppm: Long) = graft.functions.cosine_gate_ppm(
+      col("dot_q"), col("__n1"), col("__n2"), ppm)
     val labeled = scored
       .withColumn("role", when(atLeast(posFloorPpm), "pos")
         .when(!atLeast(negCeilPpm), "neg"))
@@ -1099,12 +1134,10 @@ object Similarity {
     val c = index(widen(corpus).select(col(idCol).as("corpus_id"),
       quantize(col(vecCol)).as("cv")))
     val dot = dotQ(col("qv"), col("cv"))
-    val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
-    val rhs = (normSqQ(col("qv")) * normSqQ(col("cv"))).cast("decimal(38,0)") *
-      lit(thresholdPpm) * lit(thresholdPpm)
     broadcast(q).crossJoin(c)
       .filter(col("eval_id") =!= col("corpus_id"))
-      .filter(dot > 0 && lhs >= rhs)
+      .filter(graft.functions.cosine_gate_ppm(dot,
+        normSqQ(col("qv")), normSqQ(col("cv")), thresholdPpm))
       .select(col("eval_id"), col("corpus_id"), dot.as("dot_q"))
   }
 
@@ -1115,14 +1148,10 @@ object Similarity {
       .withColumn("bucket", signBucket(col("v1"), bits)))
     val c = q.select(col("id1").as("id2"), col("v1").as("v2"), col("bucket"))
     val dot = dotQ(col("v1"), col("v2"))
-    // dot ≤ 64·525² < 2^25, so dot² < 2^50; scale by ppm² via decimal to
-    // stay exact (2^50 · 10^12 overflows long).
-    val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
-    val rhs = (normSqQ(col("v1")) * normSqQ(col("v2"))).cast("decimal(38,0)") *
-      lit(thresholdPpm) * lit(thresholdPpm)
     q.join(c, "bucket")
       .filter(col("id1") < col("id2"))
-      .filter(dot > 0 && lhs >= rhs)
+      .filter(graft.functions.cosine_gate_ppm(dot,
+        normSqQ(col("v1")), normSqQ(col("v2")), thresholdPpm))
       .select(col("id1"), col("id2"), dot.as("dot_q"))
   }
 }

@@ -221,14 +221,12 @@ object VecIndex {
     val pw = widen(col("pqv"))
     val cw = widen(col("qv"))
     val dot = Similarity.dotQ(pw, cw)
-    val lhs = (dot * dot).cast("decimal(38,0)") * lit(1000000L) * lit(1000000L)
-    val rhs = (Similarity.normSqQ(pw) * Similarity.normSqQ(cw))
-      .cast("decimal(38,0)") * lit(thresholdPpm) * lit(thresholdPpm)
     cands
       .join(pqn, "probe_id")
       .join(cvn, "corpus_id")
       .filter(col("probe_id") =!= col("corpus_id"))
-      .filter(dot > 0 && lhs >= rhs)
+      .filter(graft.functions.cosine_gate_ppm(dot,
+        Similarity.normSqQ(pw), Similarity.normSqQ(cw), thresholdPpm))
       .select(col("probe_id"), col("corpus_id"), dot.as("dot_q"))
   }
 
