@@ -402,7 +402,17 @@ object Dedup {
   def positionalShingleRowsIndexed(df: DataFrame, idCol: String,
       textCol: String, n: Int, carry: Seq[String] = Nil): DataFrame = {
     val keys = col(idCol) +: carry.map(col)
-    val toks = df.select(keys :+
+    // The lead-window below NEEDS hashpartitioning(idCol, width) — so
+    // establish it BEFORE the tokenize+explode instead of after: the
+    // same single exchange then carries each document's raw text once
+    // (fewer bytes than the exploded token rows), and the regex
+    // tokenization runs at engine width instead of scan parallelism
+    // (one task on the compacted single-row-group gate tables). The
+    // window's own exchange disappears because the partitioning
+    // already matches (guide §2.4: two operations keyed the same way
+    // share one exchange).
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = df.repartition(width, col(idCol)).select(keys :+
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

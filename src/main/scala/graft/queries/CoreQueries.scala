@@ -18,6 +18,17 @@ object CoreQueries {
   private val money = InvoiceRecord.money
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** [[t]] hash-repartitioned to engine width — for queries whose
+    * per-row CPU (decimal money math, string formatting) dominates a
+    * scan that the compacted single-row-group gate tables cap at one
+    * task (see PipelineQueries.tw / the t_text_stats precedent; the
+    * guide's repartition-after-unsplittable-read rule).
+    */
+  private def tw(s: SparkSession, dir: String, n: String, keys: String*) = {
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    t(s, dir, n).repartition(width, keys.map(col): _*)
+  }
+
   /** Lineitem's deduplicated PK view, registered in the session cache so
     * the many queries deriving from it (the p6/o3, scalar-F and merge-J
     * families) share ONE materialization instead of each re-running the
@@ -33,7 +44,7 @@ object CoreQueries {
   /** A1/A-class headline agg (TPC-H Q1 shape) on exact decimals. */
   val q1Agg = QueryDef("q1_agg",
     (s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tw(s, dir, "lineitem", "l_orderkey", "l_linenumber")
       import InvoiceView.m2
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -232,7 +243,7 @@ object CoreQueries {
   /** P1 — column-mapping rename-project (Spanish headers → canonical). */
   val p1MapColumns = QueryDef("p1_map_columns",
     (s, dir) => {
-      val spanish = t(s, dir, "lineitem").select(
+      val spanish = tw(s, dir, "lineitem", "l_orderkey", "l_linenumber").select(
         col("l_orderkey").cast("string").as("N° Factura"),
         col("l_linenumber").cast("string").as("Órdenes de Embarque"),
         col("l_returnflag").as("Empresa Transporte"),

@@ -7428,7 +7428,7 @@ object PipelineQueries {
     */
   val a13KmvOverlap = QueryDef("a13_kmv_overlap",
     (s, dir) => {
-      val docs = tw(s, dir, "documents", "doc_id")
+      val docs = t(s, dir, "documents")
       val rows = Dedup
         .positionalShingleRows(docs, "doc_id", "text", 3,
           carry = Seq("source"))
@@ -7650,7 +7650,7 @@ object PipelineQueries {
     */
   val a14KmvErrorCurve = QueryDef("a14_kmv_error_curve",
     (s, dir) => {
-      val docs = tw(s, dir, "documents", "doc_id")
+      val docs = t(s, dir, "documents")
       val rows = Dedup
         .positionalShingleRows(docs, "doc_id", "text", 3,
           carry = Seq("source"))
