@@ -411,8 +411,10 @@ object Dedup {
     // window's own exchange disappears because the partitioning
     // already matches (guide §2.4: two operations keyed the same way
     // share one exchange).
-    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val toks = df.repartition(width, col(idCol)).select(keys :+
+    // column-form repartition (no pinned count): AQE can still coalesce
+    // the tiny probe-batch case while corpus-sized inputs get the full
+    // shuffle width
+    val toks = df.repartition(col(idCol)).select(keys :+
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
@@ -561,15 +563,15 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
     val keys = col(idCol) +: carry.map(col)
-    // widen BEFORE the token explode: the md5-per-token pass plus the
-    // 60-bit-sum partial aggregation otherwise run at scan parallelism,
-    // which for a compacted corpus (single row group per file) is one
-    // task; the repartition is one narrow pass of the raw text, far
-    // below the per-token work it parallelizes (the Similarity.widen
-    // rationale)
-    val wide = df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    val exploded = wide
+    // repartition on the GROUPING keys before the token explode: the
+    // md5-per-token pass plus the 60-bit-sum aggregation otherwise run
+    // at scan parallelism (one task on a compacted corpus), and keying
+    // the exchange like the groupBy below means the aggregate needs no
+    // second exchange — the one shuffle carries each document's raw
+    // text once (guide §2.4: operations keyed the same way share one
+    // exchange). Column-form (no pinned count) keeps AQE coalescing
+    // for tiny streaming micro-batches.
+    val exploded = df.repartition(keys: _*)
       .select(keys :+ explode(TextAnalysis.tokens(col(textCol))).as("tok"): _*)
       .withColumn("h",
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))

@@ -2744,7 +2744,7 @@ object PipelineQueries {
     */
   val t25UnigramSurprisal = QueryDef("t25_unigram_surprisal",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents", "doc_id")
       val perDoc = docs
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
@@ -3246,7 +3246,7 @@ object PipelineQueries {
     */
   val t32BigramSurprisal = QueryDef("t32_bigram_surprisal",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents", "doc_id")
       val pd = docs
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 2)
@@ -3849,7 +3849,7 @@ object PipelineQueries {
     */
   val t38BackoffSurprisal = QueryDef("t38_backoff_surprisal",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tw(s, dir, "documents", "doc_id")
       val pd = docs
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
         .filter(size(col("tk")) >= 3)
