@@ -19,7 +19,7 @@ object Bench {
     // floor — so it is a scale-safe default, env-overridable for
     // cluster profiles (guide §2.2/§2.5: partition count must follow
     // work, and bytes misprice CPU-heavy rows).
-    val minCoalesce = sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_COALESCE", "64k")
+    val minCoalesce = sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_COALESCE", "256k")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
