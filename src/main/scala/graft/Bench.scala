@@ -10,16 +10,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // AQE coalescing sizes post-shuffle partitions by BYTES; the pair
-    // generators and sketch confirms here are CPU-dense per row, so a
-    // few-MB shuffle otherwise collapses to 1-2 tasks while the rest of
-    // the engine idles. The floor only binds in the small-shuffle
-    // regime — at production shuffle sizes target size is governed by
-    // totalBytes/parallelism and the advisory, far above any sane
-    // floor — so it is a scale-safe default, env-overridable for
-    // cluster profiles (guide §2.2/§2.5: partition count must follow
-    // work, and bytes misprice CPU-heavy rows).
-    val minCoalesce = sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_COALESCE", "256k")
+    // r16: the AQE coalesce floor is back at Spark's default (1m). The
+    // r15 256k floor was a byte-blind global proxy for "keep CPU-dense
+    // small shuffles wide"; it taxed every cheap small shuffle with
+    // extra tasks (t53's NB chain regressed 1.2 → 1.6-5.4 s, ~60 micro
+    // queries paid 10-30%). The CPU-dense exchanges are now pinned at
+    // the OPERATOR level instead (explicit-width repartitions keyed on
+    // the operator's own join/group keys — see Dedup shingle/simhash
+    // feeders, Similarity.bandedCandidatesRaw, VecIndex probe confirm),
+    // which AQE never coalesces, so the floor no longer needs to lie
+    // about the rest of the engine. Env knob kept for A/B.
+    val minCoalesce = sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_COALESCE", "1m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -411,10 +411,17 @@ object Dedup {
     // window's own exchange disappears because the partitioning
     // already matches (guide §2.4: two operations keyed the same way
     // share one exchange).
-    // column-form repartition (no pinned count): AQE can still coalesce
-    // the tiny probe-batch case while corpus-sized inputs get the full
-    // shuffle width
-    val toks = df.repartition(col(idCol)).select(keys :+
+    // EXPLICIT width (r16): the column-form repartition here let AQE
+    // coalesce this exchange by BYTES, and the raw-text shuffle is tiny
+    // (sub-MB at gate scale) while the work behind it — regex tokenize +
+    // posexplode + the lead window — is CPU-dense per row. At the
+    // default 1m floor the whole shingle family serialized into 1-2
+    // tasks (StageProfile: d4-class stages ~0.9 s CPU in one task).
+    // AQE never coalesces a user repartition with a pinned count, and
+    // the width derives from spark.sql.shuffle.partitions (the cluster
+    // parallelism knob), so the pin is scale-configured, not local-tuned.
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = df.repartition(width, col(idCol)).select(keys :+
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
@@ -569,9 +576,13 @@ object Dedup {
     // the exchange like the groupBy below means the aggregate needs no
     // second exchange — the one shuffle carries each document's raw
     // text once (guide §2.4: operations keyed the same way share one
-    // exchange). Column-form (no pinned count) keeps AQE coalescing
-    // for tiny streaming micro-batches.
-    val exploded = df.repartition(keys: _*)
+    // exchange). EXPLICIT width (r16): column-form let AQE coalesce the
+    // sub-MB raw-text exchange by bytes and serialize the md5 + 60-bit
+    // sums into one task (measured 0.9 s single-task at the default
+    // floor); a pinned count is AQE-exempt and the width comes from
+    // spark.sql.shuffle.partitions, the cluster parallelism knob.
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val exploded = df.repartition(width, keys: _*)
       .select(keys :+ explode(TextAnalysis.tokens(col(textCol))).as("tok"): _*)
       .withColumn("h",
         conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))

@@ -86,6 +86,13 @@ object DupClusters {
           col("label").as("prev"))
 
       // 2. shortcut (pointer jumping): label ← label(label)
+      // Convergence rides the round's OWN materializing job as an
+      // observed metric (r16): the eager localCheckpoint is an action,
+      // so `observe` collects the changed-label count during it and the
+      // separate `isEmpty` job the loop used to pay per round (one full
+      // scan of the checkpointed frame + a task-dispatch round trip)
+      // disappears — one job per round instead of two.
+      val obs = org.apache.spark.sql.Observation(s"cc_conv_$iter")
       val jumped = propagated.alias("l")
         .join(labels.select(col("id").as("label"),
           col("label").as("label2")).alias("p"), Seq("label"), "left")
@@ -93,9 +100,11 @@ object DupClusters {
           least(col("label"), coalesce(col("label2"), col("label")))
             .as("label"),
           col("prev"))
+        .observe(obs,
+          count(when(col("label") =!= col("prev"), lit(1))).as("changed"))
         .localCheckpoint()
 
-      converged = jumped.filter(col("label") =!= col("prev")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = jumped.drop("prev")
       iter += 1
     }

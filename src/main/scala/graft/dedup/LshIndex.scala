@@ -50,8 +50,16 @@ object LshIndex {
       .select(col(idCol).as("doc_id"), col("sig"))
       .localCheckpoint(eager = false) // feeds both writes; sign ONCE
     sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    // Cluster by bucket BEFORE the partitioned write (guide §6: file
+    // sizing): each bucket directory is then written by one task — one
+    // file per bucket per write — instead of (upstream tasks × buckets)
+    // shards. Probes re-read bands/ EVERY run, so per-file open cost on
+    // the read path is what this bounds. Column-form repartition: AQE
+    // sizes the write tasks by bytes, so a corpus-scale build still
+    // writes wide.
     Dedup.lshBands(sigs, "doc_id", "sig", bands, rowsPerBand)
       .withColumn("bucket", bucketOf(col("band_sig"), nBuckets))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/bands")
     import spark.implicits._
@@ -84,6 +92,7 @@ object LshIndex {
     sigs.write.mode("append").parquet(s"$path/sigs")
     Dedup.lshBands(sigs, "doc_id", "sig", m.bands, m.rowsPerBand)
       .withColumn("bucket", bucketOf(col("band_sig"), m.nBuckets))
+      .repartition(col("bucket")) // one file per bucket per append (§6)
       .write.partitionBy("bucket").mode("append")
       .parquet(s"$path/bands")
   }

@@ -45,6 +45,21 @@ package object functions {
         cv.padTo(dims, 0L).take(dims) }.toArray,
       dims, nprobe))
 
+  /** Codegen'd banded sign-bucket computation (see
+    * [[graft.functions.BandSignBuckets]]) — one int bucket per band
+    * from a fused primitive loop over the ±1 hyperplane matrix,
+    * replacing the interpreted bands×bits literal-dot column pile.
+    * `rows` is the [[graft.similarity.Similarity.rademacherMatrix]]
+    * layout: row `t·bitsPerBand + j` is band t's bit-j hyperplane.
+    */
+  def band_sign_buckets(qv: Column, rows: Array[Array[Long]],
+      bands: Int, bitsPerBand: Int): Column = {
+    val dims = if (rows.isEmpty) 0 else rows(0).length
+    GraftSqlBridge.column(BandSignBuckets(
+      GraftSqlBridge.expression(qv),
+      rows.flatten, bands, bitsPerBand, dims))
+  }
+
   /** Codegen'd exact cosine-threshold gate `dot > 0 && dot²·10¹² ≥
     * n1·n2·ppm²` (see [[graft.functions.CosineGatePpm]]) — replaces the
     * four-decimal-multiply-per-pair `decimal(38,0)` widening in the

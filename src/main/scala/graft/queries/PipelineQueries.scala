@@ -801,8 +801,21 @@ object PipelineQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val cands = Dedup.lshCandidatePairs(
-        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
-      val sets = Dedup.shingleRows(docs, "doc_id", "text", 3)
+          minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+        .localCheckpoint(eager = false) // id prune + final join share it
+      // r16 (guide §3.2 / §5): the exact shingle SETS are consumed only
+      // through INNER joins on the candidate ids, so building them over
+      // the whole corpus paid a corpus-wide collect_set shuffle of
+      // per-doc arrays for rows the join then discarded. Restricting the
+      // set build to candidate endpoints first is an identity on the
+      // result; the id list is LSH-candidate-bounded (the query's own
+      // output grain), so the broadcast is index-sized, never
+      // corpus-sized.
+      val candIds = cands.select(col("id1").as("doc_id"))
+        .union(cands.select(col("id2").as("doc_id"))).distinct()
+      val sets = Dedup.shingleRows(
+          docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"),
+          "doc_id", "text", 3)
         .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       cands
         .join(sets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
@@ -7241,7 +7254,15 @@ object PipelineQueries {
           concat(col("text"),
             repeat(concat(lit(" tokmark_"), col("lang")), 8)).as("text")))
       val u = graft.sampling.Sampling.hashUniformPpm(col("doc_id"), "nb")
-      val tagged = docs.withColumn("__train", u < 800000L)
+      // EXPLICIT width before the shared checkpoint (r16): the docs scan
+      // is 1-2 tasks at gate scale and the checkpoint FREEZES that
+      // width, so both downstream tokenize+md5-bucket passes (train
+      // counts and holdout scoring, the query's CPU mass — StageProfile:
+      // ~1.6 s CPU on 2 tasks) inherited it. One keyed pre-exchange of
+      // the raw text at engine width (guide §2.5) feeds both passes.
+      val w53 = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val tagged = docs.repartition(w53, col("doc_id"))
+        .withColumn("__train", u < 800000L)
         .localCheckpoint(eager = false) // train fit + holdout score
       val train = tagged.filter(col("__train"))
       val hold = tagged.filter(!col("__train"))

@@ -870,25 +870,19 @@ object Similarity {
     require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 30,
       s"need bands > 0 and 0 < bitsPerBand <= 30, got $bands/$bitsPerBand")
     val rows = rademacherMatrix(bands * bitsPerBand, dims)
-    // TWO-STEP on purpose: project the bands·bitsPerBand hyperplane dots
-    // into plain bucket columns FIRST, explode the attribute array after.
-    // Fusing the dot expressions into the explode's array made the
-    // generated consume method so large HotSpot refused to JIT it
-    // (bytecode-interpreted hot loop): measured 5.1 s → 0.13 s at
-    // 24 bands × 2000 vectors for the identical band rows. The Project
-    // below the Generate keeps each generated method JIT-sized.
-    val buckets = (0 until bands).map { t =>
-      (0 until bitsPerBand).map { j =>
-        when(dotQ(col(qvCol),
-            typedLit(rows(t * bitsPerBand + j).toSeq)) > lit(0L),
-          lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _).as(s"__bk$t")
-    }
-    qdf
-      .select(col(idCol) +: col(qvCol) +: buckets: _*)
-      .select(col(idCol), col(qvCol),
-        posexplode(array((0 until bands).map(t => col(s"__bk$t")): _*))
-          .as(Seq("band", "bucket")))
+    // ONE fused expression for all bands·bitsPerBand hyperplane dots
+    // (r16): the per-bit `when(dotQ(qv, typedLit(row)) > 0, 1<<j)`
+    // column pile was 200+ expression nodes at 24 bands — past the
+    // codegen method limits, so the projection ran INTERPRETED with
+    // boxed literal-array access (~1.7 µs/dot; StageProfile s17: 46 s
+    // task CPU to band 2 000 vectors). BandSignBuckets carries the
+    // matrix as plan data (the NearestCentroids stance) and evaluates
+    // one primitive multiply-accumulate loop per row — identical
+    // buckets (exact long dots, strict > 0, same bit order, null
+    // vector → bucket 0 per band).
+    qdf.select(col(idCol), col(qvCol),
+      posexplode(graft.functions.band_sign_buckets(col(qvCol), rows,
+        bands, bitsPerBand)).as(Seq("band", "bucket")))
   }
 
   /** [[cosineNearDupPairs]] with MEASURABLY higher recall at moderate
@@ -958,7 +952,22 @@ object Similarity {
       .join(base.select(col("id").as("id2"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(col("id1"), col("id2"))
-    val pairs = if (dedupPairs) stream.distinct() else stream
+    // EXPLICIT width after the DISTINCT (r16): the deduped (id1, id2)
+    // exchange is a few MB of long pairs, so byte-sized AQE coalescing
+    // collapsed the stage BEHIND it — vector attach + the per-pair
+    // 64-long dot/gate, the most CPU-dense stage of every banded
+    // consumer — to 8 tasks at the default 1m floor (StageProfile s20:
+    // 5.1 s CPU, 0.83 s wall on 8 tasks). The pin is keyed on id1, the
+    // SAME key every downstream rank window partitions by, so the
+    // window's own ENSURE exchange is elided (guide §2.4) and the net
+    // exchange count is unchanged — and the pinned exchange carries
+    // narrow id pairs where the window's used to carry scored rows.
+    // The distinct's own ENSURE exchange stays bytes-sized (AQE), so
+    // map-side partial dedup of the collision stream is preserved.
+    val width = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val pairs = if (dedupPairs) stream.distinct()
+      .repartition(width, col("id1")) else stream
     pairs
       .join(qn.select(col("id").as("id1"), col("qv").as("v1"),
         col("nsq").as("n1")), "id1")

@@ -91,9 +91,14 @@ object VecIndex {
       .localCheckpoint(eager = false) // feeds both writes; quantize ONCE
     vecs.select(col("vec_id"), storeEncode(col("qv"), codec).as("qv"))
       .write.mode("overwrite").parquet(s"$path/vecs")
+    // Cluster by dir BEFORE the partitioned write (guide §6): one file
+    // per directory per write instead of (upstream tasks × dirs) shards —
+    // probes re-read bands/ every run and pay per-file open cost.
+    // Column-form repartition so AQE still sizes corpus-scale builds.
     Similarity.bandedSignBucketsQ(vecs, "vec_id", "qv", bands, bitsPerBand)
       .withColumn("dir", dirOf(col("band"), col("bucket"), nBuckets))
       .select(col("vec_id"), col("band"), col("bucket"), col("dir"))
+      .repartition(col("dir"))
       .write.partitionBy("dir").mode("overwrite").parquet(s"$path/bands")
     import spark.implicits._
     Seq((bands, bitsPerBand, nBuckets, codec))
@@ -130,6 +135,7 @@ object VecIndex {
     Similarity.bandedSignBucketsQ(vecs, "vec_id", "qv", m.bands, m.bitsPerBand)
       .withColumn("dir", dirOf(col("band"), col("bucket"), m.nBuckets))
       .select(col("vec_id"), col("band"), col("bucket"), col("dir"))
+      .repartition(col("dir")) // one file per dir per append (§6)
       .write.partitionBy("dir").mode("append").parquet(s"$path/bands")
   }
 
@@ -208,9 +214,18 @@ object VecIndex {
     val corpus = spark.read.parquet(s"$path/bands")
       .filter(col("dir")
         .isin(probeDirs.toIndexedSeq.map(Integer.valueOf): _*))
+    // EXPLICIT width after the candidate DISTINCT (r16): the deduped
+    // (probe_id, corpus_id) exchange is sub-MB at gate scale, so
+    // byte-sized AQE coalescing serialized the confirm stage behind it
+    // (per-candidate 64-long dot + cosine gate: StageProfile s26
+    // showed 0.57 s CPU in ONE task at the default floor). Keyed on
+    // probe_id — what the consumers group/order by — with the width
+    // from spark.sql.shuffle.partitions.
+    val widthP = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cands = pr
       .join(corpus, Seq("dir", "band", "bucket"))
       .select(col("probe_id"), col("vec_id").as("corpus_id")).distinct()
+      .repartition(widthP, col("probe_id"))
     // narrow join payloads (tinyint under int8, pass-through otherwise)
     val pqn = pq.select(col("probe_id"),
       storeEncode(col("pqv"), m.codec).as("pqv"))
@@ -375,11 +390,19 @@ object VecIndex {
     val corpus = spark.read.parquet(s"$path/bands")
       .filter(col("dir")
         .isin(probeDirs.toIndexedSeq.map(Integer.valueOf): _*))
+    // EXPLICIT width after the candidate DISTINCT (r16) — the
+    // probeVecIndex rationale: the ADC scoring stage (m codebook
+    // lookups + dot per candidate) otherwise serializes behind the
+    // byte-coalesced sub-MB candidate exchange. Keyed on query_id, the
+    // key both downstream top-k groupBys need, so their ENSURE
+    // exchanges are elided.
+    val widthP = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cands = pr
       .join(corpus, Seq("dir", "band", "bucket"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
       .filter(col("query_id") =!= col("neighbor_id"))
+      .repartition(widthP, col("query_id"))
     def widen(c: Column): Column =
       if (m.codec == "int8") transform(c, x => x.cast("bigint")) else c
     // ADC stage: candidates carry m bytes each; reconstruction and

@@ -106,7 +106,16 @@ object EventWindows {
       tieCol: String, gap: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
-    events.select(col(userCol), col(tsCol), col(tieCol))
+    // EXPLICIT width (r16): the window needs hashpartitioning(userCol)
+    // anyway; establishing it with a pinned-count repartition (AQE-
+    // exempt, width = spark.sql.shuffle.partitions) keeps the per-user
+    // lag/sum session scan at engine width instead of letting byte-
+    // sized AQE coalescing serialize it behind a few-MB event exchange.
+    // Same exchange count — the window's own ENSURE exchange is elided.
+    val width = events.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    events.repartition(width, col(userCol))
+      .select(col(userCol), col(tsCol), col(tieCol))
       // null lag (first event) compares null <= gap → null → otherwise(1)
       .withColumn("__new_s",
         when(col(tsCol) - lag(col(tsCol), 1).over(w) <= gap, 0L).otherwise(1L))
