@@ -279,11 +279,8 @@ object PipelineQueries {
     * nonzero intersection exist (inverted-index join semantics).
     */
   val d2JaccardPairs = QueryDef("d2_jaccard_pairs",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.jaccardPairs(docs, "doc_id", "text", 3, Seq("lang", "source"))
-        .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2"))
-    },
+    (s, dir) => jaccardPairsShared(s, dir)
+      .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2")),
     Some(s"""
       |WITH $tokSql,
       |$shSql,
@@ -622,13 +619,27 @@ object PipelineQueries {
     * once per query. The memo holds a checkpointed frame of
     * O(paired docs) rows — index-sized, not corpus-sized.
     */
+  /** Blocked 3-gram Jaccard pairs of the documents table, memoized per
+    * (session, table) — the [[sigMemo]] materialized-view idiom (r16):
+    * d2 reports this frame, [[dupMembers]]'s closure consumes it, and
+    * d20 weights medoids with it, so the shingle self-join (the pair
+    * family's one corpus-scale computation) runs once per session, not
+    * three times. Lazy checkpoint: building a query never runs a job;
+    * the frame is O(near-dup pairs) — index-sized.
+    */
+  private val jaccMemo = new BoundedMemo(4)
+  private def jaccardPairsShared(s: SparkSession, dir: String): DataFrame =
+    jaccMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3,
+            Seq("lang", "source"))
+          .localCheckpoint(eager = false)
+      })
+
   private val ccMemo = new BoundedMemo(4)
   private def dupMembers(s: SparkSession, dir: String): DataFrame =
     ccMemo.getOrElseUpdate(org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
-      val pairs = Dedup
-        .jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3,
-          Seq("lang", "source"))
-        .select(col("id1"), col("id2"))
+      val pairs = jaccardPairsShared(s, dir).select(col("id1"), col("id2"))
       graft.dedup.DupClusters.connectedComponents(pairs, "id1", "id2")
     })
 
@@ -748,13 +759,23 @@ object PipelineQueries {
           .localCheckpoint(eager = false)
       })
 
+  /** LSH(4×4) candidate pairs over [[minhashSigs]], memoized per
+    * (session, table) — r16: SIX queries (d3, d10, d15, d16, d17, d19)
+    * re-ran the identical banding self-join + distinct from the shared
+    * signatures; the candidate frame is O(colliding pairs), far smaller
+    * than the signature frame, so one lazy-checkpointed materialization
+    * serves them all (the [[sigMemo]] idiom one level up).
+    */
+  private val lshCandMemo = new BoundedMemo(4)
+  private def lshCandsShared(s: SparkSession, dir: String): DataFrame =
+    lshCandMemo.getOrElseUpdate(
+      org.apache.spark.sql.GraftSqlBridge.sessionKey(s) + "|" + dir, {
+        Dedup.lshCandidatePairs(minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+          .localCheckpoint(eager = false)
+      })
+
   val d3MinhashLsh = QueryDef("d3_minhash_lsh",
-    (s, dir) => {
-      // signatures feed four branches of the banding join — materialize
-      // once (tiny: docs × k longs) instead of re-aggregating per branch
-      Dedup.lshCandidatePairs(minhashSigs(s, dir), "doc_id", "sig", 4, 4)
-        .orderBy(col("id1"), col("id2"))
-    },
+    (s, dir) => lshCandsShared(s, dir).orderBy(col("id1"), col("id2")),
     Some(s"""
       |WITH $tokSql,
       |$shSql,
@@ -800,9 +821,7 @@ object PipelineQueries {
   val d10SketchCalibration = QueryDef("d10_sketch_calibration",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val cands = Dedup.lshCandidatePairs(
-          minhashSigs(s, dir), "doc_id", "sig", 4, 4)
-        .localCheckpoint(eager = false) // id prune + final join share it
+      val cands = lshCandsShared(s, dir) // id prune + final join share it
       // r16 (guide §3.2 / §5): the exact shingle SETS are consumed only
       // through INNER joins on the candidate ids, so building them over
       // the whole corpus paid a corpus-wide collect_set shuffle of
@@ -2339,8 +2358,7 @@ object PipelineQueries {
     */
   val d15SplitLeakage = QueryDef("d15_split_leakage",
     (s, dir) => {
-      val cands = Dedup.lshCandidatePairs(
-        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+      val cands = lshCandsShared(s, dir)
       val u = graft.sampling.Sampling.hashUniformPpm(col("doc_id"), "split")
       val splits = t(s, dir, "documents").select(col("doc_id"),
         when(u < 900000L, "train").when(u < 950000L, "val")
@@ -2607,8 +2625,7 @@ object PipelineQueries {
   val d16SimilarityPagerank = QueryDef("d16_similarity_pagerank",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+      val cands = lshCandsShared(s, dir)
       val hubs = docs.groupBy(col("lang")).agg(min(col("doc_id")).as("hub"))
       val hubEdges = docs.filter(col("doc_id") % 25 === 0)
         .join(hubs, "lang").filter(col("doc_id") =!= col("hub"))
@@ -3139,8 +3156,7 @@ object PipelineQueries {
   val d17EditVerified = QueryDef("d17_edit_verified",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+      val cands = lshCandsShared(s, dir)
       Dedup.editVerifiedPairs(cands, docs, "doc_id", "text", prefix = 200)
         .orderBy(col("id1"), col("id2"))
     },
@@ -4154,8 +4170,7 @@ object PipelineQueries {
   val d19Triangles = QueryDef("d19_triangles",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val cands = Dedup.lshCandidatePairs(
-        minhashSigs(s, dir), "doc_id", "sig", 4, 4)
+      val cands = lshCandsShared(s, dir)
       val hubs = docs.groupBy(col("lang")).agg(min(col("doc_id")).as("hub"))
       val hubEdges = docs.filter(col("doc_id") % 25 === 0)
         .join(hubs, "lang").filter(col("doc_id") =!= col("hub"))
@@ -4265,9 +4280,7 @@ object PipelineQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val members = dupMembers(s, dir)
-      val pairs = Dedup
-        .jaccardPairs(docs, "doc_id", "text", 3, Seq("lang", "source"))
-        .localCheckpoint(eager = false) // both incidence directions
+      val pairs = jaccardPairsShared(s, dir) // both incidence directions
       val cs = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
       val incid = pairs
         .select(col("id1").as("id"),
@@ -6461,23 +6474,28 @@ object PipelineQueries {
     */
   val a9ColumnProfile = QueryDef("a9_column_profile",
     (s, dir) => {
-      val li = tw(s, dir, "lineitem", "l_orderkey", "l_linenumber")
+      // r16 restructure: one aggregate with 8 countDistincts planned as
+      // an 8-way Expand — 600k rows multiplied to 4.8M before a
+      // corpus×columns hash aggregate (StageProfile: 33 s task CPU).
+      // As a UNION of per-column legs (the oracle's own shape) each leg
+      // is a single-distinct aggregate over ONE parquet-pruned column —
+      // no Expand, and the 8 legs run as concurrent stages of one job.
+      // Same rows, same order; the oracle is unchanged.
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
         "l_tax")
-      val aggs = cols.flatMap(c => Seq(
-        count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        min(col(c)).cast("double").as(s"${c}__mn"),
-        max(col(c)).cast("double").as(s"${c}__mx"))) :+
-        count(lit(1)).as("__n")
-      val row = li.agg(aggs.head, aggs.tail: _*)
-      row.select(expr("stack(" + cols.size + ", " +
-          cols.map(c => s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx")
-            .mkString(", ") +
-          ") as (column_name, n_nonnull, n_distinct, min_v, max_v)"),
-          col("__n").as("n_rows"))
-        .orderBy(col("column_name"))
+      val legs = cols.map { c =>
+        t(s, dir, "lineitem").select(col(c))
+          .agg(
+            count(col(c)).as("n_nonnull"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("double").as("min_v"),
+            max(col(c)).cast("double").as("max_v"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(c).as("column_name"), col("n_nonnull"),
+            col("n_distinct"), col("min_v"), col("max_v"), col("n_rows"))
+      }
+      legs.reduce(_ unionByName _).orderBy(col("column_name"))
     },
     Some(s"""
       |${Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -15,18 +15,27 @@ class ProfilerSketchSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("a12 plan has no Expand; a9's exact multi-distinct does") {
+  test("neither profiler plan rides Expand; a9 is per-column union legs") {
     val a12 = PipelineQueries.a12ColumnProfileSketch.fn(spark, dir)
     a12.collect()
     val p12 = a12.queryExecution.executedPlan.toString
     assert(!p12.contains("Expand"),
       s"the sketched profiler must not expand the scan:\n$p12")
+    // r16: a9's exact profiler no longer rides the 8-way Expand either —
+    // it is a UNION of per-column single-distinct legs (each leg scans
+    // ONE parquet-pruned column; no row multiplication before partial
+    // aggregation). Pin both properties so a regression back to the
+    // multi-distinct Expand shape is loud.
     val a9 = PipelineQueries.a9ColumnProfile.fn(spark, dir)
     a9.collect()
     val p9 = a9.queryExecution.executedPlan.toString
-    assert(p9.contains("Expand"),
-      "the contrast baseline: exact multi-distinct rides Expand — if " +
-        "Spark stops expanding, a9's scaladoc price note is stale")
+    assert(!p9.contains("Expand"),
+      s"a9's union-leg restructure must not expand the scan:\n$p9")
+    assert(p9.contains("Union"),
+      s"a9 must be the per-column union-leg shape:\n$p9")
+    assert("ReadSchema: struct<l_tax:double>".r
+        .findFirstIn(p9).isDefined,
+      s"each a9 leg must prune its scan to the one profiled column:\n$p9")
   }
 
   test("a12 estimates: exact below k, bounded error vs a9 exacts above k") {
